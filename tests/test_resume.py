@@ -1,0 +1,85 @@
+"""Checkpoint/resume: killing the crawl after round k and restarting must
+yield the identical final state with no double-fetch of committed buckets
+(SURVEY.md §5 item 4; north_rule 'resumable from checkpoint')."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from pubcrawl.oracle import crawl_oracle
+from pubcrawl.pipeline import CrawlPipeline, crawl, load_images, load_pages
+from pubcrawl.store import ParquetFragmentStore
+from pubcrawl.synthweb import WebConfig
+
+CFG = WebConfig(seed=11, n_hosts=6, pages_per_host=2, links_per_page=5,
+                images_per_page=1, details_per_host=25)
+
+
+class _Killed(RuntimeError):
+    pass
+
+
+def test_store_commit_idempotent(tmp_path):
+    store = ParquetFragmentStore(str(tmp_path / "s"))
+    t = pa.table({"url_hash": pa.array([5, 9], pa.uint64()), "x": [1, 2]})
+    r1 = store.commit(t, "p0", lineage="test")
+    r2 = store.commit(pa.table({"url_hash": pa.array([1], pa.uint64()), "x": [3]}), "p0")
+    assert r1["rows"] == 2 and r2["rows"] == 2  # second commit is a no-op
+    assert store.committed_paths() == [store.fragment_path("p0")]
+    assert r1["url_lo"] == 5 and r1["url_hi"] == 9
+
+
+def test_manifest_gates_visibility(tmp_path):
+    store = ParquetFragmentStore(str(tmp_path / "s"))
+    t = pa.table({"x": [1]})
+    # fragment file without manifest line → invisible
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, store.fragment_path("ghost"))
+    assert store.committed_paths() == []
+    store.commit(t, "real")
+    assert store.committed_paths() == [store.fragment_path("real")]
+
+
+def test_resume_after_mid_crawl_kill(tmp_path):
+    oracle = crawl_oracle(CFG)
+    root = str(tmp_path / "store")
+
+    # run 1: kill after the first fetch round commits
+    pipe = CrawlPipeline(CFG, root, fetch_concurrency=2, bucket_size=16, seen_shards=2)
+    original = pipe._run_round
+    calls = {"n": 0}
+
+    def killer(frontier, depth):
+        out = original(frontier, depth)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise _Killed()
+        return out
+
+    pipe._run_round = killer
+    with pytest.raises(_Killed):
+        pipe.run()
+
+    committed_before = set(ParquetFragmentStore(root).committed())
+    assert any(p.startswith("images_d0") for p in committed_before)
+
+    # run 2: fresh pipeline (fresh seen-set actors) over the same store
+    report = crawl(CFG, root, fetch_concurrency=2, bucket_size=16, seen_shards=2)
+
+    pages = load_pages(root).to_pandas()
+    assert set(int(x) for x in pages.url_hash) == oracle.seen_hashes
+    assert list(pages.sort_values("seq").url) == [u for u, _, _ in oracle.order]
+    imgs = load_images(root, canonical_order=True).to_pandas()
+    golden = oracle.rows.to_pandas()
+    assert list(imgs.image_id) == list(golden.image_id)
+    assert all(a == b for a, b in zip(imgs["bytes"], golden["bytes"]))
+
+    # no double-commit: every partition_id appears exactly once in the manifest
+    with open(os.path.join(root, "_manifest.jsonl")) as f:
+        pids = [json.loads(l)["partition_id"] for l in f if l.strip()]
+    assert len(pids) == len(set(pids))
+    # run-1 fragments were reused, not rewritten
+    assert committed_before <= set(pids)
