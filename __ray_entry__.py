@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(nor in the pubcrawl library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``    — flagship pipeline on sf0.001: the synthetic-web crawl
+  (frontier → seen-set shards → politeness → fetch → decode → commit) plus a
+  relational pass over the corpus; returns the image_caption result table.
+- ``queries()``  — one entry per implemented operator family from SURVEY.md §2
+  (registry in pubcrawl/queries.py).
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query.
 """
 
 from __future__ import annotations
@@ -20,25 +18,29 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: crawl the deterministic synthetic web into an
+    image_caption table (input_hint shape) and return it."""
+    import shutil
+    import tempfile
+
+    from pubcrawl.pipeline import crawl, load_images
+    from pubcrawl.synthweb import WebConfig
+
+    cfg = WebConfig(seed=42, n_hosts=8, pages_per_host=2, links_per_page=5,
+                    images_per_page=2, details_per_host=30)
+    root = tempfile.mkdtemp(prefix="pubcrawl_entry_") + "/store"
+    crawl(cfg, root, fetch_concurrency=4, bucket_size=64, seen_shards=4)
+    ds = load_images(root, canonical_order=True)
+    return ds.select_columns(["image_id", "w", "h", "fmt", "caption", "phash"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pubcrawl.queries import get_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return get_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pubcrawl.queries import get_oracle_sql
+
+    return get_oracle_sql()

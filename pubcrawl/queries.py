@@ -1,0 +1,475 @@
+"""The driver-contract query registry: every operator family from SURVEY.md §2
+exercised over the /root/testdata corpus, each with a DuckDB oracle SQL string
+where SQL can express it (FIXTURES.md §5 mapping).
+
+Determinism contract with the oracle (see relops.py docstring): fixed-decimal
+money columns are summed as exact integer units; thresshold comparisons happen
+on exact integers; top-k always carries a full deterministic tiebreak. Column
+names are identical in the Ray result and the SQL (AS aliases).
+
+None of these callables initialises Ray — the caller owns the session.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from . import relops
+from .hashing import xxh64
+
+QUERIES: dict[str, Callable[[str], Any]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# shared english stopword list (python set == SQL IN list, keep in sync)
+EN_STOP = (
+    "the a an and or of to in is are was were be been it this that with for "
+    "on as at by from not no"
+).split()
+_STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOP)
+
+# keyword taxonomy over the synthetic corpus vocabulary (M12 analogue of
+# /root/reference/configs/trends.yaml keyword trees)
+TAXONOMY = {
+    "scan_layer": ["scan", "filter", "row"],
+    "agg_layer": ["agg", "group", "sum"],
+    "join_layer": ["join", "merge", "hash"],
+    "stream_layer": ["stream", "window", "batch"],
+}
+
+
+# =============================================================== M1: regex filter
+
+
+@query(
+    "m1_regex_filter",
+    sql="SELECT doc_id, lang FROM documents "
+    "WHERE regexp_matches(text, '(?i)(window|stream)')",
+)
+def m1_regex_filter(sf_dir: str):
+    """M1 — /root/reference/src/crawlers/run_crawler.py:92-100 semantics."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return relops.regex_filter(ds, "text", "(window|stream)").select_columns(["doc_id", "lang"])
+
+
+# ======================================================== M2: computed enrichment
+
+
+_REV_SQL = (
+    "CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount*100) AS BIGINT))"
+)
+
+
+def _revenue_e4(batch: pa.Table) -> pa.Array:
+    price_c = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+    disc_c = pc.cast(pc.round(pc.multiply(batch["l_discount"], pa.scalar(100.0))), pa.int64())
+    return pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+
+
+@query(
+    "m2_enrich_revenue",
+    sql="SELECT l_orderkey, l_linenumber, "
+    f"{_REV_SQL} AS revenue_e4 "
+    "FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'",
+)
+def m2_enrich_revenue(sf_dir: str):
+    """M2 — constant/computed column enrichment, prune-at-read + vectorized
+    arrow kernels; money in exact integer 1e-4 units."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["l_shipdate"], cutoff)), batch_format="pyarrow"
+    )
+    ds = relops.with_columns(ds, {"revenue_e4": _revenue_e4})
+    return ds.select_columns(["l_orderkey", "l_linenumber", "revenue_e4"])
+
+
+# =========================================================== G2: pricing summary
+
+
+@query(
+    "g2_pricing_summary",
+    sql="SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, "
+    "SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_e2, "
+    f"SUM({_REV_SQL}) AS sum_disc_e4, "
+    "COUNT(*) AS n "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+)
+def g2_pricing_summary(sf_dir: str):
+    """G2/G1 — TPC-H-Q1-style grouped aggregate with per-batch partial
+    pre-aggregation (combiner) before the groupby shuffle."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    ds = relops.with_columns(
+        ds,
+        {
+            "qty_i": lambda t: pc.cast(t["l_quantity"], pa.int64()),
+            "base_e2": relops.money_to_units("l_extendedprice"),
+            "disc_e4": _revenue_e4,
+        },
+    )
+    return relops.preagg_group_sum(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {"qty_i": "sum_qty", "base_e2": "sum_base_e2", "disc_e4": "sum_disc_e4"},
+        count_as="n",
+    )
+
+
+# ===================================================== M12+G1: classify + explode
+
+
+_TAX_SQL = " UNION ALL ".join(
+    f"SELECT '{topic}' AS topic, COUNT(*) AS n FROM documents "
+    f"WHERE regexp_matches(text, '(?i)\\b({'|'.join(kws)})\\b')"
+    for topic, kws in TAXONOMY.items()
+)
+
+
+@query("g1_topic_counts", sql=_TAX_SQL)
+def g1_topic_counts(sf_dir: str):
+    """M12 multi-label keyword classify (word-boundary regex, taxonomy dict —
+    /root/reference/src/analysis/trends.py:28-40) → D5 explode → G1 counts."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    patterns = {t: re.compile(r"\b(" + "|".join(k) + r")\b", re.I) for t, k in TAXONOMY.items()}
+
+    def classify(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        topics = [
+            [t for t, rx in patterns.items() if rx.search(x or "")] for x in texts
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "topics": pa.array(topics, pa.list_(pa.string())),
+            }
+        )
+
+    ds = ds.map_batches(classify, batch_format="pyarrow")
+    exploded = relops.explode_list(ds, "topics", "topic")
+    return relops.preagg_group_sum(exploded, ["topic"], count_as="n")
+
+
+# ============================================== G3/G5: two-key counts and shares
+
+
+@query(
+    "g3_status_priority_counts",
+    sql="SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
+    "FROM orders GROUP BY o_orderstatus, o_orderpriority",
+)
+def g3_status_priority_counts(sf_dir: str):
+    """G3 — decision-pivot-style two-key counts
+    (/root/reference/src/analysis/trends.py:57-59)."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    return relops.preagg_group_sum(ds, ["o_orderstatus", "o_orderpriority"], count_as="n")
+
+
+@query(
+    "g5_year_status_share",
+    sql="SELECT o_year, o_orderstatus, n, SUM(n) OVER (PARTITION BY o_year) AS year_total "
+    "FROM (SELECT year(o_orderdate) AS o_year, o_orderstatus, COUNT(*) AS n "
+    "FROM orders GROUP BY 1, 2)",
+)
+def g5_year_status_share(sf_dir: str):
+    """G5 — year×key pivot with per-year normalisation
+    (/root/reference/src/analysis/trends.py:150-154): two-level aggregate,
+    year totals broadcast-joined back (no second shuffle)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderstatus"])
+    ds = relops.with_columns(ds, {"o_year": lambda t: pc.year(t["o_orderdate"])})
+    counts = relops.preagg_group_sum(ds, ["o_year", "o_orderstatus"], count_as="n")
+    counts_tbl = pa.concat_tables(ray.get(counts.to_arrow_refs()))  # small aggregate
+    totals = (
+        counts_tbl.group_by("o_year").aggregate([("n", "sum")]).rename_columns(["o_year", "year_total"])
+    )
+    out = rd.from_arrow(counts_tbl)
+    return relops.broadcast_join(out, totals, on="o_year")
+
+
+# ================================================= M11+G6: tokenize + word freq
+
+
+@query(
+    "g6_word_freq_top50",
+    sql="SELECT word, COUNT(*) AS n FROM ("
+    "  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents"
+    f") WHERE length(word) >= 3 AND word NOT IN ({_STOP_SQL}) "
+    "GROUP BY word ORDER BY n DESC, word ASC LIMIT 50",
+)
+def g6_word_freq_top50(sf_dir: str):
+    """M11 tokenizer + G6 corpus word frequencies + T5 top-k — the wide
+    explode→count shuffle, with per-batch partial counts as the combiner."""
+    ds = _read(sf_dir, "documents", ["text"])
+    words = relops.tokenize_column(ds, "text", frozenset(EN_STOP))
+    counts = relops.preagg_group_sum(words, ["word"], count_as="n")
+    return relops.topk(counts, [("n", True), ("word", False)], 50)
+
+
+# ====================================================== G7/M16: distributions
+
+
+@query(
+    "g7_event_type_dist",
+    sql="SELECT event_type, COUNT(*) AS n, "
+    "SUM(CAST(ROUND(value*100) AS BIGINT)) AS value_e2 "
+    "FROM events GROUP BY event_type",
+)
+def g7_event_type_dist(sf_dir: str):
+    """G7 — conf/year-style distribution
+    (/root/reference/src/search/search_service.py:213-222)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    ds = relops.with_columns(ds, {"value_e2": relops.money_to_units("value")})
+    return relops.preagg_group_sum(ds, ["event_type"], {"value_e2": "value_e2"}, count_as="n")
+
+
+@query(
+    "m16_source_lang_stats",
+    sql="SELECT source, lang, COUNT(*) AS n, SUM(n_chars) AS total_chars "
+    "FROM documents GROUP BY source, lang",
+)
+def m16_source_lang_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+    return relops.preagg_group_sum(ds, ["source", "lang"], {"n_chars": "total_chars"}, count_as="n")
+
+
+# ============================================================= joins J1/J2/J5
+
+
+@query(
+    "j1_segment_revenue",
+    sql="SELECT c_mktsegment, "
+    "SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS total_e2, COUNT(*) AS n "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_mktsegment",
+)
+def j1_segment_revenue(sf_dir: str):
+    """J1 — broadcast small-side join (customer dim shipped once via ray.put;
+    /root/reference/src/search/search_service.py:180-204 analogue)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = relops.with_columns(orders, {"total_e2": relops.money_to_units("o_totalprice")})
+    customer = pa.concat_tables(
+        ray.get(_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_arrow_refs())
+    )
+    customer = customer.rename_columns(["o_custkey", "c_mktsegment"])
+    joined = relops.broadcast_join(orders, customer, on="o_custkey")
+    return relops.preagg_group_sum(joined, ["c_mktsegment"], {"total_e2": "total_e2"}, count_as="n")
+
+
+@query(
+    "j2_customers_inactive_2001",
+    sql="SELECT c_custkey, c_mktsegment FROM customer "
+    "WHERE c_custkey NOT IN "
+    "(SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001)",
+)
+def j2_customers_inactive_2001(sf_dir: str):
+    """J2/D2 — anti join against a broadcast key set (the reference's
+    incremental-embed resume primitive,
+    /root/reference/src/search/embedder_chroma.py:56-83)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.equal(pc.year(t["o_orderdate"]), 2001)),
+        batch_format="pyarrow",
+    )
+    active = set(
+        pa.concat_tables(ray.get(orders.select_columns(["o_custkey"]).to_arrow_refs()))[
+            "o_custkey"
+        ].to_pylist()
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return relops.semi_join_broadcast(cust, active, on="c_custkey", anti=True)
+
+
+@query(
+    "j5_heavy_orders",
+    sql="SELECT o_orderkey, o_orderpriority FROM orders "
+    "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)",
+)
+def j5_heavy_orders(sf_dir: str):
+    """J5 — semi join via broadcast qualifying-key set."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    li = li.map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], 45.0)), batch_format="pyarrow"
+    )
+    keys = set(
+        pa.concat_tables(ray.get(li.select_columns(["l_orderkey"]).to_arrow_refs()))[
+            "l_orderkey"
+        ].to_pylist()
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    return relops.semi_join_broadcast(orders, keys, on="o_orderkey")
+
+
+@query(
+    "hj_priority_revenue",
+    sql="SELECT o_orderpriority, "
+    f"SUM({_REV_SQL}) AS revenue_e4, COUNT(*) AS n "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "GROUP BY o_orderpriority",
+)
+def hj_priority_revenue(sf_dir: str):
+    """Large-large bucketed hash join (SURVEY.md §7.2 pattern): lineitem ⋈
+    orders co-partitioned on orderkey, then grouped revenue."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    li = relops.with_columns(li, {"revenue_e4": _revenue_e4}).select_columns(
+        ["l_orderkey", "revenue_e4"]
+    )
+    li = li.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "revenue_e4"]), batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = relops.hash_join(
+        li, orders, on="o_orderkey", left_cols=["revenue_e4"], right_cols=["o_orderpriority"]
+    )
+    return relops.preagg_group_sum(
+        joined, ["o_orderpriority"], {"revenue_e4": "revenue_e4"}, count_as="n"
+    )
+
+
+# ========================================================== D1/G10/T1/T4 basics
+
+
+@query(
+    "d1_union_names",
+    sql="SELECT name FROM (SELECT n_name AS name FROM nation "
+    "UNION ALL SELECT r_name FROM region)",
+)
+def d1_union_names(sf_dir: str):
+    """D1 — union-all of two sources
+    (/root/reference/src/crawlers/run_crawler.py:182)."""
+    nation = _read(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    region = _read(sf_dir, "region", ["r_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    return nation.union(region)
+
+
+@query(
+    "g10_distinct_flags",
+    sql="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def g10_distinct_flags(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    return relops.distinct(ds, ["l_returnflag", "l_linestatus"])
+
+
+@query(
+    "t1_top_customers",
+    sql="SELECT o_custkey, "
+    "SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS total_e2, COUNT(*) AS n_orders "
+    "FROM orders GROUP BY o_custkey "
+    "ORDER BY total_e2 DESC, o_custkey ASC LIMIT 10",
+)
+def t1_top_customers(sf_dir: str):
+    """T1 — grouped top-k with deterministic tiebreak
+    (/root/reference/src/analysis/trends.py:77,99,129)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = relops.with_columns(orders, {"total_e2": relops.money_to_units("o_totalprice")})
+    per_cust = relops.preagg_group_sum(
+        orders, ["o_custkey"], {"total_e2": "total_e2"}, count_as="n_orders"
+    )
+    return relops.topk(per_cust, [("total_e2", True), ("o_custkey", False)], 10)
+
+
+@query(
+    "t4_event_prefix",
+    sql="SELECT event_id, event_type, user_id FROM events "
+    "ORDER BY event_id ASC LIMIT 100",
+)
+def t4_event_prefix(sf_dir: str):
+    """T4 — deterministic ordered prefix (the reference's max_papers_limit
+    index-order head, /root/reference/src/scrapers/acl_scraper.py:79-84)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+    return relops.topk(ds, [("event_id", False)], 100)
+
+
+# ================================================================ M-parsers
+
+
+@query(
+    "m_parse_props",
+    sql="SELECT event_type, SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum, "
+    "COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def m_parse_props(sf_dir: str):
+    """M3/M4-style payload parsing (JSON envelope unwrap — the get_field_robust
+    analogue at /root/reference/src/scrapers/iclr_scraper.py:77-85)."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (json.loads(p)["k"] for p in batch["props"].to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return pa.table({"event_type": batch["event_type"], "k": pa.array(ks, pa.int64())})
+
+    parsed = ds.map_batches(parse, batch_format="pyarrow")
+    return relops.preagg_group_sum(parsed, ["event_type"], {"k": "k_sum"}, count_as="n")
+
+
+# ========================================================= search (M14/K6-lite)
+
+
+@query(
+    "m14_keyword_search",
+    sql="SELECT doc_id, source FROM documents "
+    "WHERE regexp_matches(text, '\\b(spark)\\b') AND regexp_matches(text, '\\b(window)\\b')",
+)
+def m14_keyword_search(sf_dir: str):
+    """M14 — field/AND keyword query compilation
+    (/root/reference/src/search/search_service.py:125-151): terms become
+    conjunctive word-boundary predicates pushed into one vectorized filter."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    terms = ["spark", "window"]
+    rxs = [re.compile(rf"\b{t}\b") for t in terms]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        mask = pa.array([all(rx.search(x or "") for rx in rxs) for x in texts])
+        return batch.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow").select_columns(["doc_id", "source"])
+
+
+def get_queries() -> dict[str, Callable[[str], Any]]:
+    return dict(QUERIES)
+
+
+def get_oracle_sql() -> dict[str, str]:
+    return dict(ORACLE)

@@ -1,0 +1,279 @@
+"""Reusable relational operators, Ray-Data-first (SURVEY.md §2 inventory).
+
+Each operator is a composition over ``ray.data.Dataset`` designed for the
+multi-node case:
+
+- per-record logic = vectorized ``map_batches`` over Arrow batches;
+- small-side joins = broadcast via ``ray.put`` once, lookup per batch
+  (J1/J2/J5 of SURVEY.md §2.5 — never a shuffle);
+- large-large joins = explicit bucketed hash join (groupby on a bucket
+  column, per-bucket pandas merge) — documented partitioning assumption:
+  both sides hashed on the join key with the same bucket count;
+- aggregations = per-batch PARTIAL aggregation first, then a small groupby
+  over partials (the combiner pattern), so the all-to-all shuffle moves one
+  row per (key, batch), not per input row.
+
+Determinism note: money-typed columns (2-decimal doubles) are converted to
+exact integer units (cents) BEFORE any distributed sum, so results are
+bit-identical to a sequential oracle regardless of block order. Final
+user-facing values divide back at the end (deterministic: one division on
+exact integers).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+# ---------------------------------------------------------------- maps/filters
+
+
+def regex_filter(ds: rd.Dataset, col: str, pattern: str, flags: int = re.I) -> rd.Dataset:
+    """M1 (`/root/reference/src/crawlers/run_crawler.py:92-100`): keep rows
+    whose ``col`` matches ``pattern``. Vectorized: one compiled regex per
+    task, pyarrow filter per batch."""
+    rx = re.compile(pattern, flags)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_pylist()
+        mask = pa.array([v is not None and rx.search(v) is not None for v in vals])
+        return batch.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def with_columns(ds: rd.Dataset, exprs: dict) -> rd.Dataset:
+    """M2-style enrichment: ``exprs`` maps new column name → fn(pa.Table) →
+    pa.Array (pyarrow.compute kernels — vectorized, zero-copy in)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for name, expr in exprs.items():
+            arr = expr(batch)
+            if name in batch.column_names:
+                batch = batch.drop_columns([name])
+            batch = batch.append_column(name, arr)
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def money_to_units(col: str, scale: int = 100):
+    """Exact integer units for a fixed-decimal double column (see module
+    docstring)."""
+
+    def expr(batch: pa.Table) -> pa.Array:
+        return pc.cast(pc.round(pc.multiply(batch[col], pa.scalar(float(scale)))), pa.int64())
+
+    return expr
+
+
+# ---------------------------------------------------------------- explode
+
+
+def explode_list(ds: rd.Dataset, list_col: str, out_col: str | None = None) -> rd.Dataset:
+    """D5 (`/root/reference/src/analysis/trends.py:45`): unnest a list column,
+    repeating the other columns — vectorized via pyarrow list_parent_indices."""
+    out_col = out_col or list_col
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lc = batch[list_col].combine_chunks()
+        if isinstance(lc, pa.ChunkedArray):
+            lc = lc.chunk(0) if lc.num_chunks else pa.array([], pa.list_(pa.string()))
+        parents = pc.list_parent_indices(lc)
+        flat = pc.list_flatten(lc)
+        others = batch.drop_columns([list_col]).take(parents)
+        return others.append_column(out_col, flat)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- aggregation
+
+
+def preagg_group_sum(
+    ds: rd.Dataset,
+    keys: list[str],
+    sum_cols: dict[str, str] | None = None,
+    count_as: str | None = None,
+) -> rd.Dataset:
+    """Combiner-style grouped sum/count: partial per-batch pandas groupby
+    (one output row per key per batch) → global groupby over the partials.
+    ``sum_cols`` maps input col → output name. The wide shuffle moves only
+    partials (G1/G6/G7 of SURVEY.md §2.6 at scale)."""
+    sum_cols = sum_cols or {}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        agg = {}
+        for src, out in sum_cols.items():
+            agg[out] = (src, "sum")
+        if count_as:
+            df = df.assign(__one=1)
+            agg[count_as] = ("__one", "sum")
+        g = df.groupby(keys, as_index=False, sort=False, dropna=False).agg(**agg)
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    aggs = [Sum(out, alias_name=out) for out in list(sum_cols.values()) + ([count_as] if count_as else [])]
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+def distinct(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """G10: distinct rows of ``cols`` — partial per-batch dedup then global
+    groupby-first, so the shuffle moves unique rows per batch only."""
+    sub = ds.select_columns(cols)
+    deduped = sub.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
+    )
+    return deduped.groupby(cols).map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    )
+
+
+def topk(ds: rd.Dataset, keys: list[tuple[str, bool]], k: int) -> rd.Dataset:
+    """T1/T5: global top-k with deterministic tiebreak. Per-batch prune to k
+    first so the sort shuffle sees at most k rows per block."""
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        by = [c for c, _ in keys]
+        asc = [not d for _, d in keys]
+        return df.sort_values(by, ascending=asc).head(k)
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+    return pruned.sort(key=[c for c, _ in keys], descending=[d for _, d in keys]).limit(k)
+
+
+# ---------------------------------------------------------------- joins
+
+
+def broadcast_join(
+    ds: rd.Dataset,
+    small: pa.Table | pd.DataFrame,
+    on: str,
+    how: str = "inner",
+    right_cols: list[str] | None = None,
+) -> rd.Dataset:
+    """J1: small side shipped once via ray.put, pandas merge per batch."""
+    if isinstance(small, pa.Table):
+        small = small.to_pandas()
+    if right_cols:
+        small = small[[on, *right_cols]]
+    ref = ray.put(small)
+
+    class Joiner:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(self.small, on=on, how=how)
+
+    return ds.map_batches(Joiner, batch_format="pandas", concurrency=(1, 8))
+
+
+def semi_join_broadcast(ds: rd.Dataset, keys: Iterable, on: str, anti: bool = False) -> rd.Dataset:
+    """J5 semi / J2-D2 anti join against a broadcast key set."""
+    ref = ray.put(frozenset(keys))
+
+    class Filter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vals = batch[on].to_pylist()
+            mask = pa.array([(v in self.keys) != anti for v in vals])
+            return batch.filter(mask)
+
+    return ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    n_buckets: int = 32,
+    how: str = "inner",
+) -> rd.Dataset:
+    """Large-large join: explicit partitioned hash join over an integer key.
+
+    Partitioning assumption (documented per SURVEY.md §7.2): both sides get
+    ``bucket = key % n_buckets`` and co-locate via ONE groupby shuffle of the
+    unioned, schema-aligned stream; matching buckets merge pairwise inside
+    map_groups with a pandas hash join. Skewed keys: raise n_buckets, or salt
+    the hot key into sub-buckets and replicate the other side (not needed for
+    the TPC-H-ish corpus). ``left_cols``/``right_cols`` are the projected
+    payload columns (column pruning before the shuffle).
+    """
+    all_cols = [on, *left_cols, *right_cols]
+
+    def tag(side: int, keep: list[str]):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({on: df[on]})
+            for c in all_cols[1:]:
+                out[c] = df[c] if c in keep else None
+            out["__bucket"] = (df[on].to_numpy() % n_buckets).astype(np.int64)
+            out["__side"] = np.int8(side)
+            return out
+
+        return fn
+
+    lt = left.select_columns([on, *left_cols]).map_batches(tag(0, left_cols), batch_format="pandas")
+    rt = right.select_columns([on, *right_cols]).map_batches(tag(1, right_cols), batch_format="pandas")
+    both = lt.union(rt)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0][[on, *left_cols]]
+        r = df[df["__side"] == 1][[on, *right_cols]]
+        return l.merge(r, on=on, how=how)
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- text helpers
+
+
+def tokenize_column(
+    ds: rd.Dataset,
+    col: str,
+    stopwords: frozenset[str],
+    min_len: int = 3,
+    out_col: str = "word",
+) -> rd.Dataset:
+    """M11 (`/root/reference/src/analysis/analyzer.py:27-44` semantics:
+    lower → strip non-word chars → split → alpha, len>min_len-1, not stop) →
+    exploded word rows. Vectorized with pandas str ops per batch."""
+    ref = ray.put(stopwords)
+
+    class Tok:
+        def __init__(self):
+            self.stop = ray.get(ref)
+            self.clean = re.compile(r"[^\w\s]")
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            toks = (
+                df[col]
+                .fillna("")
+                .str.lower()
+                .str.replace(self.clean, " ", regex=True)
+                .str.split()
+            )
+            stop = self.stop
+            words = [
+                [w for w in ws if len(w) >= min_len and w.isalpha() and w not in stop]
+                for ws in toks
+            ]
+            rep = np.repeat(np.arange(len(df)), [len(ws) for ws in words])
+            out = df.iloc[rep][[c for c in df.columns if c != col]].copy()
+            out[out_col] = [w for ws in words for w in ws]
+            return out
+
+    return ds.map_batches(Tok, batch_format="pandas", concurrency=(1, 8))

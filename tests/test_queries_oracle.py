@@ -1,0 +1,67 @@
+"""Driver-contract emulation: run each queries() entry and its oracle_sql()
+side-by-side on the same parquet tables and demand row-count + column-name +
+exact value equality (order-insensitive), mirroring CORRECTNESS_r{N}.json."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pubcrawl.queries import ORACLE, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def to_pandas(result) -> pd.DataFrame:
+    import ray.data as rd
+
+    if isinstance(result, rd.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(name, con):
+    ours = normalize(to_pandas(QUERIES[name](SF_DIR)))
+    theirs = normalize(con.execute(ORACLE[name]).fetchdf())
+    assert list(ours.columns) == list(theirs.columns), (
+        f"column mismatch: {list(ours.columns)} vs {list(theirs.columns)}"
+    )
+    assert len(ours) == len(theirs), f"row count {len(ours)} vs {len(theirs)}"
+    for c in ours.columns:
+        a, b = ours[c].to_numpy(), theirs[c].to_numpy()
+        if np.issubdtype(ours[c].dtype, np.floating):
+            assert np.allclose(a, b, rtol=0, atol=0, equal_nan=True), f"float col {c}"
+        else:
+            assert (a == b).all(), f"col {c} differs"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_queries_run(name):
+    df = to_pandas(QUERIES[name](SF_DIR))
+    assert df is not None and len(df) >= 0
