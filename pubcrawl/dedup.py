@@ -1,0 +1,295 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All follow the same Ray-Data shape: per-batch vectorized feature extraction
+(map_batches) → a small shuffle over compact keys (hashes / band buckets,
+never raw text) → candidate verification. References: Broder, "On the
+resemblance and containment of documents" (1997) for shingling/MinHash;
+Leskovec-Rajaraman-Ullman MMDS ch.3 for LSH banding; Charikar (2002) for
+SimHash; Manber/Schleimer et al. "Winnowing" (2003) for fingerprints.
+
+The reference engine has only exact id-level dedup
+(/root/reference/src/search/embedder_chroma.py:56-76); these generalize it to
+content-level near-dup at corpus scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Min, Sum
+
+from . import relops
+from .hashing import xxh64
+
+_WORD = re.compile(r"[a-z]+")
+_M61 = np.uint64(0xFFFFFFFFFFFFFFFF)  # multiply-shift over 2^64 (a odd)
+
+
+# ---------------------------------------------------------------- exact dedup
+
+
+def exact_dedup(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
+    """Exact content dedup: md5(text) partition key → keep min id + group
+    size. Hash computed per batch; the shuffle moves (hash, id, 1) triples
+    pre-combined per batch, never the text."""
+
+    def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df[text_col]]
+        return pd.DataFrame({"__h": h, id_col: df[id_col], "__n": 1})
+
+    hashed = ds.map_batches(hash_batch, batch_format="pandas")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("__h", as_index=False).agg(**{id_col: (id_col, "min"), "__n": ("__n", "sum")})
+
+    partials = hashed.map_batches(partial, batch_format="pandas")
+    out = partials.groupby("__h").aggregate(
+        Min(id_col, alias_name=id_col), Sum("__n", alias_name="dupes")
+    )
+    return out.select_columns([id_col, "dupes"])
+
+
+# ---------------------------------------------------------------- shingling
+
+
+def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Word n-gram shingles → uint64 xxh64 hashes (unique, sorted)."""
+    words = _WORD.findall(text.lower())
+    if len(words) < n:
+        return np.array([xxh64(" ".join(words))], dtype=np.uint64) if words else np.array([], dtype=np.uint64)
+    out = np.fromiter(
+        (xxh64(" ".join(words[i : i + n])) for i in range(len(words) - n + 1)),
+        dtype=np.uint64,
+    )
+    return np.unique(out)
+
+
+def _minhash_params(num_perm: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 63, size=num_perm, dtype=np.uint64) | np.uint64(1)  # odd
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Multiply-shift 'permutations' over 2^64: sig[i] = min(a_i*x + b_i)."""
+    if len(sh) == 0:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        m = a[:, None] * sh[None, :] + b[:, None]
+    return m.min(axis=1)
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 1.0
+
+
+def minhash_lsh_pairs(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 128,
+    bands: int = 32,
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> pd.DataFrame:
+    """MinHash+LSH near-duplicate pairs, verified with true shingle Jaccard.
+
+    shingle→minhash per batch → explode to (band_id, band_hash, id) rows →
+    groupby band bucket (the only shuffle; compact keys) → candidate pairs →
+    verify Jaccard on the candidates' shingle sets (broadcast of only the
+    candidate docs' shingles). Returns id_a < id_b with jaccard >= threshold.
+    """
+    rows_per_band = num_perm // bands
+    a, b = _minhash_params(num_perm)
+    a_ref, b_ref = ray.put(a), ray.put(b)
+
+    class Sig:
+        def __init__(self):
+            self.a, self.b = ray.get(a_ref), ray.get(b_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out_band, out_bh, out_id = [], [], []
+            for doc_id, text in zip(df[id_col], df[text_col]):
+                sh = shingle_hashes(text, ngram)
+                sig = minhash_signature(sh, self.a, self.b)
+                for bi in range(bands):
+                    band = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                    out_band.append(bi)
+                    out_bh.append(xxh64(band.tobytes()))
+                    out_id.append(doc_id)
+            return pd.DataFrame(
+                {
+                    "band": np.array(out_band, dtype=np.int32),
+                    "bh": np.array(out_bh, dtype=np.uint64),
+                    id_col: out_id,
+                }
+            )
+
+    band_rows = ds.map_batches(Sig, batch_format="pandas", concurrency=(1, 8))
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(df[id_col].unique())
+        pairs = [(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]]
+        if not pairs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame(pairs, columns=["id_a", "id_b"])
+
+    cand = (
+        band_rows.groupby(["band", "bh"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if cand.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+
+    involved = frozenset(cand.id_a) | frozenset(cand.id_b)
+    sh_map = collect_shingles(ds, text_col, id_col, involved, ngram)
+    jac = np.array([jaccard(sh_map[x], sh_map[y]) for x, y in zip(cand.id_a, cand.id_b)])
+    out = cand.assign(jaccard=np.round(jac, 6))
+    out = out[out.jaccard >= threshold].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return out
+
+
+def collect_shingles(
+    ds: rd.Dataset, text_col: str, id_col: str, ids: frozenset, ngram: int
+) -> dict:
+    """Shingle sets for a (small) candidate id set: broadcast filter, compute
+    in tasks, gather only the hashes."""
+    ref = ray.put(ids)
+
+    class Collect:
+        def __init__(self):
+            self.ids = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            sub = df[df[id_col].isin(self.ids)]
+            return pd.DataFrame(
+                {
+                    id_col: sub[id_col],
+                    "sh": [shingle_hashes(t, ngram) for t in sub[text_col]],
+                }
+            )
+
+    got = ds.map_batches(Collect, batch_format="pandas", concurrency=(1, 8)).to_pandas()
+    return dict(zip(got[id_col], got["sh"]))
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash64(text: str) -> int:
+    """Charikar 64-bit SimHash over word tokens weighted by count."""
+    words = _WORD.findall(text.lower())
+    if not words:
+        return 0
+    uniq, counts = np.unique(words, return_counts=True)
+    hs = np.fromiter((xxh64(w) for w in uniq), dtype=np.uint64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    v = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+    out = np.uint64(0)
+    for j in range(64):
+        if v[j] > 0:
+            out |= np.uint64(1) << np.uint64(j)
+    return int(out)
+
+
+def simhash_pairs(
+    ds: rd.Dataset, text_col: str, id_col: str, *, max_hamming: int = 6
+) -> pd.DataFrame:
+    """SimHash near-dup: 4×16-bit band LSH (any pair within hamming<=6 over
+    64 bits shares at least one exact 16-bit band for hamming<=3-per-band
+    pigeonhole; bands=4 guarantees recall for hamming<=3, probabilistic
+    above) → verify true hamming."""
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df[id_col],
+                "sh": np.array([simhash64(t) for t in df[text_col]], dtype=np.uint64),
+            }
+        )
+
+    sigs = ds.map_batches(sig, batch_format="pandas")
+
+    def bands(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, h in zip(df[id_col], df["sh"]):
+            for bi in range(4):
+                rows.append((bi, int((int(h) >> (16 * bi)) & 0xFFFF), doc_id, int(h)))
+        return pd.DataFrame(rows, columns=["band", "bh", id_col, "sh"])
+
+    band_rows = sigs.map_batches(bands, batch_format="pandas")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        recs = sorted(set(zip(df[id_col], df["sh"])))
+        out = []
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                (ia, ha), (ib, hb) = recs[i], recs[j]
+                d = bin(int(ha) ^ int(hb)).count("1")
+                if d <= max_hamming:
+                    out.append((ia, ib, d))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"]) if out else pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
+             "hamming": pd.Series([], dtype="int64")}
+        )
+
+    out = (
+        band_rows.groupby(["band", "bh"]).map_groups(pairs, batch_format="pandas").to_pandas()
+    )
+    return out.drop_duplicates().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- fingerprints
+
+
+def winnow_fingerprints(text: str, k: int = 5, w: int = 4) -> np.ndarray:
+    """Winnowing document fingerprints: k-gram char rolling hashes, min per
+    window of w (rightmost min), unique."""
+    s = re.sub(r"\s+", " ", text.lower()).strip()
+    if len(s) < k:
+        return np.array([xxh64(s)], dtype=np.uint64) if s else np.array([], dtype=np.uint64)
+    grams = np.fromiter(
+        (xxh64(s[i : i + k]) for i in range(len(s) - k + 1)), dtype=np.uint64
+    )
+    if len(grams) <= w:
+        return np.unique(grams[[int(np.argmin(grams))]])
+    idx = []
+    for i in range(len(grams) - w + 1):
+        win = grams[i : i + w]
+        j = int(len(win) - 1 - np.argmin(win[::-1]))  # rightmost min
+        idx.append(i + j)
+    return np.unique(grams[np.unique(idx)])
+
+
+def fingerprint_table(ds: rd.Dataset, text_col: str, id_col: str, k: int = 5, w: int = 4) -> rd.Dataset:
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        fps = [winnow_fingerprints(t, k, w) for t in df[text_col]]
+        return pd.DataFrame(
+            {
+                id_col: df[id_col],
+                "n_fp": np.array([len(f) for f in fps], dtype=np.int64),
+                "fp_min": np.array(
+                    [int(f.min()) if len(f) else 0 for f in fps], dtype=np.uint64
+                ).astype(np.int64),
+                "fp_max": np.array(
+                    [int(f.max()) if len(f) else 0 for f in fps], dtype=np.uint64
+                ).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -473,3 +473,149 @@ def get_queries() -> dict[str, Callable[[str], Any]]:
 
 def get_oracle_sql() -> dict[str, str]:
     return dict(ORACLE)
+
+
+# ===================================================== dedup / similarity / text
+
+from . import ann, dedup, text  # noqa: E402
+
+
+@query(
+    "dedup_exact",
+    sql="SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dupes "
+    "FROM documents GROUP BY md5(text)",
+)
+def dedup_exact(sf_dir: str):
+    """Exact content dedup: hash-partition + per-group first (training-data
+    op; generalizes /root/reference/src/search/embedder_chroma.py:56-76)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.exact_dedup(ds, "text", "doc_id")
+
+
+@query("dedup_minhash_pairs")  # not SQL-expressible → rows-only check
+def dedup_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs verified with true shingle
+    Jaccard (Broder'97 / MMDS ch.3). Deterministic seeds."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
+
+
+@query("dedup_simhash_pairs")  # not SQL-expressible → rows-only check
+def dedup_simhash_pairs(sf_dir: str):
+    """SimHash (Charikar'02) near-dup pairs via 16-bit band LSH."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.simhash_pairs(ds, "text", "doc_id", max_hamming=6)
+
+
+_COS_SQL = (
+    "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[]))"
+)
+
+
+@query(
+    "dedup_embedding_pairs",
+    sql="SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    f"ROUND({_COS_SQL}, 6) AS cos_sim "
+    "FROM embeddings a, embeddings b "
+    f"WHERE a.vec_id < b.vec_id AND {_COS_SQL} >= 0.35",
+)
+def dedup_embedding_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs: broadcast normalized matrix, one
+    numpy matmul per batch (quadratic flops, linear data movement)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann.cosine_pairs(ds, threshold=0.35)
+
+
+@query(
+    "ann_brute_topk",
+    sql="WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), "
+    "s AS (SELECT q.qid AS query_id, e.vec_id, "
+    "list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS c "
+    "FROM q, embeddings e WHERE e.vec_id <> q.qid) "
+    "SELECT query_id, vec_id, ROUND(c, 6) AS cos_sim FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rn "
+    "FROM s) WHERE rn <= 10",
+)
+def ann_brute_topk(sf_dir: str):
+    """T3 — exact cosine top-k (the ANN baseline): broadcast query matrix,
+    per-batch matmul + local top-k partials, tiny final merge."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+    ).to_pandas()
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in q["embedding"]])
+    return ann.brute_topk(ds, qmat, q["vec_id"].to_numpy(), k=10)
+
+
+@query("ann_ivf_topk")  # approximate (recall < 1) → rows-only check
+def ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed approximate top-k — the 100TB-scale ANN path."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+    ).to_pandas()
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in q["embedding"]])
+    return ann.ivf_topk(ds, qmat, q["vec_id"].to_numpy(), k=10, n_clusters=16, nprobe=4)
+
+
+@query(
+    "text_quality",
+    sql="SELECT doc_id, "
+    "len(regexp_extract_all(text, '\\w+')) AS n_tokens, "
+    "len(regexp_extract_all(lower(text), '[a-z]+')) AS n_alpha, "
+    f"len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), x -> x IN ({_STOP_SQL}))) AS n_stop, "
+    "len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct "
+    "FROM documents",
+)
+def text_quality(sf_dir: str):
+    """Quality scoring features: token / alpha / stopword / punctuation
+    counts, all integer-exact."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.quality_features(ds, "text", "doc_id", frozenset(EN_STOP))
+
+
+@query(
+    "langid_confusion",
+    sql="SELECT lang, pred_lang, COUNT(*) AS n FROM ("
+    "SELECT lang, CASE WHEN "
+    f"len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), x -> x IN ({_STOP_SQL}))) * 1000 "
+    "> len(regexp_extract_all(lower(text), '[a-z]+')) * 80 "
+    "THEN 'en' ELSE 'other' END AS pred_lang FROM documents) "
+    "GROUP BY lang, pred_lang",
+)
+def langid_confusion(sf_dir: str):
+    """Language-ID heuristic (stopword-ratio, integer cross-multiplication)
+    summarised as a (true lang × predicted) confusion table."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pred = text.langid_en(ds, "text", "doc_id", frozenset(EN_STOP))
+    pred_tbl = pa.concat_tables(ray.get(pred.to_arrow_refs())).to_pandas()
+    langs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    joined = relops.broadcast_join(langs, pred_tbl, on="doc_id")
+    return relops.preagg_group_sum(joined, ["lang", "pred_lang"], count_as="n")
+
+
+@query("fingerprint_stats")  # xxh64-based winnowing → rows-only check
+def fingerprint_stats(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer et al. 2003)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.fingerprint_table(ds, "text", "doc_id")
+
+
+@query("crawl_synth_web")  # crawl pipeline → rows-only check (deterministic)
+def crawl_synth_web(sf_dir: str):
+    """The flagship crawl on the deterministic synthetic web (independent of
+    sf_dir): frontier → seen shards → politeness → fetch → decode → commit;
+    returns the image_caption metadata in canonical discovery order."""
+    import tempfile
+
+    from .pipeline import crawl, load_images
+    from .synthweb import WebConfig
+
+    cfg = WebConfig(seed=42, n_hosts=8, pages_per_host=2, links_per_page=5,
+                    images_per_page=2, details_per_host=30)
+    root = tempfile.mkdtemp(prefix="pubcrawl_q_") + "/store"
+    crawl(cfg, root, fetch_concurrency=4, bucket_size=64, seen_shards=4)
+    return load_images(root, canonical_order=True).select_columns(
+        ["image_id", "w", "h", "fmt", "caption", "phash"]
+    )
