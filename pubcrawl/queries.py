@@ -212,7 +212,7 @@ def g5_year_status_share(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderstatus"])
     ds = relops.with_columns(ds, {"o_year": lambda t: pc.year(t["o_orderdate"])})
     counts = relops.preagg_group_sum(ds, ["o_year", "o_orderstatus"], count_as="n")
-    counts_tbl = pa.concat_tables(ray.get(counts.to_arrow_refs()))  # small aggregate
+    counts_tbl = relops.collect_arrow(counts)  # small aggregate
     totals = (
         counts_tbl.group_by("o_year").aggregate([("n", "sum")]).rename_columns(["o_year", "year_total"])
     )
@@ -281,9 +281,7 @@ def j1_segment_revenue(sf_dir: str):
     /root/reference/src/search/search_service.py:180-204 analogue)."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     orders = relops.with_columns(orders, {"total_e2": relops.money_to_units("o_totalprice")})
-    customer = pa.concat_tables(
-        ray.get(_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_arrow_refs())
-    )
+    customer = relops.collect_arrow(_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
     customer = customer.rename_columns(["o_custkey", "c_mktsegment"])
     joined = relops.broadcast_join(orders, customer, on="o_custkey")
     return relops.preagg_group_sum(joined, ["c_mktsegment"], {"total_e2": "total_e2"}, count_as="n")
@@ -304,11 +302,7 @@ def j2_customers_inactive_2001(sf_dir: str):
         lambda t: t.filter(pc.equal(pc.year(t["o_orderdate"]), 2001)),
         batch_format="pyarrow",
     )
-    active = set(
-        pa.concat_tables(ray.get(orders.select_columns(["o_custkey"]).to_arrow_refs()))[
-            "o_custkey"
-        ].to_pylist()
-    )
+    active = set(relops.collect_arrow(orders.select_columns(["o_custkey"]))["o_custkey"].to_pylist())
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     return relops.semi_join_broadcast(cust, active, on="c_custkey", anti=True)
 
@@ -324,11 +318,7 @@ def j5_heavy_orders(sf_dir: str):
     li = li.map_batches(
         lambda t: t.filter(pc.greater(t["l_quantity"], 45.0)), batch_format="pyarrow"
     )
-    keys = set(
-        pa.concat_tables(ray.get(li.select_columns(["l_orderkey"]).to_arrow_refs()))[
-            "l_orderkey"
-        ].to_pylist()
-    )
+    keys = set(relops.collect_arrow(li.select_columns(["l_orderkey"]))["l_orderkey"].to_pylist())
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     return relops.semi_join_broadcast(orders, keys, on="o_orderkey")
 
@@ -589,7 +579,7 @@ def langid_confusion(sf_dir: str):
     summarised as a (true lang × predicted) confusion table."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     pred = text.langid_en(ds, "text", "doc_id", frozenset(EN_STOP))
-    pred_tbl = pa.concat_tables(ray.get(pred.to_arrow_refs())).to_pandas()
+    pred_tbl = relops.collect_arrow(pred).to_pandas()
     langs = _read(sf_dir, "documents", ["doc_id", "lang"])
     joined = relops.broadcast_join(langs, pred_tbl, on="doc_id")
     return relops.preagg_group_sum(joined, ["lang", "pred_lang"], count_as="n")

@@ -277,3 +277,13 @@ def tokenize_column(
             return out
 
     return ds.map_batches(Tok, batch_format="pandas", concurrency=(1, 8))
+
+
+def collect_arrow(ds: rd.Dataset) -> pa.Table:
+    """Gather a SMALL dataset to one Arrow table on the driver (aggregates,
+    dimension tables). Drops the empty-schema blocks Ray Data emits for
+    zero-row partitions."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns > 0]
+    if not tables:
+        raise ValueError("collect_arrow: dataset produced no non-empty blocks")
+    return pa.concat_tables(tables)
