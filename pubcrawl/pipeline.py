@@ -8,7 +8,8 @@ plan per round (depth d):
   links_{d-1} fragments ──read_parquet
     → map_batches(canonicalize+hash)              stateless, vectorized-ish
     → map_batches(robots filter)                  RobotsCache per task
-    → groupby(url_hash).map_groups(min-ord)       within-round first-wins dedup
+    → sort(url_hash, ord) + per-block vectorized  within-round first-wins dedup
+      adjacent-dup drop (boundary-aware)
     → map_batches(SeenFilter)                     1 RPC per (block, seen shard)
     → sort(ord) → per-block seq enumeration       distributed prefix-sum
     → commit frontier_d{d}
@@ -74,10 +75,43 @@ def _add_ord(batch: pa.Table) -> pa.Table:
     return batch.append_column("ord", ordv)
 
 
-def _first_by_ord_safe(group: pa.Table) -> pa.Table:
-    # min-ord row = earliest discovery of this url within the round
-    order = pc.sort_indices(group, sort_keys=[("ord", "ascending")])
-    return group.take(order[:1])
+@ray.remote
+def _block_hash_bounds(tbl: pa.Table):
+    if tbl.num_rows == 0 or "url_hash" not in tbl.column_names:
+        return None
+    col = tbl["url_hash"]
+    return int(col[0].as_py()), int(col[-1].as_py())
+
+
+@ray.remote
+def _dedup_sorted_block(tbl: pa.Table, drop_leading_hash) -> pa.Table:
+    """Block of a (url_hash, ord)-sorted stream → keep first row per hash.
+    Vectorized: a row survives iff its hash differs from the previous row's
+    (and, for the block head, from the previous BLOCK's trailing hash)."""
+    if tbl.num_rows == 0:
+        return tbl
+    h = tbl["url_hash"].to_numpy(zero_copy_only=False)
+    keep = np.empty(len(h), dtype=bool)
+    keep[0] = drop_leading_hash is None or int(h[0]) != drop_leading_hash
+    keep[1:] = h[1:] != h[:-1]
+    return tbl.filter(pa.array(keep))
+
+
+def _dedup_first_by_ord(ds: rd.Dataset) -> list:
+    """Within-round first-wins dedup: global sort by (url_hash, ord), then a
+    vectorized per-block pass with one boundary fix between adjacent blocks.
+    Replaces a per-URL map_groups (1000× fewer Python calls). Returns block
+    refs of the deduped stream."""
+    refs = ds.sort(["url_hash", "ord"]).to_arrow_refs()
+    bounds = ray.get([_block_hash_bounds.remote(r) for r in refs])
+    out = []
+    prev_last = None
+    for r, b in zip(refs, bounds):
+        if b is None:
+            continue
+        out.append(_dedup_sorted_block.remote(r, prev_last))
+        prev_last = b[1]
+    return out
 
 
 class _SeenFilterFn:
@@ -272,9 +306,13 @@ class CrawlPipeline:
         ds = raw.map_batches(canonicalize_batch, batch_format="pyarrow")
         ds = ds.map_batches(_robots_filter, batch_format="pyarrow")
         ds = ds.map_batches(_add_ord, batch_format="pyarrow")
-        ds = ds.groupby("url_hash").map_groups(_first_by_ord_safe, batch_format="pyarrow")
-        ds = ds.map_batches(_SeenFilterFn(self.seen.shards), batch_format="pyarrow")
-        tbl = _assign_seq_sorted(ds, seq_base)
+        deduped_refs = _dedup_first_by_ord(ds)
+        if deduped_refs:
+            ds = rd.from_arrow_refs(deduped_refs)
+            ds = ds.map_batches(_SeenFilterFn(self.seen.shards), batch_format="pyarrow")
+            tbl = _assign_seq_sorted(ds, seq_base)
+        else:
+            tbl = pa.table({n: [] for n in FRONTIER.names}, schema=FRONTIER)
         if tbl.num_rows:
             tbl = tbl.select(
                 ["url", "host", "url_hash", "host_hash", "depth", "priority", "seq"]
@@ -315,7 +353,10 @@ class CrawlPipeline:
                 batch_format="pyarrow",
                 batch_size=self.fetch_batch_size,
                 concurrency=(1, pool),
-                num_cpus=1,
+                # 0.5 CPU per fetch actor: fetch (transport + page gen) and the
+                # downstream parse/decode + commit tasks share the node instead
+                # of fetch reserving every slot and serializing the round
+                num_cpus=0.5,
             )
             ds = ds.map_batches(
                 parse_decode, batch_format="pyarrow", batch_size=self.fetch_batch_size

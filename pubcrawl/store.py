@@ -79,7 +79,11 @@ class ParquetFragmentStore:
             return self.committed()[partition_id]
         final = self.fragment_path(partition_id)
         tmp = final + ".tmp"
-        pq.write_table(table, tmp, compression="zstd")
+        # zstd for metadata tables; already-compressed binary payloads (PNG/JPEG
+        # bytes) gain nothing from re-compression — snappy keeps commits cheap
+        comp = "snappy" if any(pa.types.is_large_binary(t) or pa.types.is_binary(t)
+                               for t in table.schema.types) else "zstd"
+        pq.write_table(table, tmp, compression=comp)
         with open(tmp, "rb") as f:
             os.fsync(f.fileno())
         os.replace(tmp, final)
