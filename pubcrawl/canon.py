@@ -58,18 +58,39 @@ def url_hash(url: str) -> int:
     return xxh64(canonical_url(url))
 
 
+# already-canonical fast path: lowercase scheme://host/path with no port,
+# query, fragment, uppercase, duplicate slash, or dot-segment
+_SIMPLE = re.compile(r"^([a-z0-9+.-]+)://([a-z0-9-]+(?:\.[a-z0-9-]+)*)(/(?:[^/?#\s]+/)*[^/?#\s]*)$")
+
+
+def _canon_host(u: str) -> tuple[str, str]:
+    m = _SIMPLE.match(u)
+    if m:  # lowercase scheme+host and clean path guaranteed by the pattern
+        return u, m.group(2)
+    c = canonical_url(u)
+    return c, host_of(c)
+
+
 def canonicalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
     """map_batches UDF: canonicalize url column, add host / url_hash / host_hash.
 
     Python-level loop over the batch's strings (URL parsing is not
-    expressible in pyarrow.compute); one pass per block, amortized by
-    Ray Data's block size.
+    expressible in pyarrow.compute); already-canonical URLs take a single
+    regex-match fast path, and host hashes are memoized per batch (hosts
+    repeat heavily in any crawl frontier).
     """
     urls = batch[url_col].to_pylist()
-    canon = [canonical_url(u) for u in urls]
-    hosts = [host_of(u) for u in canon]
+    pairs = [_canon_host(u) for u in urls]
+    canon = [p[0] for p in pairs]
+    hosts = [p[1] for p in pairs]
     uh = xxh64_many(canon)
-    hh = (xxh64_many(hosts) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    host_cache: dict[str, int] = {}
+    hh = np.empty(len(hosts), dtype=np.uint32)
+    for i, hname in enumerate(hosts):
+        v = host_cache.get(hname)
+        if v is None:
+            v = host_cache[hname] = xxh64(hname) & 0xFFFFFFFF
+        hh[i] = v
     cols = {name: batch[name] for name in batch.column_names}
     cols[url_col] = pa.array(canon, type=pa.string())
     cols["host"] = pa.array(hosts, type=pa.string())

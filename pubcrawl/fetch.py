@@ -167,3 +167,24 @@ _PARSE_DECODE = ParseDecode()
 def parse_decode(batch: pa.Table) -> pa.Table:
     """Stateless task form of ParseDecode for map_batches."""
     return _PARSE_DECODE(batch)
+
+
+@ray.remote
+class FetchWorker:
+    """Persistent fetch+parse+decode worker — created ONCE per crawl, reused
+    across BFS rounds (a per-round map_batches actor pool would pay actor
+    startup × rounds; a crawl session, like the reference's requests.Session
+    at /root/reference/src/utils/network_utils.py:16-37, is long-lived).
+
+    This is the documented drop-to-raw-actors case: state (transport session,
+    politeness grants) must outlive any single Dataset execution. Output
+    blocks are returned as object refs and flow into the commit shuffle via
+    ray.data.from_arrow_refs without touching the driver.
+    """
+
+    def __init__(self, cfg: WebConfig, politeness_shards=None, max_retries: int = 5):
+        self._fetch = Fetcher(cfg, politeness_shards, max_retries)
+        self._parse = ParseDecode()
+
+    def process(self, block: pa.Table) -> pa.Table:
+        return self._parse(self._fetch(block))

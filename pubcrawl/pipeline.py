@@ -40,7 +40,7 @@ import ray
 import ray.data as rd
 
 from .canon import canonicalize_batch
-from .fetch import Fetcher, parse_decode
+from .fetch import FetchWorker, parse_decode
 from .politeness import Politeness, RobotsCache
 from .schemas import FRONTIER, IMAGE_CAPTION, PAGES
 from .seen import SeenSet
@@ -75,96 +75,86 @@ def _add_ord(batch: pa.Table) -> pa.Table:
     return batch.append_column("ord", ordv)
 
 
-@ray.remote
-def _block_hash_bounds(tbl: pa.Table):
-    if tbl.num_rows == 0 or "url_hash" not in tbl.column_names:
-        return None
-    col = tbl["url_hash"]
-    return int(col[0].as_py()), int(col[-1].as_py())
+def _split_keys_task(n_shards: int):
+    @ray.remote(num_returns=n_shards)
+    def _split_keys(tbl: pa.Table):
+        """Project the dedup/rank keys off a block and split them per seen
+        shard: returns n_shards objects of (url_hash, ord, row_sel) — 24+4
+        bytes/row, full rows never leave the block."""
+        uh = tbl["url_hash"].to_numpy(zero_copy_only=False)
+        ords = tbl["ord"].to_numpy(zero_copy_only=False)
+        hh = tbl["host_hash"].to_numpy(zero_copy_only=False)
+        sid = hh.astype(np.uint64) % np.uint64(n_shards)
+        outs = []
+        for s in range(n_shards):
+            sel = np.flatnonzero(sid == s).astype(np.int32)
+            outs.append((uh[sel], ords[sel], sel))
+        return tuple(outs) if n_shards > 1 else outs[0]
+
+    return _split_keys
 
 
 @ray.remote
-def _dedup_sorted_block(tbl: pa.Table, drop_leading_hash) -> pa.Table:
-    """Block of a (url_hash, ord)-sorted stream → keep first row per hash.
-    Vectorized: a row survives iff its hash differs from the previous row's
-    (and, for the block head, from the previous BLOCK's trailing hash)."""
-    if tbl.num_rows == 0:
-        return tbl
-    h = tbl["url_hash"].to_numpy(zero_copy_only=False)
-    keep = np.empty(len(h), dtype=bool)
-    keep[0] = drop_leading_hash is None or int(h[0]) != drop_leading_hash
-    keep[1:] = h[1:] != h[:-1]
-    return tbl.filter(pa.array(keep))
+def _apply_keep_seq(tbl: pa.Table, masks: list, piece_refs: list, sorted_ords, seq_base: int) -> pa.Table:
+    """Reassemble this block's keep mask from its per-shard (mask, row_sel)
+    pieces, filter to survivors, and assign seq = discovery rank via binary
+    search in the broadcast sorted survivor-ord array (ords are globally
+    unique: ord = parent_seq·2^20 + link_idx)."""
+    pieces = ray.get(piece_refs)
+    keep = np.zeros(tbl.num_rows, dtype=bool)
+    for mask, (_, _, sel) in zip(masks, pieces):
+        if len(sel):
+            keep[sel[mask]] = True
+    out = tbl.filter(pa.array(keep))
+    blk_ords = out["ord"].to_numpy(zero_copy_only=False)
+    seq = seq_base + np.searchsorted(sorted_ords, blk_ords)
+    return out.append_column("seq", pa.array(seq.astype(np.int64), type=pa.int64()))
 
 
-def _dedup_first_by_ord(ds: rd.Dataset) -> list:
-    """Within-round first-wins dedup: global sort by (url_hash, ord), then a
-    vectorized per-block pass with one boundary fix between adjacent blocks.
-    Replaces a per-URL map_groups (1000× fewer Python calls). Returns block
-    refs of the deduped stream."""
-    refs = ds.sort(["url_hash", "ord"]).to_arrow_refs()
-    bounds = ray.get([_block_hash_bounds.remote(r) for r in refs])
+def _dedup_rank_assign(refs: list, seen: SeenSet, seq_base: int) -> list:
+    """Key-column reduce for one expansion round — full rows never leave
+    their block and key bytes never touch the driver:
+
+      1. per-block split tasks project (url_hash, ord, row_sel) per seen
+         shard (parallel; multi-return → one object per (block, shard));
+      2. ONE RPC per shard with its list of piece refs: the shard does fused
+         within-round first-wins dedup + cross-round seen registration,
+         vectorized (all occurrences of a url land on one shard, since
+         url → host → host_hash → shard) — reduce work parallelizes across
+         shards; returns per-piece keep masks + its sorted survivor ords;
+      3. driver: merge-sort the shards' sorted ord arrays (the one serial
+         step, numpy C) → broadcast once via ray.put;
+      4. per-block apply tasks reassemble masks, filter, and rank via
+         searchsorted (parallel).
+
+    On a multi-node cluster the same plan holds: key pieces flow to shard
+    actors, full rows stay node-local until the fetch stage consumes them.
+    """
+    n_sh = seen.num_shards
+    split = _split_keys_task(n_sh)
+    piece_refs = [split.remote(r) for r in refs]  # [block][shard]
+    if n_sh == 1:
+        piece_refs = [[p] for p in piece_refs]
+    shard_futs = [
+        seen.shards[s].dedup_many.remote([piece_refs[b][s] for b in range(len(refs))])
+        for s in range(n_sh)
+    ]
+    shard_results = ray.get(shard_futs)  # per shard: (masks per block, sorted surv ords)
+    surv = [r[1] for r in shard_results if len(r[1])]
+    if not surv:
+        return []
+    sorted_ords = np.sort(np.concatenate(surv))
+    sorted_ref = ray.put(sorted_ords)
     out = []
-    prev_last = None
-    for r, b in zip(refs, bounds):
-        if b is None:
-            continue
-        out.append(_dedup_sorted_block.remote(r, prev_last))
-        prev_last = b[1]
+    for b, r in enumerate(refs):
+        masks = [shard_results[s][0][b] for s in range(n_sh)]
+        if any(m.any() for m in masks):
+            out.append(
+                _apply_keep_seq.remote(
+                    r, masks, [piece_refs[b][s] for s in range(n_sh)], sorted_ref, seq_base
+                )
+            )
     return out
-
-
-class _SeenFilterFn:
-    """Stateless task UDF holding seen-shard actor handles; one RPC per
-    (block, shard)."""
-
-    def __init__(self, shards):
-        self.shards = shards
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        uh = batch["url_hash"].to_numpy(zero_copy_only=False)
-        hh = batch["host_hash"].to_numpy(zero_copy_only=False)
-        n_sh = len(self.shards)
-        shard_ids = hh.astype(np.uint64) % np.uint64(n_sh)
-        mask = np.zeros(len(uh), dtype=bool)
-        futs, idxs = [], []
-        for s in np.unique(shard_ids):
-            sel = np.flatnonzero(shard_ids == s)
-            futs.append(self.shards[int(s)].check_and_add.remote(uh[sel]))
-            idxs.append(sel)
-        for sel, res in zip(idxs, ray.get(futs)):
-            mask[sel] = res
-        return batch.filter(pa.array(mask))
-
-
-@ray.remote
-def _count_rows(tbl: pa.Table) -> int:
-    return tbl.num_rows
-
-
-@ray.remote
-def _slice_with_seq(tbl: pa.Table, offset: int) -> pa.Table:
-    seq = pa.array(offset + np.arange(tbl.num_rows, dtype=np.int64), type=pa.int64())
-    return tbl.append_column("seq", seq)
-
-
-def _assign_seq_sorted(ds: rd.Dataset, base: int) -> pa.Table:
-    """Distributed enumeration: per-block counts → prefix sums → seq column.
-    Result is gathered to the driver here because frontier rows are
-    metadata-only (url + hashes); at 10^10 scale the gather becomes a
-    per-block fragment commit with the same offsets."""
-    refs = ds.sort("ord").to_arrow_refs()
-    counts = ray.get([_count_rows.remote(r) for r in refs])
-    offsets = base + np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
-    parts = ray.get(
-        [_slice_with_seq.remote(r, int(o)) for r, o in zip(refs, offsets) if True]
-    )
-    parts = [p for p in parts if p.num_rows]
-    if not parts:
-        return pa.table({n: [] for n in FRONTIER.names}, schema=FRONTIER)
-    return pa.concat_tables(parts)
 
 
 def commit_bucket(group: pa.Table, store_root: str, depth: int) -> pa.Table:
@@ -243,6 +233,39 @@ def commit_bucket(group: pa.Table, store_root: str, depth: int) -> pa.Table:
     )
 
 
+def expand_frontier(raw: rd.Dataset, seen: SeenSet, seq_base: int) -> pa.Table:
+    """One round of frontier expansion (the distributed expand path, shared by
+    the crawl loop and bench --scaling): canonicalize+hash → robots filter →
+    within-round first-wins dedup (sorted adjacent-drop) → cross-round seen
+    filter (sharded actors) → discovery-order seq assignment."""
+    # batch_size=None → one batch per block: keeps the block structure intact
+    # (the 1024-row default would fragment a 2M-row round into ~2000 blocks,
+    # slowing the sorts and multiplying seen-shard RPCs)
+    ds = raw.map_batches(canonicalize_batch, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(_robots_filter, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(_add_ord, batch_format="pyarrow", batch_size=None)
+    refs = ds.to_arrow_refs()
+    out_refs = _dedup_rank_assign(refs, seen, seq_base)
+    parts = [p for p in ray.get(out_refs) if p.num_rows] if out_refs else []
+    if not parts:
+        return pa.table({n: [] for n in FRONTIER.names}, schema=FRONTIER)
+    tbl = pa.concat_tables(parts)
+    return tbl.select(
+        ["url", "host", "url_hash", "host_hash", "depth", "priority", "seq"]
+    ).cast(FRONTIER)
+
+
+@ray.remote
+def commit_bucket_refs(store_root: str, depth: int, *blocks: pa.Table) -> dict:
+    """Direct per-bucket commit task: because buckets are CONTIGUOUS SEQ
+    RANGES and fetch slices are seq-contiguous too, every block of a bucket is
+    known up front — the groupby(bucket) exchange degenerates to handing each
+    bucket its own refs (range partitioning makes the shuffle a no-op). On a
+    multi-node cluster these tasks run wherever the blocks already live."""
+    group = pa.concat_tables([b for b in blocks if b.num_rows > 0])
+    return commit_bucket(group, store_root, depth).to_pylist()[0]
+
+
 @dataclass
 class CrawlReport:
     seen: int = 0
@@ -278,6 +301,14 @@ class CrawlPipeline:
         self.seen = SeenSet(seen_shards)
         self.politeness = Politeness(politeness_shards, per_host_rate, burst)
         self.fetch_concurrency = fetch_concurrency
+        # persistent fetch+parse+decode workers, reused across BFS rounds;
+        # num_cpus=0.75 leaves scheduling room for the commit shuffle tasks
+        self.fetch_workers = [
+            FetchWorker.options(num_cpus=0.75).remote(
+                cfg, self.politeness.shards, max_retries
+            )
+            for _ in range(fetch_concurrency)
+        ]
         self.fetch_batch_size = fetch_batch_size
         self.bucket_size = bucket_size
         self.max_retries = max_retries
@@ -303,22 +334,7 @@ class CrawlPipeline:
             import pyarrow.parquet as pq
 
             return pq.read_table(self.store.fragment_path(pid))
-        ds = raw.map_batches(canonicalize_batch, batch_format="pyarrow")
-        ds = ds.map_batches(_robots_filter, batch_format="pyarrow")
-        ds = ds.map_batches(_add_ord, batch_format="pyarrow")
-        deduped_refs = _dedup_first_by_ord(ds)
-        if deduped_refs:
-            ds = rd.from_arrow_refs(deduped_refs)
-            ds = ds.map_batches(_SeenFilterFn(self.seen.shards), batch_format="pyarrow")
-            tbl = _assign_seq_sorted(ds, seq_base)
-        else:
-            tbl = pa.table({n: [] for n in FRONTIER.names}, schema=FRONTIER)
-        if tbl.num_rows:
-            tbl = tbl.select(
-                ["url", "host", "url_hash", "host_hash", "depth", "priority", "seq"]
-            ).cast(FRONTIER)
-        else:
-            tbl = pa.table({n: [] for n in FRONTIER.names}, schema=FRONTIER)
+        tbl = expand_frontier(raw, self.seen, seq_base)
         self.store.commit(tbl, pid, lineage=f"depth={depth};base={seq_base}")
         return tbl
 
@@ -337,39 +353,30 @@ class CrawlPipeline:
         ]
         todo = frontier.filter(pa.array(todo_mask))
         if todo.num_rows:
-            # split the (metadata-only) frontier into enough blocks that the
-            # fetch actor pool is actually saturated — from_arrow alone yields
-            # ONE block and would serialize the round
-            n_blocks = max(1, -(-todo.num_rows // self.fetch_batch_size))
-            ds = rd.from_arrow(todo).repartition(n_blocks)
-            pool = min(self.fetch_concurrency, n_blocks)
-            ds = ds.map_batches(
-                Fetcher,
-                fn_constructor_kwargs={
-                    "cfg": self.cfg,
-                    "politeness_shards": self.politeness.shards,
-                    "max_retries": self.max_retries,
-                },
-                batch_format="pyarrow",
-                batch_size=self.fetch_batch_size,
-                concurrency=(1, pool),
-                # 0.5 CPU per fetch actor: fetch (transport + page gen) and the
-                # downstream parse/decode + commit tasks share the node instead
-                # of fetch reserving every slot and serializing the round
-                num_cpus=0.5,
-            )
-            ds = ds.map_batches(
-                parse_decode, batch_format="pyarrow", batch_size=self.fetch_batch_size
-            )
-            stats = (
-                ds.groupby("bucket")
-                .map_groups(
-                    commit_bucket,
-                    fn_args=(self.store_root, depth),
-                    batch_format="pyarrow",
-                )
-                .to_pandas()
-            )
+            # fan the (metadata-only) frontier out over the PERSISTENT fetch
+            # worker pool (created once per crawl — per-round map_batches actor
+            # pools would pay actor startup × rounds). Each worker does
+            # fetch + parse + decode in one hop and returns a block ref; refs
+            # flow straight into per-bucket commit tasks (range partitioning:
+            # bucket = seq // bucket_size and slices are seq-contiguous, so
+            # the bucket exchange is a no-op — no groupby shuffle needed).
+            bs = self.fetch_batch_size
+            buckets = todo["bucket"].to_numpy(zero_copy_only=False)
+            per_bucket: dict[int, list] = {}
+            i = 0
+            for b in np.unique(buckets):
+                sel = np.flatnonzero(buckets == b)
+                lo, hi = int(sel[0]), int(sel[-1]) + 1
+                for s_lo in range(lo, hi, bs):
+                    block = todo.slice(s_lo, min(bs, hi - s_lo))
+                    ref = self.fetch_workers[i % len(self.fetch_workers)].process.remote(block)
+                    per_bucket.setdefault(int(b), []).append(ref)
+                    i += 1
+            commits = [
+                commit_bucket_refs.remote(self.store_root, depth, *refs)
+                for b, refs in per_bucket.items()
+            ]
+            ray.get(commits)
         self.store.commit(
             pa.table({"depth": pa.array([depth], pa.int32())}), marker, lineage=f"depth={depth}"
         )
