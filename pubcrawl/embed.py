@@ -1,0 +1,148 @@
+"""Embedding pipeline — the reference's index-and-embed flow re-expressed as
+Ray Data (reference: /root/reference/src/search/embedder_chroma.py:48-125 —
+incremental anti-join of new ids, multi-process SentenceTransformer encode in
+batches of 64, idempotent upsert in batches of 1024).
+
+Ray-Data-first shape:
+  corpus Dataset → anti-join vs. already-embedded id set (broadcast — J2) →
+  map_batches(EmbedderActor, concurrency=N, batch_size=64) → commit vector
+  fragments (idempotent by partition).
+
+Model loading: a real ``sentence_transformers`` model is used when the
+package is importable (same ``all-MiniLM-L6-v2``, 384-d). This sandbox has no
+model weights, so the default is ``HashEmbedder`` — a DETERMINISTIC STAND-IN
+that derives a unit vector from xxh64 seeds of the text's tokens. The
+Ray-side plumbing (actor pool, batch size, anti-join resume, fragment
+commits) is identical for the real model.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .hashing import xxh64
+from .store import ParquetFragmentStore
+
+try:
+    from sentence_transformers import SentenceTransformer  # type: ignore
+
+    HAVE_ST = True
+except ImportError:
+    HAVE_ST = False
+
+EMBED_DIM = 384  # matches the reference's all-MiniLM-L6-v2
+
+
+class HashEmbedder:
+    """Deterministic stand-in encoder: mean of per-token seeded gaussian
+    vectors, L2-normalized. NOT semantically meaningful — it exists so the
+    distributed pipeline (batching, actors, resume, storage) is fully real
+    and testable without model weights."""
+
+    def __init__(self, dim: int = EMBED_DIM):
+        self.dim = dim
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            toks = t.lower().split() or [""]
+            acc = np.zeros(self.dim, dtype=np.float64)
+            for w in toks:
+                rng = np.random.default_rng(np.uint64(xxh64(w)))
+                acc += rng.standard_normal(self.dim)
+            acc /= len(toks)
+            n = np.linalg.norm(acc)
+            out[i] = (acc / n if n else acc).astype(np.float32)
+        return out
+
+
+class EmbedderStage:
+    """Actor-pool stage: model loaded ONCE per actor in __init__
+    (A1 of SURVEY.md §2.4), batches encoded in __call__."""
+
+    def __init__(self, model_name: str = "all-MiniLM-L6-v2", dim: int = EMBED_DIM):
+        if HAVE_ST:
+            self.model = SentenceTransformer(model_name)
+            self._encode = lambda texts: self.model.encode(texts, batch_size=64)
+        else:
+            self.model = HashEmbedder(dim)
+            self._encode = self.model.encode
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        vecs = self._encode(list(df["text"]))
+        return pd.DataFrame({"id": df["id"], "embedding": list(np.asarray(vecs))})
+
+
+def embed_corpus(
+    ds: rd.Dataset,
+    store_root: str,
+    id_col: str,
+    text_col: str,
+    *,
+    concurrency: int = 4,
+    batch_size: int = 64,
+    partition_rows: int = 4096,
+) -> dict:
+    """Incremental embed: skip ids already committed (the reference's resume
+    anti-join, embedder_chroma.py:56-83), encode the rest on an actor pool,
+    commit vector fragments. Returns {embedded, skipped}."""
+    store = ParquetFragmentStore(store_root)
+    done_ids: set = set()
+    for pid in store.committed():
+        if pid.startswith("vectors_"):
+            import pyarrow.parquet as pq
+
+            done_ids.update(
+                pq.read_table(store.fragment_path(pid), columns=["id"])["id"].to_pylist()
+            )
+
+    sub = ds.select_columns([id_col, text_col]).map_batches(
+        lambda t: t.rename_columns(["id", "text"]), batch_format="pyarrow"
+    )
+    if done_ids:
+        ref = ray.put(frozenset(done_ids))
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            done = ray.get(ref)
+            mask = pa.array([v not in done for v in batch["id"].to_pylist()])
+            return batch.filter(mask)
+
+        sub = sub.map_batches(drop_done, batch_format="pyarrow")
+
+    embedded = sub.map_batches(
+        EmbedderStage,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )
+
+    total = 0
+    part = len([p for p in store.committed() if p.startswith("vectors_")])
+    buf: list[pa.Table] = []
+    buf_rows = 0
+    for batch in embedded.iter_batches(batch_size=partition_rows, batch_format="pyarrow"):
+        buf.append(batch)
+        buf_rows += batch.num_rows
+        if buf_rows >= partition_rows:
+            store.commit(pa.concat_tables(buf), f"vectors_{part:05d}", lineage="embed")
+            total += buf_rows
+            part += 1
+            buf, buf_rows = [], 0
+    if buf_rows:
+        store.commit(pa.concat_tables(buf), f"vectors_{part:05d}", lineage="embed")
+        total += buf_rows
+    return {"embedded": total, "skipped": len(done_ids)}
+
+
+def load_vectors(store_root: str) -> rd.Dataset:
+    store = ParquetFragmentStore(store_root)
+    paths = [
+        store.fragment_path(pid)
+        for pid in sorted(store.committed())
+        if pid.startswith("vectors_")
+    ]
+    return rd.read_parquet(paths)

@@ -233,11 +233,16 @@ def commit_bucket(group: pa.Table, store_root: str, depth: int) -> pa.Table:
     )
 
 
-def expand_frontier(raw: rd.Dataset, seen: SeenSet, seq_base: int) -> pa.Table:
+def expand_frontier(raw: rd.Dataset, seen: SeenSet, seq_base: int, gather: bool = True):
     """One round of frontier expansion (the distributed expand path, shared by
     the crawl loop and bench --scaling): canonicalize+hash → robots filter →
-    within-round first-wins dedup (sorted adjacent-drop) → cross-round seen
-    filter (sharded actors) → discovery-order seq assignment."""
+    within-round first-wins dedup + seen registration (sharded actors) →
+    discovery-order seq assignment.
+
+    gather=True returns one driver-side Arrow table (the crawl loop's round
+    orchestration needs the frontier rows); gather=False returns the list of
+    block refs instead — the 10^10-scale path, where frontier fragments are
+    committed per block and the driver never holds the rows."""
     # batch_size=None → one batch per block: keeps the block structure intact
     # (the 1024-row default would fragment a 2M-row round into ~2000 blocks,
     # slowing the sorts and multiplying seen-shard RPCs)
@@ -246,6 +251,10 @@ def expand_frontier(raw: rd.Dataset, seen: SeenSet, seq_base: int) -> pa.Table:
     ds = ds.map_batches(_add_ord, batch_format="pyarrow", batch_size=None)
     refs = ds.to_arrow_refs()
     out_refs = _dedup_rank_assign(refs, seen, seq_base)
+    if not gather:
+        if out_refs:
+            ray.wait(out_refs, num_returns=len(out_refs))  # blocks fully built
+        return out_refs
     parts = [p for p in ray.get(out_refs) if p.num_rows] if out_refs else []
     if not parts:
         return pa.table({n: [] for n in FRONTIER.names}, schema=FRONTIER)

@@ -39,7 +39,14 @@ class _TokenBucketShardImpl:
         self.credits: dict[str, int] = {}
 
     def reserve(self, hosts: list[str], now: float) -> np.ndarray:
-        """→ per-request absolute start times (same clock as ``now``)."""
+        """→ per-request absolute start times (same clock as ``now``).
+
+        Clock note: callers pass their own time.monotonic(), which on Linux is
+        machine-wide (boot-relative) — consistent for every worker process on
+        one node. On a multi-node cluster the shard must substitute its OWN
+        clock for ``now`` and return relative delays instead of absolute
+        times; single-node mode keeps caller timestamps so grants from one
+        batch interleave exactly."""
         out = np.empty(len(hosts), dtype=np.float64)
         for i, h in enumerate(hosts):
             nf = self.next_free.get(h, now)

@@ -609,3 +609,98 @@ def crawl_synth_web(sf_dir: str):
     return load_images(root, canonical_order=True).select_columns(
         ["image_id", "w", "h", "fmt", "caption", "phash"]
     )
+
+
+# ================================================= search / embed / multimodal
+
+
+@query(
+    "g8_vector_mean",
+    sql="SELECT vec_id, ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'avg'), 5) AS vmean "
+    "FROM embeddings",
+)
+def g8_vector_mean(sf_dir: str):
+    """G8 — per-row array reduction (the reference's per-paper rating mean,
+    /root/reference/src/scrapers/iclr_scraper.py:105) vectorized over the
+    embedding column."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        embs = batch["embedding"].to_pylist()
+        means = np.array([np.mean(np.asarray(e, dtype=np.float64)) for e in embs])
+        return pa.table(
+            {"vec_id": batch["vec_id"], "vmean": pa.array(np.round(means, 5))}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@query("bm25_keyword_search")  # BM25 scoring → rows-only check (deterministic)
+def bm25_keyword_search(sf_dir: str):
+    """T2/K6 — BM25-ranked conjunctive search with the M14 grammar
+    (field:value filters + phrases) over documents."""
+    from . import search as searchmod
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return searchmod.keyword_search(ds, 'lang:en "window" batch', id_col="doc_id", k=20)
+
+
+@query("embed_semantic_search")  # stub-embedder pipeline → rows-only check
+def embed_semantic_search(sf_dir: str):
+    """A1+K7+J1 — the reference's embed-then-search flow
+    (/root/reference/src/search/embedder_chroma.py + search_service.py:173-208):
+    actor-pool encode (deterministic stand-in model), vector fragments,
+    ANN top-k, metadata join with rank preserved."""
+    import tempfile
+
+    from . import embed as embedmod
+    from . import search as searchmod
+
+    root = tempfile.mkdtemp(prefix="pubcrawl_emb_") + "/vec"
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source", "lang"])
+    embedmod.embed_corpus(docs, root, "doc_id", "text", concurrency=4)
+    vecs = embedmod.load_vectors(root).map_batches(
+        lambda t: t.rename_columns(["vec_id", "embedding"]), batch_format="pyarrow"
+    )
+    q = embedmod.HashEmbedder().encode(["table scan query filter"])[0]
+    out = searchmod.semantic_search(
+        docs, vecs, q, id_col="doc_id", k=10, meta_cols=["source", "lang"]
+    )
+    return out.drop(columns=["similarity"]).assign(
+        similarity_e4=(out["similarity"] * 10000).round().astype("int64")
+    )
+
+
+@query("multimodal_features")  # crawl store + image ops → rows-only check
+def multimodal_features(sf_dir: str):
+    """Multimodal actor-pool stages over the image_caption table: decode +
+    verify + color-histogram features on a freshly-crawled synthetic store."""
+    import tempfile
+
+    from . import multimodal as mm
+    from .pipeline import crawl, load_images
+    from .synthweb import WebConfig
+
+    cfg = WebConfig(seed=13, n_hosts=4, pages_per_host=2, links_per_page=4,
+                    images_per_page=2, details_per_host=16)
+    root = tempfile.mkdtemp(prefix="pubcrawl_mm_") + "/store"
+    crawl(cfg, root, fetch_concurrency=2, bucket_size=64, seen_shards=2)
+    imgs = load_images(root, canonical_order=True)
+    feats = mm.image_pipeline(imgs, mm.ImageFeatures, concurrency=2)
+    out = feats.to_pandas()
+    out["f0_e4"] = (out.features.map(lambda v: float(v[0])) * 10000).round().astype("int64")
+    return out[["image_id", "w", "h", "fmt", "phash", "f0_e4"]]
+
+
+@query("analysis_topic_report")  # composed analysis flow → rows-only check
+def analysis_topic_report(sf_dir: str):
+    """The reference's per-task analysis flow (trends.py:167-190): classify →
+    explode → per-topic stats with category pivot, over documents with lang
+    as the category axis."""
+    from . import analysis as an
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    classified = an.classify_topics(docs, ["text"], TAXONOMY)
+    stats = an.topic_stats(classified, "topics", metric_col="n_chars", category_col="lang")
+    stats["avg_metric"] = stats["avg_metric"].astype(float)
+    return stats

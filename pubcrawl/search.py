@@ -1,0 +1,189 @@
+"""Search layer: keyword query grammar + BM25 ranking + semantic search.
+
+Reference semantics being matched:
+- M14 query compiler (/root/reference/src/search/search_service.py:125-151):
+  ``field:value`` terms, double-quoted phrases, bare words — all AND-ed.
+- T2 relevance order (search_service.py:156-159): FTS5 BM25. Here BM25 is
+  computed directly over the corpus: one aggregation pass for document
+  frequencies (broadcast — the "index"), one vectorized scoring pass.
+- J1 semantic join (search_service.py:173-208): ANN top-k ids → metadata
+  join, rank preserved via the carried ``rank`` column.
+
+A persisted inverted index (K6) is expressible as
+``tokenize → explode → groupby(term)`` postings fragments; for corpus-scale
+ad-hoc search the two-pass broadcast design below moves less data (df table
+only) than shipping postings, so it is the default engine path.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from . import ann, relops
+
+_TOKEN = re.compile(r"[a-z0-9]+")
+_QUERY_PART = re.compile(r'(\w+):"([^"]+)"|(\w+):(\S+)|"([^"]+)"|(\S+)')
+
+
+@dataclass
+class ParsedQuery:
+    terms: list[str] = field(default_factory=list)  # bare words (AND)
+    phrases: list[str] = field(default_factory=list)  # quoted phrases (AND)
+    fields: list[tuple[str, str]] = field(default_factory=list)  # field:value
+
+
+def parse_query(q: str) -> ParsedQuery:
+    """M14 grammar: field:value / field:"quoted" / "phrase" / word."""
+    out = ParsedQuery()
+    for m in _QUERY_PART.finditer(q.strip()):
+        f1, v1, f2, v2, phrase, word = m.groups()
+        if f1:
+            out.fields.append((f1, v1))
+        elif f2:
+            out.fields.append((f2, v2))
+        elif phrase:
+            out.phrases.append(phrase.lower())
+        elif word:
+            out.terms.append(word.lower())
+    return out
+
+
+def keyword_search(
+    ds: rd.Dataset,
+    query: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> pd.DataFrame:
+    """BM25-ranked conjunctive keyword search.
+
+    Pass 1 (small aggregate): per-term document frequency + corpus size +
+    average doc length — broadcast to pass 2. Pass 2: vectorized per-batch
+    filter (all terms/phrases/fields must match) + BM25 score; local top-k
+    partials; tiny final merge. Returns (id, score rounded 6, rank).
+    """
+    pq = parse_query(query)
+    terms = list(dict.fromkeys(pq.terms + [w for p in pq.phrases for w in p.split()]))
+
+    # pass 1: df per query term, N, avgdl (combiner-style partial counts)
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [set(_TOKEN.findall(t.lower())) for t in df[text_col]]
+        lens = [len(_TOKEN.findall(t.lower())) for t in df[text_col]]
+        rows = {"__n": [len(df)], "__len": [int(np.sum(lens))]}
+        for t in terms:
+            rows[f"df_{t}"] = [sum(1 for s in toks if t in s)]
+        return pd.DataFrame(rows)
+
+    agg = ds.map_batches(stats, batch_format="pandas").to_pandas().sum()
+    n_docs = int(agg["__n"])
+    avgdl = float(agg["__len"]) / max(1, n_docs)
+    idf = {
+        t: math.log(1 + (n_docs - int(agg[f"df_{t}"]) + 0.5) / (int(agg[f"df_{t}"]) + 0.5))
+        for t in terms
+    }
+    ref = ray.put((idf, avgdl, pq))
+
+    class Score:
+        def __init__(self):
+            self.idf, self.avgdl, self.q = ray.get(ref)
+            self.phr = [re.compile(re.escape(p)) for p in self.q.phrases]
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            keep_rows, scores = [], []
+            for i, (doc_id, text) in enumerate(zip(df[id_col], df[text_col])):
+                low = text.lower()
+                toks = _TOKEN.findall(low)
+                counts: dict[str, int] = {}
+                for w in toks:
+                    counts[w] = counts.get(w, 0) + 1
+                if any(counts.get(t, 0) == 0 for t in self.idf):
+                    continue
+                if any(not rx.search(low) for rx in self.phr):
+                    continue
+                ok = True
+                for fname, fval in self.q.fields:
+                    if fname not in df.columns or str(df[fname].iloc[i]).lower() != fval.lower():
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                dl = len(toks)
+                s = 0.0
+                for t, w in self.idf.items():
+                    tf = counts.get(t, 0)
+                    s += w * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / self.avgdl))
+                keep_rows.append(doc_id)
+                scores.append(s)
+            out = pd.DataFrame({id_col: keep_rows, "score": scores})
+            return out.sort_values(["score", id_col], ascending=[False, True]).head(k)
+
+    partials = ds.map_batches(Score, batch_format="pandas", concurrency=(1, 8)).to_pandas()
+    top = (
+        partials.sort_values(["score", id_col], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top["score"] = np.round(top["score"], 6)
+    top["rank"] = np.arange(1, len(top) + 1)
+    return top
+
+
+def semantic_search(
+    docs: rd.Dataset,
+    vectors: rd.Dataset,
+    query_vec: np.ndarray,
+    *,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    k: int = 20,
+    meta_cols: list[str] | None = None,
+) -> pd.DataFrame:
+    """J1: ANN top-k over the vector table → broadcast join back to document
+    metadata, ANN rank preserved (search_service.py:180-204 semantics,
+    including similarity = cosine attached per row)."""
+    top = ann.brute_topk(
+        vectors, np.asarray([query_vec]), np.asarray([-1]), k=k, id_col=vec_id_col,
+        exclude_self=False,
+    )
+    top = top.rename(columns={vec_id_col: id_col, "cos_sim": "similarity"})
+    top["rank"] = np.arange(1, len(top) + 1)
+    meta_cols = meta_cols or [c for c in docs.schema().names if c != "text"]
+    hit_ds = relops.broadcast_join(
+        docs.select_columns(sorted(set([id_col, *meta_cols]))),
+        top[[id_col, "similarity", "rank"]],
+        on=id_col,
+    )
+    out = hit_ds.to_pandas().sort_values("rank").reset_index(drop=True)
+    return out.drop(columns=["query_id"], errors="ignore")
+
+
+def build_inverted_index(
+    ds: rd.Dataset, text_col: str, id_col: str, stopwords: frozenset[str] = frozenset()
+) -> rd.Dataset:
+    """K6 as a derived table: tokenize → explode → groupby(term) postings
+    (term, df, postings:list<id>). The groupby is the wide shuffle; per-batch
+    partial posting lists act as the combiner."""
+    words = relops.tokenize_column(ds.select_columns([id_col, text_col]), text_col,
+                                   stopwords, min_len=1)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("word")[id_col].agg(lambda s: sorted(set(s)))
+        return pd.DataFrame({"word": g.index, "ids": g.values})
+
+    partials = words.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted({i for lst in df["ids"] for i in lst})
+        return pd.DataFrame({"term": [df["word"].iloc[0]], "df": [len(ids)], "postings": [ids]})
+
+    return partials.groupby("word").map_groups(merge, batch_format="pandas")

@@ -142,3 +142,17 @@ def open_store(root: str):
     """Lance when importable, parquet-fragment fallback otherwise —
     both behind the same commit/load interface."""
     return ParquetFragmentStore(root)
+
+
+def checkpoint_table(store: "ParquetFragmentStore") -> pa.Table:
+    """The checkpoint/lineage table (FIXTURES.md §4 schema) materialized from
+    the manifest — one row per committed partition with url range, rows,
+    bytes, fetch errors, wall time, lineage and commit timestamp."""
+    from .schemas import CHECKPOINT
+
+    rows = {name: [] for name in CHECKPOINT.names}
+    for pid in sorted(store.committed()):
+        rec = store.committed()[pid]
+        for name in CHECKPOINT.names:
+            rows[name].append(rec.get(name))
+    return pa.table(rows, schema=CHECKPOINT)

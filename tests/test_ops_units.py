@@ -1,0 +1,180 @@
+"""Unit tests for the operator library: relops, dedup, text, ann, search,
+embed, multimodal, analysis, politeness — small inputs, oracle = plain
+python/pandas."""
+
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+from pubcrawl import ann, dedup, relops, text
+from pubcrawl.politeness import Politeness
+
+
+@pytest.fixture()
+def docs_ds():
+    return rd.from_items(
+        [
+            {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog", "lang": "en"},
+            {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog", "lang": "en"},
+            {"doc_id": 3, "text": "the quick brown fox jumps over a sleepy dog", "lang": "en"},
+            {"doc_id": 4, "text": "completely different words appear in here tonight", "lang": "de"},
+            {"doc_id": 5, "text": "der schnelle braune fuchs springt", "lang": "de"},
+        ]
+    )
+
+
+class TestRelops:
+    def test_regex_filter(self, docs_ds):
+        out = relops.regex_filter(docs_ds, "text", "fox").to_pandas()
+        assert sorted(out.doc_id) == [1, 2, 3]
+
+    def test_explode_list(self):
+        ds = rd.from_items([{"k": 1, "xs": ["a", "b"]}, {"k": 2, "xs": []}, {"k": 3, "xs": ["c"]}])
+        out = relops.explode_list(ds, "xs", "x").to_pandas()
+        assert sorted(zip(out.k, out.x)) == [(1, "a"), (1, "b"), (3, "c")]
+
+    def test_preagg_group_sum(self):
+        ds = rd.from_items([{"g": "a", "v": 1}, {"g": "b", "v": 2}, {"g": "a", "v": 3}])
+        out = relops.preagg_group_sum(ds, ["g"], {"v": "sv"}, count_as="n").to_pandas()
+        out = out.sort_values("g").reset_index(drop=True)
+        assert list(out.sv) == [4, 2] and list(out.n) == [2, 1]
+
+    def test_distinct(self):
+        ds = rd.from_items([{"a": 1, "b": "x"}, {"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+        out = relops.distinct(ds, ["a", "b"]).to_pandas()
+        assert len(out) == 2
+
+    def test_topk_with_ties(self):
+        ds = rd.from_items([{"v": 5, "id": i} for i in range(10)] + [{"v": 9, "id": 99}])
+        out = relops.topk(ds, [("v", True), ("id", False)], 3).to_pandas()
+        assert list(out.v) == [9, 5, 5] and list(out.id) == [99, 0, 1]
+
+    def test_broadcast_join(self):
+        big = rd.from_items([{"k": i % 3, "v": i} for i in range(9)])
+        small = pd.DataFrame({"k": [0, 1, 2], "name": ["a", "b", "c"]})
+        out = relops.broadcast_join(big, small, on="k").to_pandas()
+        assert len(out) == 9 and set(out.name) == {"a", "b", "c"}
+
+    def test_semi_and_anti(self):
+        ds = rd.from_items([{"k": i} for i in range(10)])
+        semi = relops.semi_join_broadcast(ds, {2, 4}, on="k").to_pandas()
+        anti = relops.semi_join_broadcast(ds, {2, 4}, on="k", anti=True).to_pandas()
+        assert sorted(semi.k) == [2, 4] and len(anti) == 8
+
+    def test_hash_join(self):
+        left = rd.from_items([{"k": i, "lv": i * 10} for i in range(20)])
+        right = rd.from_items([{"k": i, "rv": i * 100} for i in range(0, 20, 2)])
+        out = relops.hash_join(left, right, on="k", left_cols=["lv"], right_cols=["rv"],
+                               n_buckets=4).to_pandas()
+        assert len(out) == 10
+        assert (out.rv == out.k * 100).all() and (out.lv == out.k * 10).all()
+
+
+class TestDedup:
+    def test_exact_dedup(self, docs_ds):
+        out = dedup.exact_dedup(docs_ds, "text", "doc_id").to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        # docs 1,2 share text → kept id 1 with dupes=2
+        assert (1 in set(out.doc_id)) and 2 not in set(out.doc_id)
+        assert int(out[out.doc_id == 1].dupes.iloc[0]) == 2
+        assert len(out) == 4
+
+    def test_minhash_finds_exact_and_near(self, docs_ds):
+        # docs 1↔3 share all but two words: true 3-gram-shingle jaccard = 0.4
+        pairs = dedup.minhash_lsh_pairs(docs_ds, "text", "doc_id", threshold=0.35)
+        got = set(zip(pairs.id_a, pairs.id_b))
+        assert (1, 2) in got  # identical
+        assert (1, 3) in got and (2, 3) in got  # near-dups
+        assert all(a < b for a, b in got)
+        jac_12 = float(pairs[(pairs.id_a == 1) & (pairs.id_b == 2)].jaccard.iloc[0])
+        assert jac_12 == 1.0
+
+    def test_simhash_pairs(self, docs_ds):
+        pairs = dedup.simhash_pairs(docs_ds, "text", "doc_id", max_hamming=10)
+        got = set(zip(pairs.id_a, pairs.id_b))
+        assert (1, 2) in got
+        assert int(pairs[(pairs.id_a == 1) & (pairs.id_b == 2)].hamming.iloc[0]) == 0
+
+    def test_jaccard(self):
+        a = np.array([1, 2, 3], dtype=np.uint64)
+        b = np.array([2, 3, 4], dtype=np.uint64)
+        assert dedup.jaccard(a, b) == 0.5
+
+    def test_winnow_deterministic_and_shift_robust(self):
+        f1 = dedup.winnow_fingerprints("the quick brown fox jumps over the dog")
+        f2 = dedup.winnow_fingerprints("the quick brown fox jumps over the dog")
+        assert (f1 == f2).all() and len(f1) > 0
+        # shared substring → shared fingerprints
+        f3 = dedup.winnow_fingerprints("XX the quick brown fox jumps over the dog")
+        assert len(np.intersect1d(f1, f3)) > 0
+
+
+class TestText:
+    def test_quality_features_exact(self, docs_ds):
+        stop = frozenset(["the", "a", "over"])
+        out = text.quality_features(docs_ds, "text", "doc_id", stop).to_pandas()
+        row = out[out.doc_id == 1].iloc[0]
+        assert row.n_tokens == 9 and row.n_alpha == 9
+        assert row.n_stop == 3  # the, over, the
+        assert row.n_punct == 0
+
+    def test_langid(self, docs_ds):
+        stop = frozenset("the a an of to in is over".split())
+        out = text.langid_en(docs_ds, "text", "doc_id", stop).to_pandas()
+        m = dict(zip(out.doc_id, out.pred_lang))
+        assert m[1] == "en" and m[5] == "other"
+
+
+class TestAnn:
+    def _vec_ds(self):
+        rng = np.random.default_rng(0)
+        base = rng.standard_normal((20, 8))
+        base[1] = base[0] + 0.001 * rng.standard_normal(8)  # near-dup of 0
+        return rd.from_items(
+            [{"vec_id": i, "embedding": base[i].tolist()} for i in range(20)]
+        ), base
+
+    def test_brute_topk_matches_numpy(self):
+        ds, base = self._vec_ds()
+        q = base[:2]
+        out = ann.brute_topk(ds, q, np.array([0, 1]), k=3)
+        m = base / np.linalg.norm(base, axis=1, keepdims=True)
+        sims = m @ (q / np.linalg.norm(q, axis=1, keepdims=True)).T
+        for qi in (0, 1):
+            s = sims[:, qi].copy()
+            s[qi] = -np.inf
+            expect = set(np.argsort(-s)[:3])
+            got = set(out[out.query_id == qi].vec_id)
+            assert got == expect
+
+    def test_cosine_pairs_threshold(self):
+        ds, base = self._vec_ds()
+        pairs = ann.cosine_pairs(ds, threshold=0.999)
+        assert (0, 1) in set(zip(pairs.id_a, pairs.id_b))
+
+    def test_ivf_recall_on_easy_case(self):
+        ds, base = self._vec_ds()
+        out = ann.ivf_topk(ds, base[:1], np.array([0]), k=1, n_clusters=2, nprobe=2)
+        assert list(out.vec_id) == [1]  # the planted near-dup
+
+
+class TestPoliteness:
+    def test_token_bucket_rate(self):
+        pol = Politeness(num_shards=2, per_host_rate=100.0, burst=2)
+        hosts = ["h1"] * 10
+        hh = np.zeros(10, dtype=np.uint32)
+        grants = pol.reserve_batch(hosts, hh)
+        now = time.monotonic()
+        # 2 burst grants immediate; remaining 8 spaced 10ms apart
+        spaced = np.sort(grants)[2:]
+        assert len(spaced) == 8
+        diffs = np.diff(spaced)
+        assert np.all(diffs > 0.009)
+        # different host unaffected
+        g2 = pol.reserve_batch(["h2"], np.array([1], dtype=np.uint32))
+        assert g2[0] <= time.monotonic() + 0.001

@@ -83,3 +83,18 @@ def test_resume_after_mid_crawl_kill(tmp_path):
     assert len(pids) == len(set(pids))
     # run-1 fragments were reused, not rewritten
     assert committed_before <= set(pids)
+
+
+def test_checkpoint_table_schema(tmp_path):
+    from pubcrawl.schemas import CHECKPOINT
+    from pubcrawl.store import checkpoint_table
+
+    store = ParquetFragmentStore(str(tmp_path / "s"))
+    store.commit(pa.table({"url_hash": pa.array([3, 8], pa.uint64())}), "p1",
+                 lineage="depth=0", metrics={"fetch_errors": 1, "wall_ms": 12})
+    tbl = checkpoint_table(store)
+    assert tbl.schema.equals(CHECKPOINT)
+    rec = tbl.to_pylist()[0]
+    assert rec["partition_id"] == "p1" and rec["url_lo"] == 3 and rec["url_hi"] == 8
+    assert rec["fetch_errors"] == 1 and rec["lineage"] == "depth=0"
+    assert rec["committed_at"]

@@ -1,0 +1,192 @@
+"""Tests for the search layer, embedding pipeline, multimodal stages, and
+analysis/report sinks."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from pubcrawl import analysis, embed, multimodal, search
+from pubcrawl.imaging import decode_image, png_decode, png_encode, procedural_image
+
+
+@pytest.fixture()
+def corpus():
+    rows = [
+        {"doc_id": 1, "text": "ray data engine builds streaming pipelines", "source": "s1"},
+        {"doc_id": 2, "text": "streaming data pipelines shuffle blocks", "source": "s1"},
+        {"doc_id": 3, "text": "the cat sat on the mat", "source": "s2"},
+        {"doc_id": 4, "text": "data data data everywhere in the engine", "source": "s2"},
+    ]
+    return rd.from_items(rows)
+
+
+class TestQueryGrammar:
+    def test_parse(self):
+        q = search.parse_query('source:s1 "streaming pipelines" data engine')
+        assert q.fields == [("source", "s1")]
+        assert q.phrases == ["streaming pipelines"]
+        assert q.terms == ["data", "engine"]
+
+    def test_parse_quoted_field(self):
+        q = search.parse_query('lang:"en us" word')
+        assert q.fields == [("lang", "en us")] and q.terms == ["word"]
+
+
+class TestKeywordSearch:
+    def test_conjunctive_and_ranking(self, corpus):
+        out = search.keyword_search(corpus, "data engine", id_col="doc_id", k=10)
+        assert set(out.doc_id) == {1, 4}  # both words required
+        # doc 4 has tf(data)=3 → ranks first
+        assert list(out.doc_id)[0] == 4
+        assert list(out["rank"]) == [1, 2]
+
+    def test_phrase_filter(self, corpus):
+        out = search.keyword_search(corpus, '"streaming pipelines"', id_col="doc_id")
+        assert set(out.doc_id) == {1}
+
+    def test_field_filter(self, corpus):
+        out = search.keyword_search(corpus, "source:s2 data", id_col="doc_id")
+        assert set(out.doc_id) == {4}
+
+    def test_inverted_index(self, corpus):
+        idx = search.build_inverted_index(corpus, "text", "doc_id").to_pandas()
+        m = {r.term: (r.df, list(r.postings)) for r in idx.itertuples()}
+        assert m["data"][0] == 3 and m["data"][1] == [1, 2, 4]
+        assert m["cat"][1] == [3]
+
+
+class TestEmbed:
+    def test_embed_and_resume(self, corpus, tmp_path):
+        root = str(tmp_path / "vec")
+        r1 = embed.embed_corpus(corpus, root, "doc_id", "text", concurrency=2)
+        assert r1["embedded"] == 4 and r1["skipped"] == 0
+        vecs = embed.load_vectors(root).to_pandas()
+        assert len(vecs) == 4 and len(vecs.embedding.iloc[0]) == embed.EMBED_DIM
+        # deterministic
+        e = embed.HashEmbedder()
+        v1 = e.encode(["ray data engine"])[0]
+        v2 = e.encode(["ray data engine"])[0]
+        assert np.allclose(v1, v2) and abs(np.linalg.norm(v1) - 1.0) < 1e-5
+        # resume: second run embeds nothing new (J2 anti-join)
+        r2 = embed.embed_corpus(corpus, root, "doc_id", "text", concurrency=2)
+        assert r2["embedded"] == 0 and r2["skipped"] == 4
+
+    def test_semantic_search_roundtrip(self, corpus, tmp_path):
+        root = str(tmp_path / "vec")
+        embed.embed_corpus(corpus, root, "doc_id", "text", concurrency=2)
+        vecs = embed.load_vectors(root).map_batches(
+            lambda t: t.rename_columns(["vec_id", "embedding"]), batch_format="pyarrow"
+        )
+        q = embed.HashEmbedder().encode(["streaming data pipelines shuffle blocks"])[0]
+        out = search.semantic_search(corpus, vecs, q, id_col="doc_id", k=2,
+                                     meta_cols=["source"])
+        assert list(out.doc_id)[0] == 2  # exact text match wins
+        assert out.similarity.iloc[0] > 0.99
+        assert list(out["rank"]) == [1, 2]
+
+
+def _img_table():
+    import pyarrow as pa
+
+    from pubcrawl.hashing import xxh64
+    from pubcrawl.imaging import encode_image, phash64
+
+    rows = {k: [] for k in ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]}
+    for i in range(4):
+        img, fmt, q = procedural_image(100 + i, 16, 40)
+        enc = encode_image(img, fmt, q)
+        rows["image_id"].append(f"img_{i}")
+        rows["bytes"].append(enc)
+        rows["w"].append(img.shape[1])
+        rows["h"].append(img.shape[0])
+        rows["fmt"].append(fmt)
+        rows["caption"].append(f"caption {i}")
+        rows["phash"].append(phash64(decode_image(enc, fmt)))
+    from pubcrawl.schemas import IMAGE_CAPTION
+
+    return pa.table(rows, schema=IMAGE_CAPTION)
+
+
+class TestMultimodal:
+    def test_decode_verify(self):
+        ds = rd.from_arrow(_img_table())
+        out = multimodal.image_pipeline(ds, multimodal.DecodeVerify, concurrency=2).to_pandas()
+        assert out.valid.all()
+        assert "bytes" not in out.columns
+
+    def test_resize(self):
+        ds = rd.from_arrow(_img_table())
+        out = multimodal.image_pipeline(ds, multimodal.Resize, out_w=8, out_h=8).to_pandas()
+        thumb = png_decode(out.thumb.iloc[0])
+        assert thumb.shape == (8, 8, 3)
+
+    def test_features(self):
+        ds = rd.from_arrow(_img_table())
+        out = multimodal.image_pipeline(ds, multimodal.ImageFeatures).to_pandas()
+        v = np.asarray(out.features.iloc[0])
+        assert v.shape == (30,) and abs(v[:24].sum() - 3.0) < 1e-3  # 3 normalized histograms
+
+    def test_frame_sample_stub(self):
+        ds = rd.from_arrow(_img_table())
+        with pytest.raises(Exception):
+            multimodal.image_pipeline(ds, multimodal.FrameSample).to_pandas()
+        out = multimodal.image_pipeline(
+            ds, multimodal.FrameSample, deterministic_fake=True, n_frames=2
+        ).to_pandas()
+        assert all(len(f) == 2 for f in out.frames)
+        png_decode(out.frames.iloc[0][0])  # frames decode
+
+
+class TestAnalysis:
+    def _papers(self):
+        return rd.from_items(
+            [
+                {"id": 1, "title": "graph attention networks", "abstract": "transformer attention",
+                 "year": 2023, "decision": "Oral", "avg_rating": 8.0},
+                {"id": 2, "title": "cnn image models", "abstract": "vision transformer",
+                 "year": 2023, "decision": "Reject", "avg_rating": 4.0},
+                {"id": 3, "title": "diffusion models", "abstract": "generative diffusion",
+                 "year": 2024, "decision": "Poster", "avg_rating": 6.0},
+            ]
+        )
+
+    TAX = {"transformers": ["transformer", "attention"], "generative": ["diffusion", "generative"]}
+
+    def test_classify_and_stats(self):
+        ds = analysis.classify_topics(self._papers(), ["title", "abstract"], self.TAX)
+        stats = analysis.topic_stats(
+            ds, "topics", metric_col="avg_rating", category_col="decision",
+            accept_categories=("Oral", "Poster"), reject_category="Reject",
+        )
+        row = stats[stats.topic == "transformers"].iloc[0]
+        assert row.paper_count == 2
+        assert row.avg_metric == 6.0
+        assert row.acceptance_rate == 50.0
+        g = stats[stats.topic == "generative"].iloc[0]
+        assert g.paper_count == 1 and g.acceptance_rate == 100.0
+
+    def test_year_pivot(self):
+        ds = analysis.classify_topics(self._papers(), ["title", "abstract"], self.TAX)
+        pv = analysis.year_topic_pivot(ds, "year", "topics")
+        assert pv.loc[2023, "transformers"] == 100.0
+
+    def test_sinks(self, tmp_path):
+        df = pd.DataFrame(
+            {"title": ["t1"], "authors": [["a", "b"]], "abstract": ["x"], "extra": [1]}
+        )
+        p = analysis.save_csv(df, str(tmp_path / "out.csv"))
+        content = open(p, encoding="utf-8-sig").read()
+        assert content.splitlines()[0].startswith("title,authors,abstract")
+        assert "a, b" in content
+        analysis.save_markdown(df, str(tmp_path / "r.md"), "Report")
+        assert "## 1. t1" in open(tmp_path / "r.md").read()
+        analysis.save_summary_txt(df, str(tmp_path / "s.txt"), ("title", "extra"))
+        assert "title: t1" in open(tmp_path / "s.txt").read()
+
+    def test_word_frequencies(self):
+        ds = rd.from_items([{"t": "alpha beta beta gamma gamma gamma"}])
+        out = analysis.word_frequencies(ds, ["t"], frozenset(), top_n=2)
+        assert list(out.word) == ["gamma", "beta"]
