@@ -188,3 +188,38 @@ class FetchWorker:
 
     def process(self, block: pa.Table) -> pa.Table:
         return self._parse(self._fetch(block))
+
+
+class HttpTransport:
+    """Real-web transport seat (A4 — the per-actor requests.Session with
+    urllib3 Retry(total=5, backoff_factor=1, status_forcelist 5xx) of
+    /root/reference/src/utils/network_utils.py:16-57). Untouched by tests
+    that run the synthetic web; exercised against a local HTTP server in
+    tests (no external network in this sandbox)."""
+
+    UA = "Mozilla/5.0 (pubcrawl; +https://github.com/)"
+
+    def __init__(self, total_retries: int = 5, backoff: float = 1.0, timeout: float = 15.0):
+        import requests
+        from requests.adapters import HTTPAdapter
+        from urllib3.util.retry import Retry
+
+        self.session = requests.Session()
+        retry = Retry(
+            total=total_retries,
+            backoff_factor=backoff,
+            status_forcelist=(500, 502, 503, 504),
+            allowed_methods=("GET", "HEAD"),
+        )
+        adapter = HTTPAdapter(max_retries=retry)
+        self.session.mount("http://", adapter)
+        self.session.mount("https://", adapter)
+        self.session.headers["User-Agent"] = self.UA
+        self.timeout = timeout
+
+    def fetch(self, url: str) -> tuple[int, bytes]:
+        try:
+            resp = self.session.get(url, timeout=self.timeout)
+            return resp.status_code, resp.content
+        except Exception:
+            return 599, b""

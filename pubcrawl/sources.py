@@ -1,0 +1,335 @@
+"""Source adapters — the reference's scraper fleet (SURVEY.md §2.1 S1-S13)
+as Ray-Data-native sources: each adapter is (seed builder → fetch stage →
+parse UDF), where fetching runs on the shared Fetcher/politeness machinery
+and parsing is a pure function payload → rows suitable for ``flat_map`` /
+``map_batches``.
+
+Parsers use only the stdlib (xml.etree for Atom, json for OpenReview/IEEE,
+regex extraction for the HTML sites — the sandbox has no bs4/selenium; the
+regexes implement the same selector semantics cited per adapter). All are
+pure and unit-tested against representative fixture payloads.
+
+Output row contract (the reference's de-facto record, SURVEY.md §1.1):
+  id, title, authors (", "-joined), abstract, pdf_url, source_url
+plus driver enrichment year/conference (M2).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass
+from urllib.parse import urljoin
+
+# ------------------------------------------------------------------ S1: arXiv
+
+
+_ATOM_NS = {"a": "http://www.w3.org/2005/Atom"}
+
+
+def parse_arxiv_atom(payload: bytes | str) -> list[dict]:
+    """S1/M3 — Atom XML → rows (/root/reference/src/scrapers/arxiv_scraper.py:30-49
+    semantics: authors joined, pdf link selected by title=='pdf', id from the
+    /abs/ suffix)."""
+    root = ET.fromstring(payload)
+    out = []
+    for entry in root.findall("a:entry", _ATOM_NS):
+        raw_id = (entry.findtext("a:id", "", _ATOM_NS) or "").strip()
+        pdf_url = None
+        for link in entry.findall("a:link", _ATOM_NS):
+            if link.get("title") == "pdf":
+                pdf_url = link.get("href")
+        authors = ", ".join(
+            (a.findtext("a:name", "", _ATOM_NS) or "").strip()
+            for a in entry.findall("a:author", _ATOM_NS)
+        )
+        out.append(
+            {
+                "id": raw_id.rsplit("/abs/", 1)[-1],
+                "title": re.sub(r"\s+", " ", entry.findtext("a:title", "", _ATOM_NS) or "").strip(),
+                "authors": authors,
+                "abstract": re.sub(r"\s+", " ", entry.findtext("a:summary", "", _ATOM_NS) or "").strip(),
+                "pdf_url": pdf_url,
+                "source_url": raw_id,
+            }
+        )
+    return out
+
+
+# ------------------------------------------------- S2/S3: OpenReview notes
+
+
+def _field_robust(content: dict, key: str, default=""):
+    """M4 — unwrap OpenReview v2 {value: ...} envelopes
+    (/root/reference/src/scrapers/iclr_scraper.py:77-85)."""
+    v = content.get(key, default)
+    if isinstance(v, dict) and "value" in v:
+        return v["value"]
+    return v
+
+
+def parse_openreview_notes(payload: bytes | str, forum_base: str = "https://openreview.net/forum?id=") -> list[dict]:
+    """S2/S3 — notes JSON (v1 or v2 shape) → rows."""
+    data = json.loads(payload)
+    notes = data.get("notes", data if isinstance(data, list) else [])
+    out = []
+    for note in notes:
+        content = note.get("content", {})
+        authors = _field_robust(content, "authors", [])
+        if isinstance(authors, list):
+            authors = ", ".join(authors)
+        nid = note.get("id", "")
+        out.append(
+            {
+                "id": nid,
+                "title": str(_field_robust(content, "title", "")).strip(),
+                "authors": authors,
+                "abstract": str(_field_robust(content, "abstract", "")).strip(),
+                "pdf_url": (forum_base.replace("/forum?id=", "/pdf?id=") + nid) if nid else None,
+                "source_url": forum_base + nid if nid else "",
+            }
+        )
+    return out
+
+
+_LEADING_INT = re.compile(r"^\s*(\d+)")
+
+
+def parse_review_ratings(review_notes: list[dict]) -> dict:
+    """M13/G8 — decision + ratings extraction
+    (/root/reference/src/scrapers/iclr_scraper.py:87-105): decision from the
+    Decision invitation, leading-int parse of 'rating' strings, 2-dp mean."""
+    decision = "N/A"
+    ratings: list[int] = []
+    for note in review_notes:
+        inv = " ".join(
+            [str(note.get("invitation", ""))] + [str(i) for i in note.get("invitations", [])]
+        )
+        content = note.get("content", {})
+        if "Decision" in inv:
+            decision = str(_field_robust(content, "decision", "N/A"))
+        elif "Official_Review" in inv:
+            raw = str(_field_robust(content, "rating", ""))
+            m = _LEADING_INT.match(raw)
+            if m:
+                ratings.append(int(m.group(1)))
+    avg = round(sum(ratings) / len(ratings), 2) if ratings else None
+    return {"decision": decision, "review_ratings": ratings, "avg_rating": avg}
+
+
+# ------------------------------------------------------- S4: PMLR index page
+
+
+_PMLR_DIV = re.compile(r'<div[^>]*class="paper"[^>]*>(.*?)</div>', re.S)
+_PMLR_TITLE = re.compile(r'<p[^>]*class="title"[^>]*>(.*?)</p>', re.S)
+_PMLR_AUTHORS = re.compile(r'<(?:span|p)[^>]*class="(?:authors|details)"[^>]*>(.*?)</(?:span|p)>', re.S)
+_PMLR_LINK = re.compile(r'<a[^>]*href="([^"]+)"[^>]*>\s*(?:Download )?PDF\s*</a>', re.I)
+_PMLR_ABS = re.compile(r'<a[^>]*href="([^"]+\.html)"[^>]*>\s*abs\s*</a>', re.I)
+_TAG = re.compile(r"<[^>]+>")
+
+
+def _strip(html: str) -> str:
+    txt = re.sub(r"\s+", " ", _TAG.sub(" ", html)).strip()
+    return re.sub(r"\s+([,;.])", r"\1", txt)  # tag-stripping artifacts before punctuation
+
+
+def parse_pmlr_index(payload: bytes | str, base_url: str, limit: int | None = None) -> list[dict]:
+    """S4/M7 — one PMLR volume page → all div.paper containers
+    (/root/reference/src/scrapers/icml_scraper.py:48-74 selector semantics;
+    deterministic index-order prefix under ``limit`` per T4)."""
+    html = payload.decode("utf-8", "replace") if isinstance(payload, bytes) else payload
+    out = []
+    for m in _PMLR_DIV.finditer(html):
+        if limit is not None and len(out) >= limit:
+            break
+        block = m.group(1)
+        t = _PMLR_TITLE.search(block)
+        a = _PMLR_AUTHORS.search(block)
+        pdf = _PMLR_LINK.search(block)
+        absl = _PMLR_ABS.search(block)
+        abs_url = urljoin(base_url, absl.group(1)) if absl else base_url
+        out.append(
+            {
+                "id": abs_url.rsplit("/", 1)[-1].removesuffix(".html"),
+                "title": _strip(t.group(1)) if t else "",
+                "authors": _strip(a.group(1)) if a else "",
+                "abstract": "N/A (listed on index page only)",
+                "pdf_url": urljoin(base_url, pdf.group(1)) if pdf else None,
+                "source_url": abs_url,
+            }
+        )
+    return out
+
+
+# ------------------------------------- S5/S6: two-hop index → detail (ACL/CVF)
+
+
+_HREF = re.compile(r'<a[^>]*href="([^"]+)"')
+
+
+def extract_links(payload: bytes | str, base_url: str, pattern: str, exclude: str | None = None,
+                  limit: int | None = None) -> list[str]:
+    """S5/S6 hop 1 — index page → detail URLs in page order, with the
+    volume-front-matter exclusion rule (D4,
+    /root/reference/src/scrapers/acl_scraper.py:74-84) and the ordered
+    ``limit`` prefix (T4)."""
+    html = payload.decode("utf-8", "replace") if isinstance(payload, bytes) else payload
+    rx = re.compile(pattern)
+    ex = re.compile(exclude) if exclude else None
+    seen: set[str] = set()
+    out: list[str] = []
+    for m in _HREF.finditer(html):
+        url = urljoin(base_url, m.group(1))
+        if not rx.search(url) or (ex and ex.search(url)) or url in seen:
+            continue
+        seen.add(url)
+        out.append(url)
+        if limit is not None and len(out) >= limit:
+            break
+    return out
+
+
+def _first(pattern: str, html: str, flags=re.S) -> str | None:
+    m = re.search(pattern, html, flags)
+    return _strip(m.group(1)) if m else None
+
+
+def parse_acl_detail(payload: bytes | str, url: str) -> dict | None:
+    """S5/M5 — ACL Anthology detail page (selector semantics of
+    /root/reference/src/scrapers/acl_scraper.py:19-51: h2#title, p.lead,
+    div.acl-abstract, citation_pdf_url meta; id = last URL path segment)."""
+    html = payload.decode("utf-8", "replace") if isinstance(payload, bytes) else payload
+    title = _first(r'<h2[^>]*id="title"[^>]*>(.*?)</h2>', html)
+    if not title:
+        return None
+    authors = _first(r'<p[^>]*class="lead"[^>]*>(.*?)</p>', html) or ""
+    abstract = _first(r'<div[^>]*class="[^"]*acl-abstract[^"]*"[^>]*>\s*<span[^>]*>(.*?)</span>', html) or ""
+    pdf = re.search(r'<meta[^>]*name="citation_pdf_url"[^>]*content="([^"]+)"', html)
+    return {
+        "id": url.rstrip("/").rsplit("/", 1)[-1],
+        "title": title,
+        "authors": authors,
+        "abstract": abstract,
+        "pdf_url": urljoin(url, pdf.group(1)) if pdf else None,
+        "source_url": url,
+    }
+
+
+def parse_cvf_detail(payload: bytes | str, url: str) -> dict | None:
+    """S6/M6 — CVF open-access detail page (#papertitle, #authors b i,
+    #abstract; id strips .html —
+    /root/reference/src/scrapers/cvf_scraper.py:19-51)."""
+    html = payload.decode("utf-8", "replace") if isinstance(payload, bytes) else payload
+    title = _first(r'<div[^>]*id="papertitle"[^>]*>(.*?)</div>', html)
+    if not title:
+        return None
+    authors = _first(r'<div[^>]*id="authors"[^>]*>.*?<i>(.*?)</i>', html) or ""
+    abstract = _first(r'<div[^>]*id="abstract"[^>]*>(.*?)</div>', html) or ""
+    pdf = re.search(r'<a[^>]*href="([^"]+\.pdf)"[^>]*>\s*pdf\s*</a>', html, re.I | re.S)
+    return {
+        "id": url.rsplit("/", 1)[-1].removesuffix(".html"),
+        "title": title,
+        "authors": authors,
+        "abstract": abstract,
+        "pdf_url": urljoin(url, pdf.group(1)) if pdf else None,
+        "source_url": url,
+    }
+
+
+# ------------------------------------------------- S9: IEEE paginated JSON
+
+
+def parse_ieee_toc(payload: bytes | str) -> tuple[list[dict], int]:
+    """S9 — one /toc page of IEEE-style JSON → (rows, totalPages)
+    (/root/reference/src/scrapers/tpami_scraper.py:43-118 cursor-pagination
+    semantics: the caller loops pages sequentially until totalPages)."""
+    data = json.loads(payload)
+    rows = []
+    for rec in data.get("records", []):
+        authors = rec.get("authors", [])
+        if authors and isinstance(authors[0], dict):
+            authors = ", ".join(a.get("preferredName", a.get("name", "")) for a in authors)
+        elif isinstance(authors, list):
+            authors = ", ".join(map(str, authors))
+        rows.append(
+            {
+                "id": str(rec.get("articleNumber", "")),
+                "title": rec.get("articleTitle", rec.get("title", "")),
+                "authors": authors,
+                "abstract": rec.get("abstract", ""),
+                "pdf_url": rec.get("pdfLink"),
+                "source_url": rec.get("htmlLink", ""),
+            }
+        )
+    return rows, int(data.get("totalPages", 1))
+
+
+# -------------------------------------------------- S13: task config planner
+
+
+@dataclass
+class TaskSpec:
+    conference: str
+    year: int
+    source_type: str
+    url: str
+    filters: list[str]
+    max_papers: int | None = None
+    fetch_reviews: bool = False
+    max_workers: int = 8
+
+
+CONF_PATTERNS = {
+    # ACL Anthology volume patterns (run_crawler.py:68-83 pattern_map analogue)
+    "ACL": "https://aclanthology.org/events/acl-{year}/",
+    "EMNLP": "https://aclanthology.org/events/emnlp-{year}/",
+    "NAACL": "https://aclanthology.org/events/naacl-{year}/",
+}
+
+
+def build_task_specs(config: dict) -> list[TaskSpec]:
+    """S13 — YAML task config → resolved task specs
+    (/root/reference/src/crawlers/run_crawler.py:48-89: source_definitions +
+    per-task url_override / venue_id 'YYYY' substitution / pattern lookup)."""
+    defs = config.get("source_definitions", {})
+    out = []
+    for task in config.get("tasks", []):
+        if not task.get("enabled", True):
+            continue
+        conf = task["conference"]
+        year = int(task["year"])
+        d = defs.get(conf, {})
+        source_type = task.get("source_type", d.get("source_type", "html_index"))
+        url = task.get("url_override")
+        if not url:
+            venue = d.get("venue_id", "")
+            if venue:
+                url = venue.replace("YYYY", str(year))
+            elif conf in CONF_PATTERNS:
+                url = CONF_PATTERNS[conf].format(year=year)
+            else:
+                raise ValueError(f"no URL rule for {conf} {year}")
+        out.append(
+            TaskSpec(
+                conference=conf,
+                year=year,
+                source_type=source_type,
+                url=url,
+                filters=task.get("filters", []),
+                max_papers=task.get("max_papers_limit"),
+                fetch_reviews=bool(task.get("fetch_reviews", False)),
+                max_workers=int(task.get("max_workers", 8)),
+            )
+        )
+    return out
+
+
+PARSER_REGISTRY = {
+    "arxiv_atom": parse_arxiv_atom,
+    "openreview": parse_openreview_notes,
+    "pmlr_index": parse_pmlr_index,
+    "acl_detail": parse_acl_detail,
+    "cvf_detail": parse_cvf_detail,
+    "ieee_toc": parse_ieee_toc,
+}

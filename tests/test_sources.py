@@ -1,0 +1,211 @@
+"""Source-adapter tests: each parser against a representative fixture payload
+of its public format, plus the task planner and the HTTP transport against a
+local server (no external network)."""
+
+import http.server
+import json
+import threading
+
+import pytest
+
+from pubcrawl import sources
+from pubcrawl.fetch import HttpTransport
+
+ATOM = b"""<?xml version="1.0" encoding="UTF-8"?>
+<feed xmlns="http://www.w3.org/2005/Atom">
+  <entry>
+    <id>http://arxiv.org/abs/2401.00001v2</id>
+    <title>Deep   Crawling
+      at Scale</title>
+    <summary>  We study
+      large crawls.  </summary>
+    <author><name>Ada Lovelace</name></author>
+    <author><name>Alan Turing</name></author>
+    <link href="http://arxiv.org/abs/2401.00001v2" rel="alternate" type="text/html"/>
+    <link title="pdf" href="http://arxiv.org/pdf/2401.00001v2" rel="related"/>
+  </entry>
+</feed>"""
+
+
+def test_parse_arxiv_atom():
+    rows = sources.parse_arxiv_atom(ATOM)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["id"] == "2401.00001v2"
+    assert r["title"] == "Deep Crawling at Scale"
+    assert r["abstract"] == "We study large crawls."
+    assert r["authors"] == "Ada Lovelace, Alan Turing"
+    assert r["pdf_url"] == "http://arxiv.org/pdf/2401.00001v2"
+
+
+def test_parse_openreview_v1_and_v2():
+    v1 = json.dumps({"notes": [{"id": "abc", "content": {
+        "title": "Paper One", "abstract": "Abs.", "authors": ["A One", "B Two"]}}]})
+    v2 = json.dumps({"notes": [{"id": "xyz", "content": {
+        "title": {"value": "Paper Two"}, "abstract": {"value": "Abs2."},
+        "authors": {"value": ["C Three"]}}}]})
+    r1 = sources.parse_openreview_notes(v1)[0]
+    r2 = sources.parse_openreview_notes(v2)[0]
+    assert r1["title"] == "Paper One" and r1["authors"] == "A One, B Two"
+    assert r2["title"] == "Paper Two" and r2["authors"] == "C Three"
+    assert r2["source_url"].endswith("id=xyz")
+
+
+def test_parse_review_ratings():
+    notes = [
+        {"invitation": "ICLR.cc/2024/-/Decision", "content": {"decision": "Accept (Poster)"}},
+        {"invitations": ["ICLR.cc/2024/-/Official_Review"], "content": {"rating": "8: accept"}},
+        {"invitations": ["ICLR.cc/2024/-/Official_Review"], "content": {"rating": {"value": "5: borderline"}}},
+    ]
+    out = sources.parse_review_ratings(notes)
+    assert out["decision"] == "Accept (Poster)"
+    assert out["review_ratings"] == [8, 5]
+    assert out["avg_rating"] == 6.5
+
+
+PMLR = b"""<html><body>
+<div class="paper"><p class="title">First Paper</p>
+ <span class="authors">X One, Y Two</span>
+ <a href="v202/a/one.html">abs</a> <a href="v202/a/one.pdf">Download PDF</a></div>
+<div class="paper"><p class="title">Second Paper</p>
+ <p class="details">Z Three</p>
+ <a href="v202/b/two.html">abs</a> <a href="v202/b/two.pdf">Download PDF</a></div>
+</body></html>"""
+
+
+def test_parse_pmlr_index_and_limit():
+    rows = sources.parse_pmlr_index(PMLR, "https://proceedings.mlr.press/")
+    assert [r["title"] for r in rows] == ["First Paper", "Second Paper"]
+    assert rows[0]["id"] == "one"
+    assert rows[0]["pdf_url"] == "https://proceedings.mlr.press/v202/a/one.pdf"
+    assert rows[0]["authors"] == "X One, Y Two"
+    only1 = sources.parse_pmlr_index(PMLR, "https://proceedings.mlr.press/", limit=1)
+    assert len(only1) == 1 and only1[0]["title"] == "First Paper"
+
+
+def test_extract_links_order_dedup_exclude():
+    html = b"""<a href="/2024.acl-long.0/">front</a>
+    <a href="/2024.acl-long.1/">p1</a>
+    <a href="/2024.acl-long.2/">p2</a>
+    <a href="/2024.acl-long.1/">dup</a>
+    <a href="/other/x">no</a>"""
+    links = sources.extract_links(
+        html, "https://aclanthology.org", r"acl-long\.\d+", exclude=r"acl-long\.0/?$"
+    )
+    assert links == [
+        "https://aclanthology.org/2024.acl-long.1/",
+        "https://aclanthology.org/2024.acl-long.2/",
+    ]
+    assert sources.extract_links(html, "https://aclanthology.org", r"acl-long\.\d+",
+                                 exclude=r"acl-long\.0/?$", limit=1) == links[:1]
+
+
+ACL_DETAIL = b"""<html><h2 id="title"><a href="#">Attention Is Enough</a></h2>
+<p class="lead"><a>First Author</a>, <a>Second Author</a></p>
+<div class="card-body acl-abstract"><span>We show attention suffices.</span></div>
+<meta name="citation_pdf_url" content="https://aclanthology.org/2024.acl-long.5.pdf">
+</html>"""
+
+
+def test_parse_acl_detail():
+    r = sources.parse_acl_detail(ACL_DETAIL, "https://aclanthology.org/2024.acl-long.5/")
+    assert r["title"] == "Attention Is Enough"
+    assert r["authors"] == "First Author, Second Author"
+    assert r["abstract"] == "We show attention suffices."
+    assert r["id"] == "2024.acl-long.5"
+    assert r["pdf_url"].endswith(".pdf")
+    assert sources.parse_acl_detail(b"<html>no title</html>", "u") is None
+
+
+CVF_DETAIL = b"""<html><div id="papertitle">Seeing Is Believing</div>
+<div id="authors"><b><i>Vision One, Vision Two</i></b>; Proceedings</div>
+<div id="abstract">Pixels prove it.</div>
+<a href="../../papers/x_paper.pdf">pdf</a></html>"""
+
+
+def test_parse_cvf_detail():
+    r = sources.parse_cvf_detail(
+        CVF_DETAIL, "https://openaccess.thecvf.com/content/CVPR2024/html/x_paper.html"
+    )
+    assert r["title"] == "Seeing Is Believing"
+    assert r["authors"] == "Vision One, Vision Two"
+    assert r["id"] == "x_paper"
+    assert r["pdf_url"].endswith("x_paper.pdf")
+
+
+def test_parse_ieee_toc():
+    payload = json.dumps(
+        {
+            "totalPages": 3,
+            "records": [
+                {
+                    "articleNumber": 123,
+                    "articleTitle": "Pattern Analysis",
+                    "authors": [{"preferredName": "P Q"}, {"preferredName": "R S"}],
+                    "abstract": "About patterns.",
+                    "pdfLink": "/stamp/123.pdf",
+                    "htmlLink": "/document/123",
+                }
+            ],
+        }
+    )
+    rows, pages = sources.parse_ieee_toc(payload)
+    assert pages == 3
+    assert rows[0]["id"] == "123" and rows[0]["authors"] == "P Q, R S"
+
+
+def test_build_task_specs():
+    cfg = {
+        "source_definitions": {
+            "ICLR": {"source_type": "openreview", "venue_id": "ICLR.cc/YYYY/Conference"},
+        },
+        "tasks": [
+            {"conference": "ICLR", "year": 2024, "fetch_reviews": True, "filters": ["diffusion"]},
+            {"conference": "ACL", "year": 2023, "max_papers_limit": 50},
+            {"conference": "CVPR", "year": 2024, "url_override": "https://x.test/cvpr24"},
+            {"conference": "OFF", "year": 2020, "enabled": False,
+             "url_override": "https://x.test/off"},
+        ],
+    }
+    specs = sources.build_task_specs(cfg)
+    assert len(specs) == 3
+    assert specs[0].url == "ICLR.cc/2024/Conference" and specs[0].fetch_reviews
+    assert specs[1].url == "https://aclanthology.org/events/acl-2023/"
+    assert specs[1].max_papers == 50
+    assert specs[2].url == "https://x.test/cvpr24"
+
+
+class _Handler(http.server.BaseHTTPRequestHandler):
+    hits = {}
+
+    def do_GET(self):
+        n = self.hits.get(self.path, 0) + 1
+        self.hits[self.path] = n
+        if self.path == "/flaky" and n == 1:
+            self.send_response(503)
+            self.end_headers()
+            return
+        self.send_response(200)
+        self.end_headers()
+        self.wfile.write(b"hello " + self.path.encode())
+
+    def log_message(self, *a):
+        pass
+
+
+def test_http_transport_retries_on_5xx():
+    srv = http.server.HTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        tr = HttpTransport(total_retries=3, backoff=0.01)
+        st, body = tr.fetch(f"http://127.0.0.1:{port}/ok")
+        assert st == 200 and body == b"hello /ok"
+        st2, body2 = tr.fetch(f"http://127.0.0.1:{port}/flaky")
+        assert st2 == 200 and body2 == b"hello /flaky"  # retried through the 503
+        assert _Handler.hits["/flaky"] == 2
+        st3, _ = tr.fetch("http://127.0.0.1:1/nope")
+        assert st3 == 599
+    finally:
+        srv.shutdown()
