@@ -22,8 +22,6 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min, Sum
-
 from . import relops
 from .hashing import xxh64
 
@@ -43,16 +41,18 @@ def exact_dedup(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
         h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df[text_col]]
         return pd.DataFrame({"__h": h, id_col: df[id_col], "__n": 1})
 
-    hashed = ds.map_batches(hash_batch, batch_format="pandas")
+    hashed = ds.map_batches(hash_batch, batch_format="pandas", batch_size=None)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("__h", as_index=False).agg(**{id_col: (id_col, "min"), "__n": ("__n", "sum")})
 
-    partials = hashed.map_batches(partial, batch_format="pandas")
-    out = partials.groupby("__h").aggregate(
-        Min(id_col, alias_name=id_col), Sum("__n", alias_name="dupes")
-    )
-    return out.select_columns([id_col, "dupes"])
+    partials = hashed.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("__h", as_index=False).agg(**{id_col: (id_col, "min"), "dupes": ("__n", "sum")})
+        return out[[id_col, "dupes"]]
+
+    return relops.hash_partition_apply(partials, ["__h"], final, n_partitions=8)
 
 
 # ---------------------------------------------------------------- shingling
@@ -138,16 +138,17 @@ def minhash_lsh_pairs(
     band_rows = ds.map_batches(Sig, batch_format="pandas", concurrency=(1, 8))
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df[id_col].unique())
-        pairs = [(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]]
-        if not pairs:
+        out = []
+        for _, g in df.groupby(["band", "bh"], sort=False):
+            ids = sorted(g[id_col].unique())
+            out.extend((x, y) for i, x in enumerate(ids) for y in ids[i + 1 :])
+        if not out:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame(pairs, columns=["id_a", "id_b"])
+        return pd.DataFrame(out, columns=["id_a", "id_b"])
 
     cand = (
-        band_rows.groupby(["band", "bh"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        relops.hash_partition_apply(band_rows, ["band", "bh"], bucket_pairs, n_partitions=8)
         .to_pandas()
         .drop_duplicates()
     )
@@ -235,22 +236,21 @@ def simhash_pairs(
     band_rows = sigs.map_batches(bands, batch_format="pandas")
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        recs = sorted(set(zip(df[id_col], df["sh"])))
         out = []
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                (ia, ha), (ib, hb) = recs[i], recs[j]
-                d = bin(int(ha) ^ int(hb)).count("1")
-                if d <= max_hamming:
-                    out.append((ia, ib, d))
+        for _, g in df.groupby(["band", "bh"], sort=False):
+            recs = sorted(set(zip(g[id_col], g["sh"])))
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    (ia, ha), (ib, hb) = recs[i], recs[j]
+                    d = bin(int(ha) ^ int(hb)).count("1")
+                    if d <= max_hamming:
+                        out.append((ia, ib, d))
         return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"]) if out else pd.DataFrame(
             {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
              "hamming": pd.Series([], dtype="int64")}
         )
 
-    out = (
-        band_rows.groupby(["band", "bh"]).map_groups(pairs, batch_format="pandas").to_pandas()
-    )
+    out = relops.hash_partition_apply(band_rows, ["band", "bh"], pairs, n_partitions=8).to_pandas()
     return out.drop_duplicates().sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 

@@ -180,10 +180,13 @@ def build_inverted_index(
         g = df.groupby("word")[id_col].agg(lambda s: sorted(set(s)))
         return pd.DataFrame({"word": g.index, "ids": g.values})
 
-    partials = words.map_batches(partial, batch_format="pandas")
+    partials = words.map_batches(partial, batch_format="pandas", batch_size=None)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted({i for lst in df["ids"] for i in lst})
-        return pd.DataFrame({"term": [df["word"].iloc[0]], "df": [len(ids)], "postings": [ids]})
+        rows = []
+        for word, g in df.groupby("word", sort=False):
+            ids = sorted({i for lst in g["ids"] for i in lst})
+            rows.append((word, len(ids), ids))
+        return pd.DataFrame(rows, columns=["term", "df", "postings"])
 
-    return partials.groupby("word").map_groups(merge, batch_format="pandas")
+    return relops.hash_partition_apply(partials, ["word"], merge, n_partitions=8)
