@@ -175,3 +175,108 @@ def save_summary_txt(df: pd.DataFrame, path: str, cols: tuple[str, ...]) -> str:
     with open(path, "w", encoding="utf-8") as f:
         f.write("\n".join(lines))
     return path
+
+
+# ------------------------------------------------ K4/K5/K8/K9/K10/M10/M15 utils
+
+_SANITIZE = re.compile(r'[\\/*?:"<>|]')
+
+
+def sanitize_filename(name: str, max_len: int = 150) -> str:
+    """M10 (/root/reference/src/utils/downloader.py:23-24): strip filesystem-
+    hostile characters, truncate."""
+    return _SANITIZE.sub("", name).strip()[:max_len]
+
+
+def format_for_prompt(df: pd.DataFrame, k: int = 5, cols: tuple[str, ...] = ("title", "abstract")) -> str:
+    """M15 (/root/reference/src/search/search_service.py:225-233): top-k rows
+    → LLM context block."""
+    parts = []
+    for i, row in enumerate(df.head(k).itertuples(index=False), 1):
+        d = row._asdict()
+        parts.append(f"[{i}] " + " | ".join(f"{c}: {d.get(c, '')}" for c in cols if c in d))
+    return "\n".join(parts)
+
+
+def export_bundle(df: pd.DataFrame, out_zip: str, payload_col: str | None = None,
+                  name_col: str = "image_id", summary_cols: tuple[str, ...] = ()) -> str:
+    """K5 (/root/reference/src/crawlers/processor.py:108-141): one zip with a
+    summary.txt plus each row's binary payload under a sanitized name."""
+    import io
+    import zipfile
+
+    os.makedirs(os.path.dirname(out_zip) or ".", exist_ok=True)
+    with zipfile.ZipFile(out_zip, "w", zipfile.ZIP_DEFLATED) as zf:
+        lines = [f"TOTAL: {len(df)}"]
+        for row in df.itertuples(index=False):
+            d = row._asdict()
+            lines.append(" | ".join(f"{c}={d.get(c, '')}" for c in (summary_cols or d.keys())
+                                    if c != payload_col))
+            if payload_col and d.get(payload_col) is not None:
+                zf.writestr(f"payload/{sanitize_filename(str(d[name_col]))}.bin",
+                            bytes(d[payload_col]))
+        zf.writestr("summary.txt", "\n".join(lines))
+    return out_zip
+
+
+def save_barh_svg(df: pd.DataFrame, label_col: str, value_col: str, path: str,
+                  title: str = "", top_n: int = 40, width: int = 900) -> str:
+    """K9 (/root/reference/src/analysis/trends.py:73-164): ranking chart —
+    rendered as a dependency-free SVG (no matplotlib in this sandbox; the
+    aggregate table itself comes from the Dataset pipelines)."""
+    rows = df.nlargest(top_n, value_col) if len(df) > top_n else df.sort_values(
+        value_col, ascending=False)
+    vmax = float(rows[value_col].max() or 1)
+    bar_h, pad = 18, 4
+    height = 40 + len(rows) * (bar_h + pad)
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}">',
+        f'<text x="10" y="20" font-size="16" font-family="sans-serif">{title}</text>',
+    ]
+    for i, row in enumerate(rows.itertuples(index=False)):
+        d = row._asdict()
+        y = 40 + i * (bar_h + pad)
+        w = int((width - 320) * float(d[value_col]) / vmax)
+        parts.append(
+            f'<text x="10" y="{y + 13}" font-size="11" font-family="sans-serif">{d[label_col]}</text>'
+            f'<rect x="300" y="{y}" width="{max(w,1)}" height="{bar_h}" fill="#4477aa"/>'
+            f'<text x="{305 + w}" y="{y + 13}" font-size="11" font-family="sans-serif">{d[value_col]}</text>'
+        )
+    parts.append("</svg>")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(parts))
+    return path
+
+
+def save_wordcloud_svg(freqs: pd.DataFrame, path: str, word_col: str = "word",
+                       n_col: str = "n", top_n: int = 60, width: int = 1200,
+                       height: int = 600) -> str:
+    """K8 (/root/reference/src/analysis/analyzer.py:47-78): frequency cloud —
+    deterministic grid-layout SVG stand-in for the WordCloud PNG."""
+    rows = freqs.nlargest(top_n, n_col)
+    nmax = float(rows[n_col].max() or 1)
+    parts = [f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}">']
+    cols = 6
+    cw, ch = width // cols, height // ((top_n + cols - 1) // cols)
+    for i, row in enumerate(rows.itertuples(index=False)):
+        d = row._asdict()
+        size = 10 + int(26 * float(d[n_col]) / nmax)
+        x = (i % cols) * cw + 10
+        y = (i // cols) * ch + ch // 2
+        parts.append(
+            f'<text x="{x}" y="{y}" font-size="{size}" font-family="sans-serif">{d[word_col]}</text>'
+        )
+    parts.append("</svg>")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(parts))
+    return path
+
+
+def save_search_results(df: pd.DataFrame, out_dir: str, query: str) -> str:
+    """K10 (/root/reference/src/search/search_service.py:236-256): timestamped
+    session markdown of search hits."""
+    stamp = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
+    path = os.path.join(out_dir, f"search_{stamp}.md")
+    return save_markdown(df, path, f"Search results for: {query}")

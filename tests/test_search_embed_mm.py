@@ -190,3 +190,54 @@ class TestAnalysis:
         ds = rd.from_items([{"t": "alpha beta beta gamma gamma gamma"}])
         out = analysis.word_frequencies(ds, ["t"], frozenset(), top_n=2)
         assert list(out.word) == ["gamma", "beta"]
+
+
+class TestReportUtils:
+    def test_sanitize(self):
+        assert analysis.sanitize_filename('a/b:c*d?"e"<f>|g') == "abcdefg"
+        assert len(analysis.sanitize_filename("x" * 500)) == 150
+
+    def test_format_for_prompt(self):
+        df = pd.DataFrame({"title": ["T1", "T2"], "abstract": ["A1", "A2"]})
+        out = analysis.format_for_prompt(df, k=1)
+        assert out == "[1] title: T1 | abstract: A1"
+
+    def test_export_bundle(self, tmp_path):
+        import zipfile
+
+        df = pd.DataFrame({"image_id": ["x/1", "y2"], "bytes": [b"aa", b"bb"], "w": [1, 2]})
+        p = analysis.export_bundle(df, str(tmp_path / "b.zip"), payload_col="bytes",
+                                   summary_cols=("image_id", "w"))
+        with zipfile.ZipFile(p) as zf:
+            names = set(zf.namelist())
+            assert "summary.txt" in names and "payload/x1.bin" in names
+            assert zf.read("payload/y2.bin") == b"bb"
+
+    def test_svg_sinks(self, tmp_path):
+        df = pd.DataFrame({"topic": ["a", "b"], "n": [10, 5]})
+        p = analysis.save_barh_svg(df, "topic", "n", str(tmp_path / "bar.svg"), title="T")
+        svg = open(p).read()
+        assert svg.startswith("<svg") and svg.count("<rect") == 2 and "</svg>" in svg
+        freqs = pd.DataFrame({"word": ["big", "small"], "n": [100, 1]})
+        p2 = analysis.save_wordcloud_svg(freqs, str(tmp_path / "wc.svg"))
+        svg2 = open(p2).read()
+        assert "big" in svg2 and "small" in svg2
+        import re as _re
+
+        sizes = [int(m) for m in _re.findall(r'font-size="(\d+)"', svg2)]
+        assert max(sizes) > min(sizes)
+
+    def test_save_search_results(self, tmp_path):
+        df = pd.DataFrame({"title": ["hit"], "score": [1.0]})
+        p = analysis.save_search_results(df, str(tmp_path), "my query")
+        assert "Search results for: my query" in open(p).read()
+
+    def test_csv_roundtrip_via_ray(self, tmp_path):
+        # S10-style reload: K1 CSV output is readable back by ray.data.read_csv
+        df = pd.DataFrame({"title": ["t1", "t2"], "authors": [["a"], ["b", "c"]],
+                           "abstract": ["x", "y"], "year": [2023, 2024]})
+        p = analysis.save_csv(df, str(tmp_path / "out.csv"))
+        back = rd.read_csv(p).to_pandas()
+        assert list(back.columns)[:3] == ["title", "authors", "abstract"]
+        assert list(back.year) == [2023, 2024]
+        assert list(back.authors) == ["a", "b, c"]
