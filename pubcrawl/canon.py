@@ -71,29 +71,58 @@ def _canon_host(u: str) -> tuple[str, str]:
     return c, host_of(c)
 
 
+_HOST_RX = r"^[a-z0-9+.-]+://(?P<host>[a-z0-9-]+(?:\.[a-z0-9-]+)*)/"
+
+
 def canonicalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
     """map_batches UDF: canonicalize url column, add host / url_hash / host_hash.
 
-    Python-level loop over the batch's strings (URL parsing is not
-    expressible in pyarrow.compute); already-canonical URLs take a single
-    regex-match fast path, and host hashes are memoized per batch (hosts
-    repeat heavily in any crawl frontier).
+    Hot path is fully vectorized: an Arrow-regex mask detects
+    already-canonical URLs (kept zero-copy), hosts come from
+    ``pc.extract_regex``, and both hashes run through the numpy-vectorized
+    xxh64 (hashing.xxh64_arrow) — host hashes on the dictionary-encoded
+    host column, so each distinct host is hashed once per batch. Only
+    non-canonical URLs (uppercase, ports, query strings, dot-segments…)
+    drop to the per-row urllib path.
     """
-    urls = batch[url_col].to_pylist()
-    pairs = [_canon_host(u) for u in urls]
-    canon = [p[0] for p in pairs]
-    hosts = [p[1] for p in pairs]
-    uh = xxh64_many(canon)
-    host_cache: dict[str, int] = {}
-    hh = np.empty(len(hosts), dtype=np.uint32)
-    for i, hname in enumerate(hosts):
-        v = host_cache.get(hname)
-        if v is None:
-            v = host_cache[hname] = xxh64(hname) & 0xFFFFFFFF
-        hh[i] = v
+    import pyarrow.compute as pc
+
+    from .hashing import xxh64_arrow
+
+    if batch.num_rows == 0:
+        cols = {name: batch[name] for name in batch.column_names}
+        cols["host"] = pa.array([], pa.string())
+        cols["url_hash"] = pa.array([], pa.uint64())
+        cols["host_hash"] = pa.array([], pa.uint32())
+        return pa.table(cols)
+    urls_arr = batch[url_col]
+    if isinstance(urls_arr, pa.ChunkedArray):
+        urls_arr = urls_arr.combine_chunks()
+    if urls_arr.type == pa.large_string():
+        urls_arr = urls_arr.cast(pa.string())
+    simple = pc.match_substring_regex(urls_arr, _SIMPLE.pattern)
+    n_slow = batch.num_rows - (pc.sum(pc.cast(simple, pa.int64())).as_py() or 0)
+    if n_slow == 0:
+        canon_arr = urls_arr
+        hosts_arr = pc.struct_field(pc.extract_regex(urls_arr, _HOST_RX), "host")
+    else:
+        urls = urls_arr.to_pylist()
+        smask = simple.to_pylist()
+        pairs = [
+            (u, _SIMPLE.match(u).group(2)) if ok else _canon_host(u)
+            for u, ok in zip(urls, smask)
+        ]
+        canon_arr = pa.array([p[0] for p in pairs], pa.string())
+        hosts_arr = pa.array([p[1] for p in pairs], pa.string())
+    uh = xxh64_arrow(canon_arr)
+    hd = hosts_arr.dictionary_encode()
+    if isinstance(hd, pa.ChunkedArray):
+        hd = hd.combine_chunks()
+    dict_hashes = (xxh64_arrow(hd.dictionary) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hh = dict_hashes[hd.indices.to_numpy(zero_copy_only=False)]
     cols = {name: batch[name] for name in batch.column_names}
-    cols[url_col] = pa.array(canon, type=pa.string())
-    cols["host"] = pa.array(hosts, type=pa.string())
+    cols[url_col] = canon_arr
+    cols["host"] = hosts_arr
     cols["url_hash"] = pa.array(uh, type=pa.uint64())
     cols["host_hash"] = pa.array(hh, type=pa.uint32())
     return pa.table(cols)

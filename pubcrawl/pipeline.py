@@ -63,8 +63,7 @@ LINKS_SCHEMA = pa.schema(
 def _robots_filter(batch: pa.Table, _cache=RobotsCache()) -> pa.Table:
     if batch.num_rows == 0:
         return batch
-    mask = _cache.allowed_many(batch["url"].to_pylist())
-    return batch.filter(pa.array(mask))
+    return batch.filter(_cache.allowed_mask_arrow(batch["url"]))
 
 
 def _add_ord(batch: pa.Table) -> pa.Table:

@@ -106,3 +106,11 @@ class RobotsCache:
         from .synthweb import robots_allowed
 
         return np.fromiter((robots_allowed(u) for u in urls), dtype=bool, count=len(urls))
+
+    def allowed_mask_arrow(self, urls_arr):
+        """Vectorized form over an Arrow string array: the synthetic policy
+        (path-prefix disallow of /private/) as one RE2 pass; a real-web cache
+        would partition by host and apply each host's matcher per group."""
+        import pyarrow.compute as pc
+
+        return pc.invert(pc.match_substring_regex(urls_arr, r"^[a-z0-9+.-]+://[^/]*/private/"))
