@@ -6,20 +6,23 @@ Semantics are pinned to the sequential oracle (oracle.py): discovery-order
 plan per round (depth d):
 
   links_{d-1} fragments ──read_parquet
-    → map_batches(canonicalize+hash)              stateless, vectorized-ish
-    → map_batches(robots filter)                  RobotsCache per task
-    → sort(url_hash, ord) + per-block vectorized  within-round first-wins dedup
-      adjacent-dup drop (boundary-aware)
-    → map_batches(SeenFilter)                     1 RPC per (block, seen shard)
-    → sort(ord) → per-block seq enumeration       distributed prefix-sum
+    → map_batches(canonicalize+hash)              Arrow-regex fast path +
+                                                  numpy-vectorized xxh64
+    → map_batches(robots filter)                  one RE2 mask per block
+    → map_batches(+ord)                           ord = parent_seq·2^20+idx
+    → key-column reduce (_dedup_rank_assign):     per-block (hash,ord) splits
+      shard-fused first-wins dedup + seen          → seen shards (1 RPC each)
+      registration, searchsorted seq ranking       → per-block apply tasks
     → commit frontier_d{d}
-  frontier ──from_arrow
-    → map_batches(Fetcher, concurrency=F)         actor pool, politeness grants
-    → map_batches(ParseDecode, concurrency=P)     decode + phash in-stage
-    → groupby(bucket).map_groups(Committer)       atomic per-bucket fragments
-  buckets are CONTIGUOUS SEQ RANGES: hot hosts are split across buckets
-  (explicit skew handling) while their shared token-bucket shard still
-  enforces the per-host rate; commit marker round_d{d}_done closes the round.
+  frontier (driver table, metadata only)
+    → persistent FetchWorker pool                 fetch+parse+decode one hop,
+      (politeness grants per batch)                actors reused across rounds
+    → per-bucket commit tasks                     buckets = CONTIGUOUS SEQ
+                                                  RANGES → the bucket exchange
+                                                  is a no-op (range partition)
+  hot hosts are split across seq buckets (explicit skew handling) while their
+  shared token-bucket shard still enforces the per-host rate; commit marker
+  round_d{d}_done closes the round.
 
 Resume: re-open the store, bulk_seed seen shards from committed frontier
 fragments, skip every committed bucket, recompute only what is missing.
