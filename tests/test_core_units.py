@@ -169,3 +169,53 @@ class TestCuckoo:
         probes = rng.integers(2**63, 2**64 - 1, size=5000, dtype=np.uint64)
         fp = sum(f.contains(int(x)) for x in probes)
         assert fp / 5000 < 0.02  # 16-bit fingerprints → ~0.1% expected
+
+
+class TestVectorizedXXH64:
+    def test_matches_scalar_random_lengths(self):
+        import random
+
+        import pyarrow as pa
+
+        from pubcrawl.hashing import xxh64_arrow
+
+        random.seed(7)
+        strs = [
+            "".join(chr(random.randint(33, 126)) for _ in range(random.randint(0, 150)))
+            for _ in range(1500)
+        ] + ["", "a", "abc", "synth://host-00001/detail/5", "x" * 64, "y" * 33]
+        arr = pa.array(strs, pa.string())
+        vec = xxh64_arrow(arr)
+        scalar = np.array([xxh64(s) for s in strs], dtype=np.uint64)
+        assert (vec == scalar).all()
+
+    def test_large_string_and_chunked(self):
+        import pyarrow as pa
+
+        from pubcrawl.hashing import xxh64_arrow
+
+        strs = ["alpha", "beta-gamma-delta-epsilon-zeta-eta-theta", ""]
+        large = pa.array(strs, pa.large_string())
+        chunked = pa.chunked_array([pa.array(strs[:2]), pa.array(strs[2:])])
+        expect = [xxh64(s) for s in strs]
+        assert [int(x) for x in xxh64_arrow(large)] == expect
+        assert [int(x) for x in xxh64_arrow(chunked)] == expect
+
+    def test_sliced_array_offset(self):
+        import pyarrow as pa
+
+        from pubcrawl.hashing import xxh64_arrow
+
+        arr = pa.array(["aa", "bb", "cc", "dd"]).slice(1, 2)
+        assert [int(x) for x in xxh64_arrow(arr)] == [xxh64("bb"), xxh64("cc")]
+
+    def test_cuckoo_add_many_matches_contains(self):
+        from pubcrawl.seen import CuckooFilter
+
+        rng = np.random.default_rng(5)
+        f = CuckooFilter(capacity=8192)
+        items = rng.integers(0, 2**63, size=4000, dtype=np.uint64)
+        f.add_many(items)
+        assert f.contains_many(items).all()  # no false negatives
+        probes = rng.integers(2**63, 2**64 - 1, size=5000, dtype=np.uint64)
+        assert f.contains_many(probes).mean() < 0.02
