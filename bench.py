@@ -43,7 +43,7 @@ BENCH_WEB = dict(
 # standalone frontier-expansion benchmark input (same expand code path as the
 # crawl, fed a large link table so sustained rows/sec — not per-round floor —
 # is what's measured)
-EXPAND_ROWS = 12_000_000
+EXPAND_ROWS = 48_000_000
 EXPAND_HOSTS = 4096
 
 # queries excluded from the per-query timing loop (crawl runs separately)
@@ -126,7 +126,7 @@ def run_expand(num_cpus: int) -> dict:
     # fixed block count at BOTH parallelism levels (identical physical plan;
     # only the worker count varies) so the comparison measures workers, not a
     # plan change
-    base = rd.range(n, override_num_blocks=96).map_batches(
+    base = rd.range(n, override_num_blocks=128).map_batches(
         gen_links, batch_format="numpy", batch_size=None
     ).materialize()  # input prep excluded from the timed region
     import ray

@@ -1,0 +1,137 @@
+"""Task runner — the reference's collect pipeline
+(/root/reference/src/crawlers/run_crawler.py:110-196) as a Ray Data flow:
+
+  TaskSpec (sources.build_task_specs) →
+    seed fetch (index page / API payload) →
+    parse (PARSER_REGISTRY adapter) →
+    [two-hop sources] detail-URL extraction → parallel detail fetch+parse →
+    M1 regex filter → M2 year/conference enrichment →
+    K1 CSV + K2 markdown + K3 summary sinks.
+
+The transport is pluggable (HttpTransport for the real web, or any object
+with ``fetch(url) -> (status, bytes)``); tests drive the full chain against a
+local HTTP server serving fixture pages. Unlike the reference's sequential
+task loop, detail fetches fan out over a Ray Data task pool and tasks
+themselves are independent Datasets.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import asdict
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from . import analysis, relops, sources
+from .sources import TaskSpec
+
+
+def _fetch_one(transport_factory, url: str) -> tuple[int, bytes]:
+    transport = transport_factory()
+    return transport.fetch(url)
+
+
+def run_task(
+    spec: TaskSpec,
+    transport_factory,
+    *,
+    detail_parser=None,
+    index_link_pattern: str | None = None,
+    index_link_exclude: str | None = None,
+    out_dir: str | None = None,
+) -> pd.DataFrame:
+    """Execute one task end-to-end; returns the enriched paper table
+    (and writes the K1-K3 artifacts when ``out_dir`` is set)."""
+    status, payload = _fetch_one(transport_factory, spec.url)
+    if status != 200:
+        raise RuntimeError(f"index fetch failed for {spec.url}: HTTP {status}")
+
+    if spec.source_type in ("arxiv_atom", "openreview", "ieee_toc", "pmlr_index"):
+        parser = sources.PARSER_REGISTRY[spec.source_type]
+        if spec.source_type == "pmlr_index":
+            rows = parser(payload, spec.url, limit=spec.max_papers)
+        elif spec.source_type == "ieee_toc":
+            rows, _ = parser(payload)
+        else:
+            rows = parser(payload)
+            if spec.max_papers:
+                rows = rows[: spec.max_papers]
+    elif spec.source_type == "html_index":
+        # two-hop: index → detail URLs (discovery order) → parallel fetch+parse
+        links = sources.extract_links(
+            payload, spec.url, index_link_pattern or r".",
+            exclude=index_link_exclude, limit=spec.max_papers,
+        )
+        parser = detail_parser or sources.parse_acl_detail
+        seeds = rd.from_items([{"url": u, "seq": i} for i, u in enumerate(links)])
+
+        def fetch_parse(df: pd.DataFrame) -> pd.DataFrame:
+            transport = transport_factory()  # session per task (A4 semantics)
+            out = []
+            for u, s in zip(df["url"], df["seq"]):
+                st, pl = transport.fetch(u)
+                if st != 200:
+                    continue
+                row = parser(pl, u)
+                if row:
+                    row["seq"] = s
+                    out.append(row)
+            return pd.DataFrame(out) if out else pd.DataFrame(
+                columns=["id", "title", "authors", "abstract", "pdf_url", "source_url", "seq"]
+            )
+
+        fetched = seeds.map_batches(
+            fetch_parse, batch_format="pandas", batch_size=8,
+        ).to_pandas()
+        rows = (
+            fetched.sort_values("seq").drop(columns=["seq"]).to_dict("records")
+            if len(fetched)
+            else []
+        )
+    else:
+        raise ValueError(f"unknown source_type {spec.source_type}")
+
+    df = pd.DataFrame(rows)
+    if df.empty:
+        return df
+
+    # M1 filter + M2 enrichment on a Dataset (run_crawler.py:140-145 semantics)
+    ds = rd.from_pandas(df)
+    if spec.filters:
+        pattern = "|".join(spec.filters)
+
+        def keep(pdf: pd.DataFrame) -> pd.DataFrame:
+            hay = (pdf["title"].fillna("") + " " + pdf["abstract"].fillna(""))
+            return pdf[hay.str.contains(pattern, case=False, regex=True)]
+
+        ds = ds.map_batches(keep, batch_format="pandas", batch_size=None)
+    enriched = ds.map_batches(
+        lambda pdf: pdf.assign(year=spec.year, conference=spec.conference),
+        batch_format="pandas",
+        batch_size=None,
+    )
+    out = enriched.to_pandas()
+
+    if out_dir and len(out):
+        base = os.path.join(out_dir, spec.conference, str(spec.year))
+        analysis.save_csv(out, os.path.join(base, f"{spec.conference}_{spec.year}_data.csv"))
+        analysis.save_markdown(
+            out, os.path.join(base, "report.md"), f"{spec.conference} {spec.year}"
+        )
+        analysis.save_summary_txt(
+            out, os.path.join(base, "summary.txt"), ("title", "authors", "source_url")
+        )
+    return out
+
+
+def run_tasks(config: dict, transport_factory, out_dir: str | None = None, **kw) -> dict:
+    """The reference's multi-task driver loop (sequential per task — each task
+    is itself a parallel Dataset flow); returns {task label: row count}."""
+    results = {}
+    for spec in sources.build_task_specs(config):
+        df = run_task(spec, transport_factory, out_dir=out_dir, **kw)
+        results[f"{spec.conference}_{spec.year}"] = len(df)
+    return results

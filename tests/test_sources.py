@@ -209,3 +209,108 @@ def test_http_transport_retries_on_5xx():
         assert st3 == 599
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------- runner e2e
+
+
+INDEX_PAGE = b"""<html>
+<a href="/2024.test-long.0/">front-matter</a>
+<a href="/2024.test-long.1/">p1</a>
+<a href="/2024.test-long.2/">p2</a>
+<a href="/2024.test-long.3/">p3</a>
+</html>"""
+
+DETAILS = {
+    1: (b'<html><h2 id="title">Neural Crawling</h2><p class="lead"><a>A One</a></p>'
+        b'<div class="acl-abstract"><span>We crawl with nets.</span></div></html>'),
+    2: (b'<html><h2 id="title">Boring Tables</h2><p class="lead"><a>B Two</a></p>'
+        b'<div class="acl-abstract"><span>Relational only.</span></div></html>'),
+    3: (b'<html><h2 id="title">Deep Dedup</h2><p class="lead"><a>C Three</a></p>'
+        b'<div class="acl-abstract"><span>Neural dedup at scale.</span></div></html>'),
+}
+
+
+class _SiteHandler(http.server.BaseHTTPRequestHandler):
+    def do_GET(self):
+        if self.path.rstrip("/") == "/index":
+            body = INDEX_PAGE
+        else:
+            import re as _re
+
+            m = _re.search(r"test-long\.(\d+)", self.path)
+            body = DETAILS.get(int(m.group(1)) if m else -1)
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+        self.send_response(200)
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+def test_runner_two_hop_end_to_end(tmp_path):
+    from pubcrawl import runner
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), _SiteHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        cfg = {
+            "tasks": [
+                {
+                    "conference": "TESTCONF",
+                    "year": 2024,
+                    "url_override": f"http://127.0.0.1:{port}/index",
+                    "source_type": "html_index",
+                    "filters": ["neural"],  # M1: keeps papers 1 and 3 only
+                }
+            ]
+        }
+        results = runner.run_tasks(
+            cfg,
+            lambda: HttpTransport(total_retries=2, backoff=0.01),
+            out_dir=str(tmp_path),
+            index_link_pattern=r"test-long\.\d+",
+            index_link_exclude=r"test-long\.0/?$",
+        )
+        assert results == {"TESTCONF_2024": 2}
+        csv_path = tmp_path / "TESTCONF" / "2024" / "TESTCONF_2024_data.csv"
+        content = open(csv_path, encoding="utf-8-sig").read()
+        assert "Neural Crawling" in content and "Deep Dedup" in content
+        assert "Boring Tables" not in content
+        assert ",2024,TESTCONF" in content  # M2 enrichment columns
+        assert (tmp_path / "TESTCONF" / "2024" / "report.md").exists()
+        assert (tmp_path / "TESTCONF" / "2024" / "summary.txt").exists()
+    finally:
+        srv.shutdown()
+
+
+def test_runner_pmlr_source(tmp_path):
+    from pubcrawl import runner
+
+    class _PmlrHandler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(PMLR)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), _PmlrHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        cfg = {
+            "source_definitions": {"ICML": {"source_type": "pmlr_index",
+                                            "venue_id": f"http://127.0.0.1:{port}/vYYYY"}},
+            "tasks": [{"conference": "ICML", "year": 2023, "max_papers_limit": 1}],
+        }
+        results = runner.run_tasks(cfg, lambda: HttpTransport(total_retries=1, backoff=0.01))
+        assert results == {"ICML_2023": 1}
+    finally:
+        srv.shutdown()
