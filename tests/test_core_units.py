@@ -219,3 +219,30 @@ class TestVectorizedXXH64:
         assert f.contains_many(items).all()  # no false negatives
         probes = rng.integers(2**63, 2**64 - 1, size=5000, dtype=np.uint64)
         assert f.contains_many(probes).mean() < 0.02
+
+
+class TestFullSizeImages:
+    def test_input_hint_size_range_invariants(self):
+        """FIXTURES.md §1: w,h ∈ [16,512]. Full-range images keep the codec +
+        phash invariants (PSNR ≥ 40 dB lossy, exact lossless)."""
+        from pubcrawl.imaging import decode_image, encode_image
+
+        for key in (901, 902, 903):
+            img, fmt, q = procedural_image(key, min_side=16, max_side=512)
+            assert 16 <= img.shape[0] <= 512 and 16 <= img.shape[1] <= 512
+            enc = encode_image(img, fmt, q)
+            dec = decode_image(enc, fmt)
+            if fmt == "png":
+                assert (dec == img).all()
+            else:
+                assert psnr(img, dec) >= 40.0
+            assert phash64(dec) == phash64(decode_image(enc, fmt))  # deterministic
+
+    def test_detail_pages_support_full_range(self):
+        from pubcrawl.synthweb import WebConfig, detail_images
+
+        cfg = WebConfig(seed=3, n_hosts=2, min_side=64, max_side=512)
+        items = detail_images(cfg, 0, 0)
+        for it in items:
+            h, w = it["pixels"].shape[:2]
+            assert 64 <= h <= 512 and 64 <= w <= 512
