@@ -704,3 +704,83 @@ def analysis_topic_report(sf_dir: str):
     stats = an.topic_stats(classified, "topics", metric_col="n_chars", category_col="lang")
     stats["avg_metric"] = stats["avg_metric"].astype(float)
     return stats
+
+
+# ======================================================= streaming-shaped ops
+
+
+@query(
+    "w1_tumbling_daily",
+    sql="SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us, event_type, "
+    "COUNT(*) AS n, SUM(CAST(ROUND(value*100) AS BIGINT)) AS value_e2 "
+    "FROM events GROUP BY 1, 2",
+)
+def w1_tumbling_daily(sf_dir: str):
+    """Tumbling-window aggregate (daily) over the events log — the
+    streaming-shaped groupby of the Ray guide; exact int math."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"], unit="day")
+        day_us = pc.cast(pc.cast(day, pa.int64()), pa.int64())
+        batch = batch.append_column("day_us", day_us)
+        return batch
+
+    ds = ds.map_batches(add_day, batch_format="pyarrow", batch_size=None)
+    ds = relops.with_columns(ds, {"value_e2": relops.money_to_units("value")})
+    return relops.preagg_group_sum(
+        ds, ["day_us", "event_type"], {"value_e2": "value_e2"}, count_as="n"
+    )
+
+
+@query(
+    "w2_session_windows",
+    sql="SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events FROM ("
+    "SELECT user_id, CASE WHEN prev_ts IS NULL "
+    "OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM ("
+    "SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+    "FROM events)) GROUP BY user_id",
+)
+def w2_session_windows(sf_dir: str):
+    """Session windows (30-min gap) per user — keyed-log windowing via the
+    explicit hash-partition shuffle + per-key sorted pass."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    out = relops.session_windows(ds, "user_id", "ts", gap_seconds=1800.0)
+    return out.map_batches(
+        lambda df: df.assign(n_sessions=df.n_sessions.astype("int64"),
+                             n_events=df.n_events.astype("int64")),
+        batch_format="pandas", batch_size=None,
+    )
+
+
+@query(
+    "asof_last_click",
+    sql="SELECT p.event_id, COALESCE((SELECT CAST(epoch_us(max(c.ts)) AS BIGINT) "
+    "FROM events c WHERE c.user_id = p.user_id AND c.event_type = 'click' "
+    "AND c.ts <= p.ts), -1) AS last_click_us "
+    "FROM events p WHERE p.event_type = 'purchase'",
+)
+def asof_last_click(sf_dir: str):
+    """As-of join (backward): for each purchase event, the most recent
+    preceding click of the same user — co-partitioned merge_asof."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    purchases = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).drop_columns(["event_type"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    def mk_clicks(t: pa.Table) -> pa.Table:
+        c = t.filter(pc.equal(t["event_type"], "click"))
+        click_us = pc.cast(c["ts"], pa.int64())  # epoch micros as the value col
+        return pa.table({"user_id": c["user_id"], "ts": c["ts"], "click_us": click_us})
+
+    clicks = ds.map_batches(mk_clicks, batch_format="pyarrow", batch_size=None)
+    joined = relops.asof_join_partitioned(
+        purchases, clicks, key="user_id", on="ts", right_cols=["click_us"]
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["click_us"].fillna(-1)
+        return pd.DataFrame({"event_id": df["event_id"].astype("int64"),
+                             "last_click_us": us.astype("int64")})
+
+    return joined.map_batches(project, batch_format="pandas", batch_size=None)

@@ -344,3 +344,75 @@ def collect_arrow(ds: rd.Dataset) -> pa.Table:
     if not tables:
         raise ValueError("collect_arrow: dataset produced no non-empty blocks")
     return pa.concat_tables(tables)
+
+
+def asof_join_partitioned(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    on: str,
+    right_cols: list[str],
+    n_partitions: int = 16,
+    suffix: str = "_r",
+) -> rd.Dataset:
+    """As-of join (backward: latest right row with on <= left.on per key):
+    co-partition both sides by key hash, per-partition pd.merge_asof over
+    ts-sorted frames (the guide's bucketed merge_asof pattern). Deterministic:
+    ties on equal timestamps resolve to the last right row in (on, stable)
+    order, matching SQL's max() over the <= window for monotone values."""
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__side"] = np.int8(side)
+            return df
+
+        return fn
+
+    lt = left.map_batches(tag(0), batch_format="pandas", batch_size=None)
+    rt = right.map_batches(tag(1), batch_format="pandas", batch_size=None)
+    both = lt.union(rt)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0].drop(columns=["__side"]).dropna(axis=1, how="all")
+        r = df[df["__side"] == 1][[key, on, *right_cols]]
+        l = l.sort_values([on, key], kind="mergesort").reset_index(drop=True)
+        r = r.sort_values([on, key], kind="mergesort").reset_index(drop=True)
+        if l.empty:
+            return l
+        if r.empty:
+            out = l.copy()
+            for c in right_cols:
+                out[c] = np.nan
+            return out
+        out = pd.merge_asof(
+            l, r, on=on, by=key, direction="backward", suffixes=("", suffix)
+        )
+        return out
+
+    return hash_partition_apply(both, [key], merge, n_partitions=n_partitions)
+
+
+def session_windows(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    gap_seconds: float,
+    n_partitions: int = 16,
+) -> rd.Dataset:
+    """Session windowing (streaming-shaped, per the Ray guide: treat the
+    input as a keyed log, window per key over the sorted group): a new
+    session starts when the gap to the previous event of the same key
+    exceeds ``gap_seconds``. Returns per-key session stats."""
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="mergesort")
+        prev = df.groupby(key)[ts_col].shift()
+        new_session = prev.isna() | ((df[ts_col] - prev).dt.total_seconds() > gap_seconds)
+        df = df.assign(__new=new_session.astype(int))
+        g = df.groupby(key, as_index=False).agg(
+            n_sessions=("__new", "sum"), n_events=(ts_col, "size")
+        )
+        return g
+
+    return hash_partition_apply(ds, [key], windows, n_partitions=n_partitions)
