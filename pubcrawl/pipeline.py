@@ -373,9 +373,16 @@ class CrawlPipeline:
             # the bucket exchange is a no-op — no groupby shuffle needed).
             bs = self.fetch_batch_size
             buckets = todo["bucket"].to_numpy(zero_copy_only=False)
+            prios = todo["priority"].to_numpy(zero_copy_only=False)
+            # priority scheduler (north_rule): buckets are SUBMITTED to the
+            # fetch pool in (max priority desc, bucket asc) order — scheduling
+            # only; canonical output order stays discovery-`seq` regardless
+            uniq = np.unique(buckets)
+            bucket_prio = np.array([prios[buckets == b].max() for b in uniq])
+            order = np.lexsort((uniq, -bucket_prio))
             per_bucket: dict[int, list] = {}
             i = 0
-            for b in np.unique(buckets):
+            for b in uniq[order]:
                 sel = np.flatnonzero(buckets == b)
                 lo, hi = int(sel[0]), int(sel[-1]) + 1
                 for s_lo in range(lo, hi, bs):

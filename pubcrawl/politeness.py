@@ -92,15 +92,44 @@ class Politeness:
 
 
 class RobotsCache:
-    """Per-actor robots rule cache. On the synthetic web the rule is the
-    static /private/ disallow (synthweb.robots_allowed); against a real web
-    this object fetches+parses /robots.txt once per host via the transport
-    and caches the matcher — same call surface, so the pipeline plumbing is
-    identical."""
+    """Per-actor robots rule cache.
 
-    def __init__(self, transport=None):
-        self._cache: dict[str, bool] = {}
+    On the synthetic web the rule is the static /private/ disallow
+    (synthweb.robots_allowed). With a ``transport`` given, real robots.txt
+    semantics apply: /robots.txt is fetched ONCE per host per actor, parsed
+    with urllib.robotparser, and cached — ``allowed_many`` then groups the
+    batch's URLs by host so each matcher is resolved once per (batch, host).
+    An unfetchable robots.txt (non-200) allows everything, matching the
+    common permissive default."""
+
+    def __init__(self, transport=None, user_agent: str = "pubcrawl"):
+        self._cache: dict[str, object] = {}
         self._transport = transport
+        self._ua = user_agent
+
+    def _parser_for(self, scheme_host: str):
+        rp = self._cache.get(scheme_host)
+        if rp is None:
+            import urllib.robotparser
+
+            rp = urllib.robotparser.RobotFileParser()
+            status, body = self._transport.fetch(f"{scheme_host}/robots.txt")
+            if status == 200:
+                rp.parse(body.decode("utf-8", "replace").splitlines())
+            else:
+                rp.parse([])  # permissive default
+            self._cache[scheme_host] = rp
+        return rp
+
+    def allowed_many_http(self, urls: list[str]) -> np.ndarray:
+        from urllib.parse import urlsplit
+
+        out = np.ones(len(urls), dtype=bool)
+        for i, u in enumerate(urls):
+            parts = urlsplit(u)
+            rp = self._parser_for(f"{parts.scheme}://{parts.netloc}")
+            out[i] = rp.can_fetch(self._ua, u)
+        return out
 
     def allowed_many(self, urls: list[str]) -> np.ndarray:
         from .synthweb import robots_allowed

@@ -314,3 +314,44 @@ def test_runner_pmlr_source(tmp_path):
         assert results == {"ICML_2023": 1}
     finally:
         srv.shutdown()
+
+
+ROBOTS_TXT = b"""User-agent: *
+Disallow: /secret/
+Allow: /
+"""
+
+
+class _RobotsHandler(http.server.BaseHTTPRequestHandler):
+    def do_GET(self):
+        if self.path == "/robots.txt":
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(ROBOTS_TXT)
+        else:
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"page")
+
+    def log_message(self, *a):
+        pass
+
+
+def test_robots_cache_real_http():
+    from pubcrawl.politeness import RobotsCache
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), _RobotsHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        cache = RobotsCache(transport=HttpTransport(total_retries=1, backoff=0.01))
+        mask = cache.allowed_many_http(
+            [f"{base}/ok/page", f"{base}/secret/page", f"{base}/other"]
+        )
+        assert list(mask) == [True, False, True]
+        # cached: robots fetched once per host
+        cache.allowed_many_http([f"{base}/more"])
+        assert len(cache._cache) == 1
+    finally:
+        srv.shutdown()
