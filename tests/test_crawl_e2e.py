@@ -129,3 +129,38 @@ def test_seen_shards_match_python_set():
             oracle_set.add(int(h))
         mask_all.append(mask)
     assert seen.snapshot() == oracle_set
+
+
+def test_hot_host_skew_crawl_matches_oracle(tmp_path):
+    """Skew: most links target one hot host; the crawl must still match the
+    oracle bit-for-bit (hot host split across seq buckets, rate enforced by
+    its single token-bucket shard)."""
+    cfg = WebConfig(seed=23, n_hosts=6, pages_per_host=2, links_per_page=8,
+                    images_per_page=1, details_per_host=30,
+                    cross_host_frac=0.9, dup_frac=0.2)  # ~90% of links cross-host
+    # cross-host target selection is uniform; with the duplicate bias the
+    # busiest host still ends up with a large share of detail URLs
+    oracle = crawl_oracle(cfg)
+    root = str(tmp_path / "store")
+    crawl(cfg, root, fetch_concurrency=4, bucket_size=16, seen_shards=2,
+          per_host_rate=500.0)
+    pages = load_pages(root).to_pandas()
+    assert set(int(x) for x in pages.url_hash) == oracle.seen_hashes
+    assert list(pages.sort_values("seq").url) == [u for u, _, _ in oracle.order]
+    # hot-host spread: the busiest host's URLs span multiple seq buckets
+    host_counts = pages.host.value_counts()
+    hot = host_counts.index[0]
+    hot_buckets = set((pages[pages.host == hot].seq // 16).astype(int))
+    assert len(hot_buckets) > 1
+
+
+def test_seed_priority_orders_submission_not_results(tmp_path):
+    """Priority affects fetch scheduling only — results and seq order are
+    identical to the uniform-priority crawl."""
+    cfg = WebConfig(seed=29, n_hosts=4, pages_per_host=2, links_per_page=4,
+                    images_per_page=1, details_per_host=20)
+    oracle = crawl_oracle(cfg)
+    root = str(tmp_path / "store")
+    crawl(cfg, root, fetch_concurrency=2, bucket_size=8, seen_shards=2)
+    pages = load_pages(root).to_pandas()
+    assert list(pages.sort_values("seq").url) == [u for u, _, _ in oracle.order]
