@@ -293,3 +293,57 @@ def fingerprint_table(ds: rd.Dataset, text_col: str, id_col: str, k: int = 5, w:
         )
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# ------------------------------------------------------------- clustering
+
+
+def connected_components(pairs: pd.DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> pd.DataFrame:
+    """Near-dup pair list → cluster ids via union-find (path compression).
+
+    Runs on the driver: the input is the CANDIDATE-PAIR table, which LSH has
+    already shrunk by orders of magnitude versus the corpus — the guide's
+    "union-find on the driver only if the candidate set is provably small"
+    case. At larger candidate volumes the same result comes from a few rounds
+    of min-label propagation with hash_partition_apply; the contract
+    (cluster = min member id) is identical.
+    Returns (id, cluster) for every id appearing in a pair.
+    """
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-id becomes the root → cluster id is deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for a, b in zip(pairs[id_a], pairs[id_b]):
+        union(a, b)
+    ids = sorted(parent)
+    return pd.DataFrame({"id": ids, "cluster": [find(i) for i in ids]})
+
+
+def near_dedup_keep(
+    ds: rd.Dataset, text_col: str, id_col: str, *, threshold: float = 0.5, **minhash_kw
+) -> pd.DataFrame:
+    """End-to-end near-dedup: MinHash+LSH pairs → connected components →
+    keep the min-id representative per cluster. Returns (id, keep: bool) for
+    every document (non-clustered docs keep=True)."""
+    pairs = minhash_lsh_pairs(ds, text_col, id_col, threshold=threshold, **minhash_kw)
+    all_ids = relops.collect_arrow(ds.select_columns([id_col]))[id_col].to_pylist()
+    if pairs.empty:
+        return pd.DataFrame({id_col: sorted(all_ids), "keep": True})
+    cc = connected_components(pairs)
+    drop = set(cc.loc[cc["id"] != cc["cluster"], "id"])
+    out = pd.DataFrame({id_col: sorted(all_ids)})
+    out["keep"] = ~out[id_col].isin(drop)
+    return out

@@ -784,3 +784,11 @@ def asof_last_click(sf_dir: str):
                              "last_click_us": us.astype("int64")})
 
     return joined.map_batches(project, batch_format="pandas", batch_size=None)
+
+
+@query("dedup_near_keep")  # LSH + connected components → rows-only check
+def dedup_near_keep(sf_dir: str):
+    """End-to-end near-dedup decision table: MinHash+LSH pairs → connected
+    components → keep min-id representative per cluster."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.near_dedup_keep(ds, "text", "doc_id", threshold=0.5)

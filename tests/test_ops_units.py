@@ -178,3 +178,19 @@ class TestPoliteness:
         # different host unaffected
         g2 = pol.reserve_batch(["h2"], np.array([1], dtype=np.uint32))
         assert g2[0] <= time.monotonic() + 0.001
+
+
+class TestDedupClusters:
+    def test_connected_components(self):
+        pairs = pd.DataFrame({"id_a": [1, 2, 7], "id_b": [2, 3, 9]})
+        cc = dedup.connected_components(pairs)
+        m = dict(zip(cc.id, cc.cluster))
+        assert m[1] == m[2] == m[3] == 1
+        assert m[7] == m[9] == 7
+
+    def test_near_dedup_keep(self, docs_ds):
+        out = dedup.near_dedup_keep(docs_ds, "text", "doc_id", threshold=0.35)
+        kept = set(out[out.keep].doc_id)
+        # docs 1,2,3 form one near-dup cluster → keep only min id 1
+        assert 1 in kept and 2 not in kept and 3 not in kept
+        assert 4 in kept and 5 in kept
