@@ -43,7 +43,11 @@ BENCH_WEB = dict(
 # standalone frontier-expansion benchmark input (same expand code path as the
 # crawl, fed a large link table so sustained rows/sec — not per-round floor —
 # is what's measured)
-EXPAND_ROWS = 48_000_000
+# plain runs use the smaller input (reports sustained rows/s quickly);
+# --scaling overrides to the large one so expansion work dominates fixed
+# overheads at both parallelism levels
+EXPAND_ROWS = int(os.environ.get("GRAFT_EXPAND_ROWS", "12000000"))
+EXPAND_ROWS_SCALING = 48_000_000
 EXPAND_HOSTS = 4096
 
 # queries excluded from the per-query timing loop (crawl runs separately)
@@ -229,7 +233,8 @@ def scaling() -> None:
     for ncpu in (4, 16):
         runs = []
         for _ in range(REPS):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING="1")
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING="1",
+                       GRAFT_EXPAND_ROWS=str(EXPAND_ROWS_SCALING))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
