@@ -58,16 +58,40 @@ def exact_dedup(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
 # ---------------------------------------------------------------- shingling
 
 
-def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Word n-gram shingles → uint64 xxh64 hashes (unique, sorted)."""
+_MIX1 = np.uint64(0x9E3779B185EBCA87)
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def shingle_hashes(text: str, n: int = 3, _cache: dict = {}) -> np.ndarray:
+    """Word n-gram shingle ids → uint64 (unique, sorted).
+
+    Vectorized: per-word xxh64 (memoized — corpus vocabularies repeat
+    heavily), then shingle id = position-weighted mix of the n word hashes
+    (one numpy pass), so no n-gram string is ever materialized. The id space
+    is this engine's own shingle identity — used consistently by both the
+    MinHash signatures and the exact-Jaccard verifier."""
     words = _WORD.findall(text.lower())
+    if not words:
+        return np.array([], dtype=np.uint64)
+    wh = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        v = _cache.get(w)
+        if v is None:
+            if len(_cache) > 1_000_000:
+                _cache.clear()  # bound per-worker memo
+            v = _cache[w] = xxh64(w)
+        wh[i] = v
     if len(words) < n:
-        return np.array([xxh64(" ".join(words))], dtype=np.uint64) if words else np.array([], dtype=np.uint64)
-    out = np.fromiter(
-        (xxh64(" ".join(words[i : i + n])) for i in range(len(words) - n + 1)),
-        dtype=np.uint64,
-    )
-    return np.unique(out)
+        with np.errstate(over="ignore"):
+            out = np.uint64(0)
+            for k in range(len(wh)):
+                out = (out * _MIX1) ^ (wh[k] * _MIX2)
+        return np.array([out], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(len(wh) - n + 1, dtype=np.uint64)
+        for k in range(n):
+            acc = (acc * _MIX1) ^ (wh[k : len(wh) - n + 1 + k] * _MIX2)
+    return np.unique(acc)
 
 
 def _minhash_params(num_perm: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
@@ -98,7 +122,9 @@ def minhash_lsh_pairs(
     id_col: str,
     *,
     num_perm: int = 128,
-    bands: int = 32,
+    bands: int = 64,  # 2 rows/band → LSH s-curve threshold ≈ (1/64)^(1/2) ≈ 0.125,
+    # so candidates with true jaccard ≥ ~0.3 are recalled w.h.p.; the exact
+    # Jaccard verification pass removes the extra false candidates
     ngram: int = 3,
     threshold: float = 0.5,
 ) -> pd.DataFrame:

@@ -45,6 +45,16 @@ class HashEmbedder:
 
     def __init__(self, dim: int = EMBED_DIM):
         self.dim = dim
+        self._word_vecs: dict[str, np.ndarray] = {}  # per-actor vocab cache
+
+    def _vec(self, w: str) -> np.ndarray:
+        v = self._word_vecs.get(w)
+        if v is None:
+            if len(self._word_vecs) > 500_000:
+                self._word_vecs.clear()
+            rng = np.random.default_rng(np.uint64(xxh64(w)))
+            v = self._word_vecs[w] = rng.standard_normal(self.dim)
+        return v
 
     def encode(self, texts: list[str]) -> np.ndarray:
         out = np.zeros((len(texts), self.dim), dtype=np.float32)
@@ -52,8 +62,7 @@ class HashEmbedder:
             toks = t.lower().split() or [""]
             acc = np.zeros(self.dim, dtype=np.float64)
             for w in toks:
-                rng = np.random.default_rng(np.uint64(xxh64(w)))
-                acc += rng.standard_normal(self.dim)
+                acc += self._vec(w)
             acc /= len(toks)
             n = np.linalg.norm(acc)
             out[i] = (acc / n if n else acc).astype(np.float32)

@@ -576,13 +576,23 @@ def text_quality(sf_dir: str):
 )
 def langid_confusion(sf_dir: str):
     """Language-ID heuristic (stopword-ratio, integer cross-multiplication)
-    summarised as a (true lang × predicted) confusion table."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    pred = text.langid_en(ds, "text", "doc_id", frozenset(EN_STOP))
-    pred_tbl = relops.collect_arrow(pred).to_pandas()
-    langs = _read(sf_dir, "documents", ["doc_id", "lang"])
-    joined = relops.broadcast_join(langs, pred_tbl, on="doc_id")
-    return relops.preagg_group_sum(joined, ["lang", "pred_lang"], count_as="n")
+    summarised as a (true lang × predicted) confusion table — one fused pass
+    over the corpus (features + prediction + partial counts per batch)."""
+    import re as _re
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    alpha_rx = _re.compile(r"[a-z]+")
+    stop = frozenset(EN_STOP)
+
+    def fused(df: pd.DataFrame) -> pd.DataFrame:
+        alpha = [alpha_rx.findall(t.lower()) for t in df["text"].fillna("")]
+        n_alpha = np.fromiter((len(a) for a in alpha), np.int64, len(df))
+        n_stop = np.fromiter((sum(1 for w in a if w in stop) for a in alpha), np.int64, len(df))
+        pred = np.where(n_stop * 1000 > n_alpha * 80, "en", "other")
+        return pd.DataFrame({"lang": df["lang"], "pred_lang": pred})
+
+    scored = ds.map_batches(fused, batch_format="pandas", batch_size=None)
+    return relops.preagg_group_sum(scored, ["lang", "pred_lang"], count_as="n")
 
 
 @query("fingerprint_stats")  # xxh64-based winnowing → rows-only check
