@@ -54,6 +54,7 @@ class WebConfig:
     cross_host_frac: float = 0.2
     dup_frac: float = 0.15
     private_frac: float = 0.05
+    dead_frac: float = 0.0  # fraction of detail links pointing at 404 targets
     min_side: int = 16
     max_side: int = 96
     fail_percent: int = 0  # % of URLs whose FIRST fetch per transport fails
@@ -167,6 +168,10 @@ def index_links(cfg: WebConfig, host_idx: int, p: int) -> list[str]:
         d = int(rng.integers(0, cfg.details_per_host))
         if rng.random() < cfg.private_frac:
             links.append(f"synth://{cfg.host(h)}/private/detail/{d}")
+        elif cfg.dead_frac and rng.random() < cfg.dead_frac:
+            # permanently-404 target (beyond details_per_host) — exercises the
+            # fetch error path end-to-end: seen+logged with status 404, no rows
+            links.append(f"synth://{cfg.host(h)}/detail/{cfg.details_per_host + d}")
         else:
             links.append(f"synth://{cfg.host(h)}/detail/{d}")
     return links

@@ -164,3 +164,21 @@ def test_seed_priority_orders_submission_not_results(tmp_path):
     crawl(cfg, root, fetch_concurrency=2, bucket_size=8, seen_shards=2)
     pages = load_pages(root).to_pandas()
     assert list(pages.sort_values("seq").url) == [u for u, _, _ in oracle.order]
+
+
+def test_dead_links_recorded_and_oracle_equal(tmp_path):
+    """Permanent 404 targets: retries exhaust, page logged with status 404,
+    no image rows — identical between engine and oracle."""
+    cfg = WebConfig(seed=31, n_hosts=4, pages_per_host=2, links_per_page=6,
+                    images_per_page=1, details_per_host=20, dead_frac=0.3)
+    oracle = crawl_oracle(cfg, max_retries=1)
+    root = str(tmp_path / "store")
+    rep = crawl(cfg, root, fetch_concurrency=2, bucket_size=32, seen_shards=2,
+                max_retries=1)
+    pages = load_pages(root).to_pandas()
+    assert set(int(x) for x in pages.url_hash) == oracle.seen_hashes
+    assert list(pages.sort_values("seq").url) == [u for u, _, _ in oracle.order]
+    assert (pages.status == 404).sum() > 0
+    assert rep.errors == int((pages.status != 200).sum())
+    imgs = load_images(root, canonical_order=True).to_pandas()
+    assert list(imgs.image_id) == list(oracle.rows["image_id"].to_pylist())
