@@ -270,7 +270,7 @@ def scaling() -> None:
                              "expand_sec@4N": results[16]["all_expand_sec"]},
                 "scaling_efficiency": round(eff_fetch, 3),
                 "scaling_efficiency_expand": round(eff_expand, 3),
-                "config": {**BENCH_WEB, "expand_rows": EXPAND_ROWS, "expand_hosts": EXPAND_HOSTS},
+                "config": {**BENCH_WEB, "expand_rows": EXPAND_ROWS_SCALING, "expand_hosts": EXPAND_HOSTS},
             }
         )
     )
