@@ -121,8 +121,8 @@ def m2_enrich_revenue(sf_dir: str):
     "g2_pricing_summary",
     sql="SELECT l_returnflag, l_linestatus, "
     "CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, "
-    "SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_e2, "
-    f"SUM({_REV_SQL}) AS sum_disc_e4, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_e2, "
+    f"CAST(SUM({_REV_SQL}) AS BIGINT) AS sum_disc_e4, "
     "COUNT(*) AS n "
     "FROM lineitem GROUP BY l_returnflag, l_linestatus",
 )
@@ -201,7 +201,8 @@ def g3_status_priority_counts(sf_dir: str):
 
 @query(
     "g5_year_status_share",
-    sql="SELECT o_year, o_orderstatus, n, SUM(n) OVER (PARTITION BY o_year) AS year_total "
+    sql="SELECT o_year, o_orderstatus, n, "
+    "CAST(SUM(n) OVER (PARTITION BY o_year) AS BIGINT) AS year_total "
     "FROM (SELECT year(o_orderdate) AS o_year, o_orderstatus, COUNT(*) AS n "
     "FROM orders GROUP BY 1, 2)",
 )
@@ -245,7 +246,7 @@ def g6_word_freq_top50(sf_dir: str):
 @query(
     "g7_event_type_dist",
     sql="SELECT event_type, COUNT(*) AS n, "
-    "SUM(CAST(ROUND(value*100) AS BIGINT)) AS value_e2 "
+    "CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_e2 "
     "FROM events GROUP BY event_type",
 )
 def g7_event_type_dist(sf_dir: str):
@@ -258,7 +259,7 @@ def g7_event_type_dist(sf_dir: str):
 
 @query(
     "m16_source_lang_stats",
-    sql="SELECT source, lang, COUNT(*) AS n, SUM(n_chars) AS total_chars "
+    sql="SELECT source, lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
     "FROM documents GROUP BY source, lang",
 )
 def m16_source_lang_stats(sf_dir: str):
@@ -272,7 +273,7 @@ def m16_source_lang_stats(sf_dir: str):
 @query(
     "j1_segment_revenue",
     sql="SELECT c_mktsegment, "
-    "SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS total_e2, COUNT(*) AS n "
+    "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_e2, COUNT(*) AS n "
     "FROM orders JOIN customer ON o_custkey = c_custkey "
     "GROUP BY c_mktsegment",
 )
@@ -326,7 +327,7 @@ def j5_heavy_orders(sf_dir: str):
 @query(
     "hj_priority_revenue",
     sql="SELECT o_orderpriority, "
-    f"SUM({_REV_SQL}) AS revenue_e4, COUNT(*) AS n "
+    f"CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_e4, COUNT(*) AS n "
     "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
     "GROUP BY o_orderpriority",
 )
@@ -381,7 +382,7 @@ def g10_distinct_flags(sf_dir: str):
 @query(
     "t1_top_customers",
     sql="SELECT o_custkey, "
-    "SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS total_e2, COUNT(*) AS n_orders "
+    "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_e2, COUNT(*) AS n_orders "
     "FROM orders GROUP BY o_custkey "
     "ORDER BY total_e2 DESC, o_custkey ASC LIMIT 10",
 )
@@ -413,7 +414,8 @@ def t4_event_prefix(sf_dir: str):
 
 @query(
     "m_parse_props",
-    sql="SELECT event_type, SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum, "
+    sql="SELECT event_type, "
+    "CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum, "
     "COUNT(*) AS n FROM events GROUP BY event_type",
 )
 def m_parse_props(sf_dir: str):
@@ -722,7 +724,7 @@ def analysis_topic_report(sf_dir: str):
 @query(
     "w1_tumbling_daily",
     sql="SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us, event_type, "
-    "COUNT(*) AS n, SUM(CAST(ROUND(value*100) AS BIGINT)) AS value_e2 "
+    "COUNT(*) AS n, CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_e2 "
     "FROM events GROUP BY 1, 2",
 )
 def w1_tumbling_daily(sf_dir: str):
@@ -745,7 +747,8 @@ def w1_tumbling_daily(sf_dir: str):
 
 @query(
     "w2_session_windows",
-    sql="SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events FROM ("
+    sql="SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, "
+    "COUNT(*) AS n_events FROM ("
     "SELECT user_id, CASE WHEN prev_ts IS NULL "
     "OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM ("
     "SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "

@@ -40,8 +40,6 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-        elif np.issubdtype(df[c].dtype, np.integer):
-            df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -53,6 +51,13 @@ def test_query_matches_oracle(name, con):
         f"column mismatch: {list(ours.columns)} vs {list(theirs.columns)}"
     )
     assert len(ours) == len(theirs), f"row count {len(ours)} vs {len(theirs)}"
+    for c in ours.columns:
+        # the driver's value-hash is dtype-sensitive: an un-CAST SUM() in the
+        # oracle SQL lands as HUGEINT→float64 and fails hash_match even when
+        # values are identical (VERDICT.md round 1, What's wrong #1)
+        assert ours[c].dtype.kind == theirs[c].dtype.kind, (
+            f"dtype mismatch col {c}: {ours[c].dtype} vs {theirs[c].dtype}"
+        )
     for c in ours.columns:
         a, b = ours[c].to_numpy(), theirs[c].to_numpy()
         if np.issubdtype(ours[c].dtype, np.floating):
