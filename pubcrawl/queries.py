@@ -449,11 +449,12 @@ def m14_keyword_search(sf_dir: str):
     conjunctive word-boundary predicates pushed into one vectorized filter."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
     terms = ["spark", "window"]
-    rxs = [re.compile(rf"\b{t}\b") for t in terms]
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        mask = pa.array([all(rx.search(x or "") for rx in rxs) for x in texts])
+        mask = None
+        for t in terms:  # conjunction of vectorized RE2 word-boundary probes
+            m = pc.fill_null(pc.match_substring_regex(batch["text"], rf"\b{t}\b"), False)
+            mask = m if mask is None else pc.and_(mask, m)
         return batch.filter(mask)
 
     return ds.map_batches(fn, batch_format="pyarrow").select_columns(["doc_id", "source"])

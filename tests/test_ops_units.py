@@ -74,6 +74,32 @@ class TestRelops:
         assert len(out) == 10
         assert (out.rv == out.k * 100).all() and (out.lv == out.k * 10).all()
 
+    def test_hash_partition_apply_never_materializes_on_driver(self, monkeypatch):
+        """VERDICT r1 #2: merged partitions must stay in the object store —
+        the driver may ray.get only scalars (the row-count probe), never a
+        merged pa.Table block."""
+        fetched = []
+        real_get = ray.get
+
+        def spy(refs, **kw):
+            out = real_get(refs, **kw)
+            vals = out if isinstance(out, list) else [out]
+            fetched.extend(v for v in vals if isinstance(v, pa.Table))
+            return out
+
+        ds = rd.from_items([{"g": i % 5, "v": i} for i in range(100)])
+        monkeypatch.setattr(ray, "get", spy)
+        try:
+            out_ds = relops.hash_partition_apply(
+                ds, ["g"], lambda df: df.groupby("g", as_index=False)["v"].sum(),
+                n_partitions=4,
+            )
+        finally:
+            monkeypatch.setattr(ray, "get", real_get)
+        assert fetched == [], "driver ray.get returned merged blocks"
+        out = out_ds.to_pandas().sort_values("g").reset_index(drop=True)
+        assert list(out.v) == [sum(range(i, 100, 5)) for i in range(5)]
+
 
 class TestDedup:
     def test_exact_dedup(self, docs_ds):
