@@ -131,8 +131,15 @@ def hash_partition_apply(
     """
 
     @ray.remote(num_returns=n_partitions)
-    def split(tbl: pa.Table):
-        df = tbl.to_pandas()
+    def split(tbl):
+        # to_arrow_refs can pass through pandas-format blocks unconverted
+        df = tbl if isinstance(tbl, pd.DataFrame) else tbl.to_pandas()
+        if len(df) == 0:
+            # Ray Data emits zero-column empty blocks for fully-filtered
+            # batches; route them to every partition as empties (dropped in
+            # merge by the num_rows guard)
+            empty = pa.table({})
+            return tuple([empty] * n_partitions) if n_partitions > 1 else empty
         b = _stable_bucket(df, keys, n_partitions)
         parts = [pa.Table.from_pandas(df[b == p], preserve_index=False) for p in range(n_partitions)]
         return tuple(parts) if n_partitions > 1 else parts[0]

@@ -215,8 +215,18 @@ class TestDedupClusters:
         assert m[7] == m[9] == 7
 
     def test_near_dedup_keep(self, docs_ds):
-        out = dedup.near_dedup_keep(docs_ds, "text", "doc_id", threshold=0.35)
+        out = dedup.near_dedup_keep(docs_ds, "text", "doc_id", threshold=0.35).to_pandas()
         kept = set(out[out.keep].doc_id)
         # docs 1,2,3 form one near-dup cluster → keep only min id 1
         assert 1 in kept and 2 not in kept and 3 not in kept
         assert 4 in kept and 5 in kept
+        assert len(out) == 5  # one keep flag per document
+
+    def test_min_label_propagation_matches_union_find(self):
+        # a 4-chain (worst case for propagation rounds), a triangle, a pair
+        pairs = pd.DataFrame(
+            {"id_a": [1, 2, 3, 10, 10, 11, 20], "id_b": [2, 3, 4, 11, 12, 12, 21]}
+        )
+        dist = dedup.min_label_propagation(pairs)
+        uf = dedup.connected_components(pairs)
+        assert dict(zip(dist.id, dist.cluster)) == dict(zip(uf.id, uf.cluster))
