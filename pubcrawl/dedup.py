@@ -550,14 +550,26 @@ def min_label_propagation(
 
 
 def near_dedup_keep(
-    ds: rd.Dataset, text_col: str, id_col: str, *, threshold: float = 0.5, **minhash_kw
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.5,
+    driver_cc_threshold: int = 100_000,
+    **minhash_kw,
 ) -> rd.Dataset:
-    """End-to-end near-dedup: MinHash+LSH pairs → distributed min-label
-    propagation → keep the min-id representative per cluster. Returns a
-    Dataset of (id, keep: bool) for every document (non-clustered docs
-    keep=True) — the keep flags are stamped per batch against a broadcast
-    drop set (non-representative dup members only), never gathering the
-    corpus ids to the driver."""
+    """End-to-end near-dedup: MinHash+LSH pairs → connected components →
+    keep the min-id representative per cluster. Returns a Dataset of
+    (id, keep: bool) for every document (non-clustered docs keep=True) —
+    the keep flags are stamped per batch against a broadcast drop set
+    (non-representative dup members only), never gathering the corpus ids
+    to the driver.
+
+    Clustering is size-adaptive: a verified pair list ≤
+    ``driver_cc_threshold`` rows is provably driver-small (the guide's
+    union-find case — O(pairs) memory, zero shuffle waves); above it the
+    distributed :func:`min_label_propagation` rounds take over (identical
+    min-id contract, checked by test_min_label_propagation_matches_union_find)."""
     pairs = minhash_lsh_pairs(ds, text_col, id_col, threshold=threshold, **minhash_kw)
     ids = ds.select_columns([id_col])
     if pairs.empty:
@@ -565,7 +577,10 @@ def near_dedup_keep(
             lambda t: t.append_column("keep", pa.array(np.ones(t.num_rows, dtype=bool))),
             batch_format="pyarrow", batch_size=None,
         )
-    cc = min_label_propagation(pairs)
+    if len(pairs) <= driver_cc_threshold:
+        cc = connected_components(pairs)
+    else:
+        cc = min_label_propagation(pairs)
     drop = sorted(cc.loc[cc["id"] != cc["cluster"], "id"])
     drop_ref = ray.put(pa.array(drop))
 

@@ -325,16 +325,28 @@ def tokenize_column(
     stopwords: frozenset[str],
     min_len: int = 3,
     out_col: str = "word",
+    stemmer=None,
 ) -> rd.Dataset:
     """M11 (`/root/reference/src/analysis/analyzer.py:27-44` semantics:
     lower → strip non-word chars → split → alpha, len>min_len-1, not stop) →
-    exploded word rows. Vectorized with pandas str ops per batch."""
+    exploded word rows. Vectorized with pandas str ops per batch.
+    ``stemmer`` (e.g. ``stem.porter_stem``) is applied after the stopword
+    filter — the reference's FTS5 porter tokenizer seat."""
     ref = ray.put(stopwords)
 
     class Tok:
         def __init__(self):
             self.stop = ray.get(ref)
             self.clean = re.compile(r"[^\w\s]")
+            self.stem_cache: dict[str, str] = {}
+
+        def _stem(self, w: str) -> str:
+            v = self.stem_cache.get(w)
+            if v is None:
+                if len(self.stem_cache) > 500_000:
+                    self.stem_cache.clear()
+                v = self.stem_cache[w] = stemmer(w)
+            return v
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             toks = (
@@ -349,6 +361,8 @@ def tokenize_column(
                 [w for w in ws if len(w) >= min_len and w.isalpha() and w not in stop]
                 for ws in toks
             ]
+            if stemmer is not None:
+                words = [[self._stem(w) for w in ws] for ws in words]
             rep = np.repeat(np.arange(len(df)), [len(ws) for ws in words])
             out = df.iloc[rep][[c for c in df.columns if c != col]].copy()
             out[out_col] = [w for ws in words for w in ws]

@@ -34,6 +34,61 @@ def _fetch_one(transport_factory, url: str) -> tuple[int, bytes]:
     return transport.fetch(url)
 
 
+def fetch_reviews_stage(
+    rows: list[dict],
+    transport_factory,
+    review_url_template: str,
+    *,
+    review_delay_s: float = 0.0,
+    batch_size: int = 8,
+) -> list[dict]:
+    """S2 review fan-out (the reference's per-forum second hop with its own
+    rate limit, /root/reference/src/scrapers/iclr_scraper.py:60-105): for
+    each paper id, fetch ``review_url_template.format(id=...)`` on a Ray
+    task pool, parse decision/ratings with ``parse_review_ratings``, and
+    merge the columns back in row order. ``review_delay_s`` reproduces the
+    reference's per-request sleep inside each task."""
+    if not rows:
+        return rows
+    import json as _json
+    import time as _time
+
+    seeds = rd.from_items([{"__i": i, "id": r["id"]} for i, r in enumerate(rows)])
+
+    def fetch_parse(df: pd.DataFrame) -> pd.DataFrame:
+        transport = transport_factory()  # session per task (A4 semantics)
+        out = []
+        for i, pid in zip(df["__i"], df["id"]):
+            if review_delay_s:
+                _time.sleep(review_delay_s)
+            st, payload = transport.fetch(review_url_template.format(id=pid))
+            if st == 200 and payload:
+                notes = _json.loads(payload)
+                notes = notes.get("notes", notes if isinstance(notes, list) else [])
+                det = sources.parse_review_ratings(notes)
+            else:
+                det = {"decision": "N/A", "review_ratings": [], "avg_rating": None}
+            out.append({"__i": i, **det})
+        return pd.DataFrame(out)
+
+    got = seeds.map_batches(fetch_parse, batch_format="pandas", batch_size=batch_size).to_pandas()
+    by_i = {int(r["__i"]): r for _, r in got.iterrows()}
+    merged = []
+    for i, row in enumerate(rows):
+        det = by_i.get(i)
+        if det is not None:
+            avg = det["avg_rating"]
+            extra = {
+                "decision": det["decision"],
+                "review_ratings": list(det["review_ratings"]),
+                "avg_rating": None if pd.isna(avg) else float(avg),
+            }
+        else:
+            extra = {"decision": "N/A", "review_ratings": [], "avg_rating": None}
+        merged.append({**row, **extra})
+    return merged
+
+
 def run_task(
     spec: TaskSpec,
     transport_factory,
@@ -42,6 +97,8 @@ def run_task(
     index_link_pattern: str | None = None,
     index_link_exclude: str | None = None,
     out_dir: str | None = None,
+    review_url_template: str = "https://api2.openreview.net/notes?forum={id}",
+    review_delay_s: float = 0.0,
 ) -> pd.DataFrame:
     """Execute one task end-to-end; returns the enriched paper table
     (and writes the K1-K3 artifacts when ``out_dir`` is set)."""
@@ -59,6 +116,11 @@ def run_task(
             rows = parser(payload)
             if spec.max_papers:
                 rows = rows[: spec.max_papers]
+        if spec.source_type == "openreview" and spec.fetch_reviews:
+            rows = fetch_reviews_stage(
+                rows, transport_factory, review_url_template,
+                review_delay_s=review_delay_s,
+            )
     elif spec.source_type == "html_index":
         # two-hop: index → detail URLs (discovery order) → parallel fetch+parse
         links = sources.extract_links(

@@ -64,6 +64,7 @@ def keyword_search(
     k: int = 20,
     k1: float = 1.2,
     b: float = 0.75,
+    stem: bool = False,
 ) -> pd.DataFrame:
     """BM25-ranked conjunctive keyword search.
 
@@ -71,14 +72,30 @@ def keyword_search(
     average doc length — broadcast to pass 2. Pass 2: vectorized per-batch
     filter (all terms/phrases/fields must match) + BM25 score; local top-k
     partials; tiny final merge. Returns (id, score rounded 6, rank).
+
+    ``stem=True`` Porter-stems bare/phrase terms AND document tokens before
+    matching — the reference FTS5 index is ``tokenize='porter'``
+    (/root/reference/src/search/indexer.py:33), so "windows" matches
+    "window". Phrase terms participate stemmed, token-wise (FTS5 phrase
+    semantics over the stemmed token stream); field filters are untouched.
     """
+    from .stem import porter_stem
+
+    norm = porter_stem if stem else (lambda w: w)
     pq = parse_query(query)
-    terms = list(dict.fromkeys(pq.terms + [w for p in pq.phrases for w in p.split()]))
+    terms = list(dict.fromkeys(
+        [norm(t) for t in pq.terms] + [norm(w) for p in pq.phrases for w in p.split()]
+    ))
+
+    def _tokens(text: str) -> list[str]:
+        toks = _TOKEN.findall(text.lower())
+        return [norm(w) for w in toks] if stem else toks
 
     # pass 1: df per query term, N, avgdl (combiner-style partial counts)
     def stats(df: pd.DataFrame) -> pd.DataFrame:
-        toks = [set(_TOKEN.findall(t.lower())) for t in df[text_col]]
-        lens = [len(_TOKEN.findall(t.lower())) for t in df[text_col]]
+        tok_lists = [_tokens(t) for t in df[text_col]]
+        toks = [set(ts) for ts in tok_lists]
+        lens = [len(ts) for ts in tok_lists]
         rows = {"__n": [len(df)], "__len": [int(np.sum(lens))]}
         for t in terms:
             rows[f"df_{t}"] = [sum(1 for s in toks if t in s)]
@@ -91,24 +108,38 @@ def keyword_search(
         t: math.log(1 + (n_docs - int(agg[f"df_{t}"]) + 0.5) / (int(agg[f"df_{t}"]) + 0.5))
         for t in terms
     }
-    ref = ray.put((idf, avgdl, pq))
+    ref = ray.put((idf, avgdl, pq, stem))
 
     class Score:
         def __init__(self):
-            self.idf, self.avgdl, self.q = ray.get(ref)
+            self.idf, self.avgdl, self.q, self.stem = ray.get(ref)
             self.phr = [re.compile(re.escape(p)) for p in self.q.phrases]
+            # stemmed-phrase token sequences (FTS5-porter phrase semantics)
+            self.phr_toks = [
+                [porter_stem(w) for w in _TOKEN.findall(p)] for p in self.q.phrases
+            ]
+
+        @staticmethod
+        def _has_seq(toks: list[str], seq: list[str]) -> bool:
+            n = len(seq)
+            return any(toks[i : i + n] == seq for i in range(len(toks) - n + 1))
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             keep_rows, scores = [], []
             for i, (doc_id, text) in enumerate(zip(df[id_col], df[text_col])):
                 low = text.lower()
                 toks = _TOKEN.findall(low)
+                if self.stem:
+                    toks = [porter_stem(w) for w in toks]
                 counts: dict[str, int] = {}
                 for w in toks:
                     counts[w] = counts.get(w, 0) + 1
                 if any(counts.get(t, 0) == 0 for t in self.idf):
                     continue
-                if any(not rx.search(low) for rx in self.phr):
+                if self.stem:
+                    if any(not self._has_seq(toks, s) for s in self.phr_toks):
+                        continue
+                elif any(not rx.search(low) for rx in self.phr):
                     continue
                 ok = True
                 for fname, fval in self.q.fields:
@@ -168,13 +199,22 @@ def semantic_search(
 
 
 def build_inverted_index(
-    ds: rd.Dataset, text_col: str, id_col: str, stopwords: frozenset[str] = frozenset()
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    stopwords: frozenset[str] = frozenset(),
+    stem: bool = False,
 ) -> rd.Dataset:
     """K6 as a derived table: tokenize → explode → groupby(term) postings
     (term, df, postings:list<id>). The groupby is the wide shuffle; per-batch
-    partial posting lists act as the combiner."""
+    partial posting lists act as the combiner. ``stem=True`` Porter-stems
+    terms (the reference index is FTS5 ``tokenize='porter'``,
+    /root/reference/src/search/indexer.py:33)."""
+    from .stem import porter_stem
+
     words = relops.tokenize_column(ds.select_columns([id_col, text_col]), text_col,
-                                   stopwords, min_len=1)
+                                   stopwords, min_len=1,
+                                   stemmer=porter_stem if stem else None)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("word")[id_col].agg(lambda s: sorted(set(s)))

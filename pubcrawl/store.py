@@ -1,18 +1,16 @@
 """TableStore: committed-fragment storage with manifest, lineage + metrics.
 
 north_rule asks for Lance tables; ``pylance`` is not installable in this
-sandbox, so the store is an interface with two backends:
-
-- ``ParquetFragmentStore`` (default here): a directory of immutable parquet
-  fragment files plus an append-only ``_manifest.jsonl`` — functionally the
-  Lance commit model (fragments + manifest versioning). Commit protocol:
-  write ``fragments/<id>.parquet.tmp`` → fsync → atomic rename → append one
-  manifest line (fsync'd). A fragment not named in the manifest does not
-  exist; re-committing a partition_id is a no-op (idempotent under retries,
-  the reference analogue being the skip-if-exists PDF sink at
-  /root/reference/src/utils/downloader.py:27-28 and the Chroma upsert at
-  /root/reference/src/search/embedder_chroma.py:117-125).
-- ``LanceStore``: same interface over ``lance`` when importable.
+sandbox, so the store is ``ParquetFragmentStore`` — a directory of immutable
+parquet fragment files plus an append-only ``_manifest.jsonl``, which mirrors
+the Lance commit model (fragments + manifest versioning) so a Lance backend
+could implement the same commit/load interface. Commit protocol: write
+``fragments/<id>.parquet.tmp`` → fsync → atomic rename → append one manifest
+line (fsync'd). A fragment not named in the manifest does not exist;
+re-committing a partition_id is a no-op (idempotent under retries, the
+reference analogue being the skip-if-exists PDF sink at
+/root/reference/src/utils/downloader.py:27-28 and the Chroma upsert at
+/root/reference/src/search/embedder_chroma.py:117-125).
 
 Each manifest line is the checkpoint row (FIXTURES.md §4): partition_id,
 url_lo/url_hi, rows, bytes, fetch_errors, wall_ms, lineage, committed_at —
@@ -29,13 +27,6 @@ from datetime import datetime, timezone
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-try:
-    import lance  # type: ignore
-
-    HAVE_LANCE = True
-except ImportError:
-    HAVE_LANCE = False
-
 
 class ParquetFragmentStore:
     def __init__(self, root: str):
@@ -43,13 +34,25 @@ class ParquetFragmentStore:
         self.frag_dir = os.path.join(root, "fragments")
         self.manifest_path = os.path.join(root, "_manifest.jsonl")
         os.makedirs(self.frag_dir, exist_ok=True)
+        # in-process manifest cache: (mtime_ns, size) → parsed records, so a
+        # commit loop is O(n) instead of re-parsing the manifest per call.
+        # Another process appending invalidates via the stat signature; the
+        # worst stale-cache outcome is one redundant (idempotent) re-commit.
+        self._cache_sig: tuple[int, int] | None = None
+        self._cache: dict[str, dict] = {}
 
     # ------------------------------------------------------------ manifest
 
     def committed(self) -> dict[str, dict]:
+        try:
+            st = os.stat(self.manifest_path)
+            sig = (st.st_mtime_ns, st.st_size)
+        except FileNotFoundError:
+            self._cache_sig, self._cache = None, {}
+            return {}
+        if sig == self._cache_sig:
+            return self._cache
         out: dict[str, dict] = {}
-        if not os.path.exists(self.manifest_path):
-            return out
         with open(self.manifest_path) as f:
             for line in f:
                 line = line.strip()
@@ -57,6 +60,7 @@ class ParquetFragmentStore:
                     continue
                 rec = json.loads(line)
                 out[rec["partition_id"]] = rec  # last write wins
+        self._cache_sig, self._cache = sig, out
         return out
 
     def is_committed(self, partition_id: str) -> bool:
@@ -139,8 +143,9 @@ class ParquetFragmentStore:
 
 
 def open_store(root: str):
-    """Lance when importable, parquet-fragment fallback otherwise —
-    both behind the same commit/load interface."""
+    """The engine's store factory — parquet-fragment backend (the one
+    implemented; see module docstring for how it mirrors the Lance commit
+    model)."""
     return ParquetFragmentStore(root)
 
 

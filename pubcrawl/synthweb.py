@@ -25,6 +25,7 @@ schema).
 from __future__ import annotations
 
 import struct
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -58,6 +59,7 @@ class WebConfig:
     min_side: int = 16
     max_side: int = 96
     fail_percent: int = 0  # % of URLs whose FIRST fetch per transport fails
+    latency_s: float = 0.0  # simulated per-fetch RTT (real-web bench mode)
 
     def host(self, h: int) -> str:
         return f"host-{h:05d}"
@@ -205,6 +207,8 @@ class SyntheticTransport:
 
     def fetch(self, url: str) -> tuple[int, bytes]:
         cfg = self.cfg
+        if cfg.latency_s:
+            time.sleep(cfg.latency_s)
         uh = xxh64(canonical_url(url))
         if cfg.fail_percent and uh % 100 < cfg.fail_percent and uh not in self._failed_once:
             self._failed_once.add(uh)

@@ -182,3 +182,32 @@ def test_dead_links_recorded_and_oracle_equal(tmp_path):
     assert rep.errors == int((pages.status != 200).sum())
     imgs = load_images(root, canonical_order=True).to_pandas()
     assert list(imgs.image_id) == list(oracle.rows["image_id"].to_pylist())
+
+
+def test_threaded_fetcher_overlaps_latency():
+    """Intra-actor fetch fan-out (VERDICT What's-missing #1): with an 80 ms
+    simulated RTT, 8 threads must beat the serial fetcher by well over 2×
+    on a 32-URL batch, with identical outputs."""
+    import time as _time
+
+    import pyarrow as pa
+
+    from pubcrawl.canon import canonicalize_batch
+    from pubcrawl.fetch import Fetcher
+
+    cfg = WebConfig(seed=3, n_hosts=4, latency_s=0.08)
+    urls = [f"synth://host-{h:05d}/detail/{d}" for h in range(4) for d in range(8)]
+    batch = canonicalize_batch(pa.table({"url": urls}))
+
+    t0 = _time.monotonic()
+    serial = Fetcher(cfg, fetch_threads=1)(batch)
+    t_serial = _time.monotonic() - t0
+    t0 = _time.monotonic()
+    threaded = Fetcher(cfg, fetch_threads=8)(batch)
+    t_threaded = _time.monotonic() - t0
+
+    assert serial["payload"].to_pylist() == threaded["payload"].to_pylist()
+    assert serial["status"].to_pylist() == threaded["status"].to_pylist()
+    # 32×80ms ≥ 2.56s serial floor; threaded ≈ GIL-bound decode + latency/8
+    assert t_serial >= 2.5
+    assert t_threaded < t_serial / 2

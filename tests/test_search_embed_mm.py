@@ -241,3 +241,52 @@ class TestReportUtils:
         assert list(back.columns)[:3] == ["title", "authors", "abstract"]
         assert list(back.year) == [2023, 2024]
         assert list(back.authors) == ["a", "b, c"]
+
+
+class TestStemming:
+    def test_porter_goldens(self):
+        from pubcrawl.stem import porter_stem
+
+        golden = {
+            "caresses": "caress", "ponies": "poni", "cats": "cat",
+            "feed": "feed", "agreed": "agre", "plastered": "plaster",
+            "motoring": "motor", "conflated": "conflat", "hopping": "hop",
+            "happy": "happi", "sky": "sky", "relational": "relat",
+            "operator": "oper", "feudalism": "feudal", "formalize": "formal",
+            "electriciti": "electr", "hopeful": "hope", "goodness": "good",
+            "allowance": "allow", "inference": "infer", "adjustable": "adjust",
+            "replacement": "replac", "adoption": "adopt", "activate": "activ",
+            "effective": "effect", "windows": "window", "window": "window",
+            "running": "run", "connection": "connect", "connections": "connect",
+        }
+        assert {w: porter_stem(w) for w in golden} == golden
+
+    def test_keyword_search_stemming_recall(self):
+        """FTS5-porter parity: with stem=True, querying 'windows' matches
+        docs containing 'window'; with stem=False (default) it does not."""
+        import ray.data as rd
+
+        corpus = rd.from_items(
+            [
+                {"doc_id": 1, "text": "the window opens onto the stream"},
+                {"doc_id": 2, "text": "several windows were running fine"},
+                {"doc_id": 3, "text": "nothing relevant here at all"},
+            ]
+        )
+        hit = search.keyword_search(corpus, "windows", k=10, stem=True)
+        assert sorted(hit.doc_id) == [1, 2]
+        raw = search.keyword_search(corpus, "windows", k=10, stem=False)
+        assert sorted(raw.doc_id) == [2]
+
+    def test_inverted_index_stemmed_terms(self):
+        import ray.data as rd
+
+        corpus = rd.from_items(
+            [
+                {"doc_id": 1, "text": "connection"},
+                {"doc_id": 2, "text": "connections connected"},
+            ]
+        )
+        idx = search.build_inverted_index(corpus, "text", "doc_id", stem=True).to_pandas()
+        m = {r.term: (r.df, list(r.postings)) for r in idx.itertuples()}
+        assert m["connect"][0] == 2 and m["connect"][1] == [1, 2]

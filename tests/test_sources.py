@@ -355,3 +355,66 @@ def test_robots_cache_real_http():
         assert len(cache._cache) == 1
     finally:
         srv.shutdown()
+
+
+def test_browser_transport_fake_driver():
+    """S7/S8 seat: BrowserTransport drives any driver object exposing
+    get/page_source/quit and returns (200, rendered bytes)."""
+    from pubcrawl.fetch import BrowserTransport
+
+    log = []
+
+    class FakeDriver:
+        page_source = "<html><h5 class='toc-title'><a href='/p1'>P1</a></h5></html>"
+
+        def get(self, url):
+            log.append(("get", url))
+
+        def quit(self):
+            log.append(("quit",))
+
+    bt = BrowserTransport(driver_factory=FakeDriver, settle_seconds=0.0)
+    st, payload = bt.fetch("https://ojs.aaai.org/index.php/AAAI/issue/view/576")
+    assert st == 200 and b"toc-title" in payload
+    assert log == [("get", "https://ojs.aaai.org/index.php/AAAI/issue/view/576"), ("quit",)]
+
+    class BrokenDriver(FakeDriver):
+        def get(self, url):
+            raise RuntimeError("boom")
+
+    st, payload = BrowserTransport(driver_factory=BrokenDriver, settle_seconds=0.0).fetch("x")
+    assert st == 599 and payload == b""
+
+
+def test_review_fanout_stage():
+    """S2 fetch_reviews: per-forum second hop merges decision/avg_rating
+    (reference /root/reference/src/scrapers/iclr_scraper.py:60-105)."""
+    import json
+
+    from pubcrawl import runner
+
+    reviews = {
+        "n1": {"notes": [
+            {"invitations": ["ICLR/-/Decision"], "content": {"decision": {"value": "Accept"}}},
+            {"invitations": ["ICLR/-/Official_Review"], "content": {"rating": {"value": "8: strong"}}},
+            {"invitations": ["ICLR/-/Official_Review"], "content": {"rating": {"value": "6: ok"}}},
+        ]},
+        "n2": {"notes": []},
+    }
+
+    class FakeTransport:
+        def fetch(self, url):
+            fid = url.split("forum=")[1]
+            return 200, json.dumps(reviews[fid]).encode()
+
+    rows = [
+        {"id": "n1", "title": "A"},
+        {"id": "n2", "title": "B"},
+    ]
+    out = runner.fetch_reviews_stage(
+        rows, FakeTransport, "https://api2.openreview.net/notes?forum={id}"
+    )
+    assert out[0]["decision"] == "Accept" and out[0]["avg_rating"] == 7.0
+    assert out[0]["review_ratings"] == [8, 6]
+    assert out[1]["decision"] == "N/A" and out[1]["avg_rating"] is None
+    assert [r["title"] for r in out] == ["A", "B"]  # row order preserved
