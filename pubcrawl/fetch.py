@@ -42,26 +42,40 @@ class Fetcher:
         politeness_shards=None,
         max_retries: int = 5,
         fetch_threads: int = 8,
+        clock_mode: str = "local",
     ):
         self.transport = SyntheticTransport(cfg)
         self.shards = politeness_shards or []
         self.max_retries = max_retries
         self.fetch_threads = fetch_threads
+        # "local": caller timestamps shared with the shard — exact grant
+        # interleaving, valid when all workers share one machine clock.
+        # "shard": the multi-node mode — the shard measures on ITS clock and
+        # returns relative delays; correct across machines with unsynced
+        # clocks (politeness.reserve_delays).
+        self.clock_mode = clock_mode
 
     def _reserve(self, hosts: list[str], host_hash: np.ndarray) -> np.ndarray:
         if not self.shards:
             return np.zeros(len(hosts))
-        now = time.monotonic()
         n_sh = len(self.shards)
         shard_ids = (host_hash.astype(np.uint64) % np.uint64(n_sh)).astype(np.int64)
         out = np.zeros(len(hosts), dtype=np.float64)
         futs, idxs = [], []
+        now = time.monotonic()
         for s in np.unique(shard_ids):
             sel = np.flatnonzero(shard_ids == s)
-            futs.append(self.shards[int(s)].reserve.remote([hosts[i] for i in sel], now))
+            sh = self.shards[int(s)]
+            if self.clock_mode == "shard":
+                futs.append(sh.reserve_delays.remote([hosts[i] for i in sel]))
+            else:
+                futs.append(sh.reserve.remote([hosts[i] for i in sel], now))
             idxs.append(sel)
         for sel, res in zip(idxs, ray.get(futs)):
-            out[sel] = res
+            if self.clock_mode == "shard":
+                out[sel] = time.monotonic() + np.asarray(res)  # local start times
+            else:
+                out[sel] = res
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -208,8 +222,9 @@ class FetchWorker:
         politeness_shards=None,
         max_retries: int = 5,
         fetch_threads: int = 8,
+        clock_mode: str = "local",
     ):
-        self._fetch = Fetcher(cfg, politeness_shards, max_retries, fetch_threads)
+        self._fetch = Fetcher(cfg, politeness_shards, max_retries, fetch_threads, clock_mode)
         self._parse = ParseDecode()
 
     def process(self, block: pa.Table) -> pa.Table:

@@ -379,6 +379,7 @@ class CrawlPipeline:
         bucket_size: int = 256,
         max_retries: int = 5,
         fetch_threads: int = 8,
+        politeness_clock: str = "local",  # "shard" on multi-node clusters
     ):
         self.cfg = cfg
         self.store = open_store(store_root)
@@ -391,7 +392,7 @@ class CrawlPipeline:
         # num_cpus=0.75 leaves scheduling room for the commit shuffle tasks
         self.fetch_workers = [
             FetchWorker.options(num_cpus=0.75).remote(
-                cfg, self.politeness.shards, max_retries, fetch_threads
+                cfg, self.politeness.shards, max_retries, fetch_threads, politeness_clock
             )
             for _ in range(fetch_concurrency)
         ]

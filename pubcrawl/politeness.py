@@ -61,6 +61,19 @@ class _TokenBucketShardImpl:
                 out[i] = start
         return out
 
+    def reserve_delays(self, hosts: list[str]) -> np.ndarray:
+        """Multi-node variant: grants measured on the SHARD's own clock and
+        returned as RELATIVE delays (seconds to wait from receipt). No
+        cross-machine clock comparison ever happens — each caller sleeps
+        ``delay`` on its local clock. The admitted schedule is identical to
+        :meth:`reserve`; the only cost is one network RTT of slack per grant,
+        which is what makes it correct on a cluster (the single-node
+        ``reserve`` keeps caller timestamps so grants from one batch
+        interleave exactly)."""
+        now = time.monotonic()
+        starts = self.reserve(hosts, now)
+        return np.maximum(starts - now, 0.0)
+
 
 TokenBucketShard = ray.remote(_TokenBucketShardImpl)
 

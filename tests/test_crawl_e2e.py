@@ -211,3 +211,36 @@ def test_threaded_fetcher_overlaps_latency():
     # 32×80ms ≥ 2.56s serial floor; threaded ≈ GIL-bound decode + latency/8
     assert t_serial >= 2.5
     assert t_threaded < t_serial / 2
+
+
+def test_shard_clock_politeness_delays():
+    """Multi-node politeness mode: the shard measures on its own clock and
+    returns non-negative relative delays with the same admitted schedule
+    (≥ interval spacing per host past the burst)."""
+    import numpy as np
+
+    from pubcrawl.politeness import _TokenBucketShardImpl
+
+    sh = _TokenBucketShardImpl(per_host_rate=10.0, burst=2)  # 100ms interval
+    d = sh.reserve_delays(["h1"] * 6 + ["h2"])
+    assert (d >= 0).all()
+    assert d[0] == 0 and d[1] == 0  # burst credits admit immediately
+    gaps = np.diff(d[2:6])
+    assert (gaps >= 0.0999).all()  # serialized at the host rate
+    assert d[6] == 0  # other host unaffected
+
+
+def test_crawl_shard_clock_matches_oracle(tmp_path):
+    """politeness_clock='shard' must not change crawl content — only grant
+    timing semantics differ."""
+    from pubcrawl.oracle import crawl_oracle
+
+    cfg = WebConfig(seed=21, n_hosts=4, pages_per_host=2, links_per_page=5,
+                    images_per_page=2, details_per_host=16)
+    root = str(tmp_path / "store")
+    crawl(cfg, root, fetch_concurrency=2, bucket_size=64, seen_shards=2,
+          politeness_clock="shard")
+    orc = crawl_oracle(cfg)
+    imgs = load_images(root, canonical_order=True).to_pandas()
+    assert list(imgs.caption) == orc.rows["caption"].to_pylist()
+    assert list(imgs.image_id) == orc.rows["image_id"].to_pylist()
