@@ -318,22 +318,28 @@ def _slice_frontier(tbl: pa.Table, bucket_size: int, batch_size: int):
     """Split one frontier block into fetch batches without the rows ever
     visiting the driver: first yield is the per-slice metadata
     (bucket, max priority, rows — scalars only), then one yield per slice.
-    Buckets are seq // bucket_size; rows arrive seq-ascending, so each
-    bucket's rows are a contiguous range and slices preserve seq order."""
+
+    Buckets are seq // bucket_size. Rows are grouped by EXPLICIT index sets
+    sorted by seq — never by contiguous ranges: parallel parquet reads emit
+    blocks in nondeterministic order, so a block's seq column can interleave
+    bucket regions, and a range-based slice would fetch rows of other
+    buckets twice (the round-2 duplicate-fetch bug found against the oracle
+    at bench scale). take() on metadata-only frontier rows is cheap."""
     seqs = tbl["seq"].to_numpy(zero_copy_only=False)
     prios = tbl["priority"].to_numpy(zero_copy_only=False)
     buckets = seqs // bucket_size
+    order = np.argsort(seqs, kind="stable")  # seq-ascending within the block
     meta = []
     slices = []
-    for b in np.unique(buckets):  # ascending == seq order
-        sel = np.flatnonzero(buckets == b)
-        lo, hi = int(sel[0]), int(sel[-1]) + 1
-        for s_lo in range(lo, hi, batch_size):
-            ln = min(batch_size, hi - s_lo)
-            blk = tbl.slice(s_lo, ln).append_column(
-                "bucket", pa.array(np.full(ln, b, dtype=np.int64))
+    for b in np.unique(buckets):  # ascending bucket id == seq order
+        sel = order[buckets[order] == b]
+        bprio = float(prios[sel].max())
+        for s_lo in range(0, len(sel), batch_size):
+            chunk = sel[s_lo : s_lo + batch_size]
+            blk = tbl.take(pa.array(chunk)).append_column(
+                "bucket", pa.array(np.full(len(chunk), b, dtype=np.int64))
             )
-            meta.append({"bucket": int(b), "prio": float(prios[lo:hi].max()), "rows": ln})
+            meta.append({"bucket": int(b), "prio": bprio, "rows": len(chunk)})
             slices.append(blk)
     yield meta
     for s in slices:
@@ -469,11 +475,20 @@ class CrawlPipeline:
     def _dispatch_least_loaded(self, sref) -> "ray.ObjectRef":
         """Assign one fetch slice to the worker with the fewest outstanding
         batches (round-2 fix for VERDICT What's-wrong #9 — static round-robin
-        queues work behind stragglers held up by hot-host politeness waits)."""
+        queues work behind stragglers held up by hot-host politeness waits).
+
+        Bookkeeping is amortized: queues are pruned only when total in-flight
+        hits a bounded window (4 batches/worker), with ONE blocking wait plus
+        one timeout-0 sweep — O(window) per dispatch, and the window doubles
+        as submission backpressure. (A ray.wait over every outstanding ref on
+        every dispatch is O(slices²) and was measurably slower than the
+        round-robin it replaced.)"""
+        cap = 4 * len(self.fetch_workers)
         outstanding = [r for q in self._inflight for r in q]
-        if outstanding:
-            done, _ = ray.wait(outstanding, num_returns=len(outstanding), timeout=0)
-            done_set = set(done)
+        if len(outstanding) >= cap:
+            done, rest = ray.wait(outstanding, num_returns=1)
+            more, _ = ray.wait(rest, num_returns=len(rest), timeout=0)
+            done_set = set(done) | set(more)
             for q in self._inflight:
                 q -= done_set
         w = min(range(len(self.fetch_workers)), key=lambda i: len(self._inflight[i]))
@@ -575,15 +590,24 @@ class CrawlPipeline:
             # next round's input: the link fragments as a lazy parquet read —
             # the driver consults the manifest (scalars) only, never the rows
             committed = self.store.committed()
-            link_paths = [
-                self.store.fragment_path(pid)
+            link_pids = [
+                pid
                 for pid in sorted(committed)
                 if pid.startswith(f"links_d{depth}_b") and committed[pid]["rows"] > 0
             ]
-            if not link_paths:
+            if not link_pids:
                 depth += 1
                 break
-            raw = rd.read_parquet(link_paths)
+            link_rows = sum(committed[pid]["rows"] for pid in link_pids)
+            # bound the round's block count: many small link fragments would
+            # otherwise fan the expand chain into per-tiny-block task waves
+            # (fixed cost per block dominates); ~200k-row blocks keep the
+            # expansion vectorized at any scale
+            nblocks = int(np.clip(link_rows // 200_000 + 1, 1, 256))
+            raw = rd.read_parquet(
+                [self.store.fragment_path(pid) for pid in link_pids],
+                override_num_blocks=nblocks,
+            )
             depth += 1
         report.seen = seq_base
         # roll up metrics from the manifest
