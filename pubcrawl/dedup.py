@@ -172,18 +172,43 @@ def minhash_lsh_pairs(
 
     band_rows = ds.map_batches(Sig, batch_format="pandas", concurrency=(1, 8))
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, g in df.groupby(["band", "bh"], sort=False):
-            ids = sorted(g[id_col].unique())
-            out.extend((x, y) for i, x in enumerate(ids) for y in ids[i + 1 :])
-        if not out:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+    _EMPTY_PAIRS = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame(out, columns=["id_a", "id_b"])
 
-    cand_raw = relops.hash_partition_apply(band_rows, ["band", "bh"], bucket_pairs, n_partitions=8)
-    cand = relops.distinct(cand_raw, ["id_a", "id_b"])  # dedupe across bands, distributed
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Candidate pairs per (band, bh) bucket — sort + boundary scan; the
+        Python loop touches only multi-member buckets (collisions), which are
+        rare relative to the 64×docs singleton buckets."""
+        if df.empty:
+            return _EMPTY_PAIRS.copy()
+        d = df.drop_duplicates(["band", "bh", id_col]).sort_values(
+            ["band", "bh", id_col], kind="mergesort"
+        )
+        bandv = d["band"].to_numpy()
+        bhv = d["bh"].to_numpy()
+        idv = d[id_col].to_numpy()
+        new = np.empty(len(d), dtype=bool)
+        new[0] = True
+        new[1:] = (bandv[1:] != bandv[:-1]) | (bhv[1:] != bhv[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(d))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s > 1:
+                ids = idv[s:e]
+                ii, jj = np.triu_indices(len(ids), k=1)
+                out_a.append(ids[ii])
+                out_b.append(ids[jj])
+        if not out_a:
+            return _EMPTY_PAIRS.copy()
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    # cross-band duplicate pairs are NOT deduped here: they share id_a, so
+    # they co-locate at the verify's first co-partition stage, which dedupes
+    # them for free (one shuffle wave saved vs a separate distinct)
+    cand = relops.hash_partition_apply(band_rows, ["band", "bh"], bucket_pairs, n_partitions=8)
     verified = verify_pairs_jaccard(ds, cand, text_col, id_col, ngram=ngram).to_pandas()
     if verified.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
@@ -211,14 +236,17 @@ def verify_pairs_jaccard(
     second stage computes exact Jaccard per pair inside the task. The driver
     holds only the candidate id set and whatever the caller collects.
     """
-    ids_a = cand.map_batches(
-        lambda df: pd.DataFrame({"__id": df["id_a"]}), batch_format="pandas", batch_size=None
-    )
-    ids_b = cand.map_batches(
-        lambda df: pd.DataFrame({"__id": df["id_b"]}), batch_format="pandas", batch_size=None
-    )
-    involved_tbl = relops.distinct(ids_a.union(ids_b), ["__id"]).to_pandas()
-    involved = frozenset(involved_tbl["__id"])
+    @ray.remote
+    def _uniq_ids(blk) -> np.ndarray:
+        tbl = blk if isinstance(blk, pa.Table) else pa.Table.from_pandas(blk)
+        if tbl.num_rows == 0 or "id_a" not in tbl.column_names:
+            return np.array([], dtype=np.int64)
+        return np.unique(
+            np.concatenate([np.asarray(tbl["id_a"]), np.asarray(tbl["id_b"])])
+        )
+
+    parts = ray.get([_uniq_ids.remote(r) for r in cand.to_arrow_refs()])
+    involved = frozenset(np.concatenate(parts).tolist()) if parts else frozenset()
     if not involved:
         return rd.from_pandas(_EMPTY_VERIFIED.copy())
     inv_ref = ray.put(involved)
@@ -239,7 +267,9 @@ def verify_pairs_jaccard(
                  "sh": [shingle_hashes(t, ngram).tobytes() for t in sub[text_col]]}
             )
 
-    sh_ds = ds.map_batches(Shingles, batch_format="pandas", concurrency=(1, 8))
+    # materialize: both co-partition stages consume sh_ds — lazy it would
+    # re-shingle the corpus once per stage
+    sh_ds = ds.map_batches(Shingles, batch_format="pandas", concurrency=(1, 8)).materialize()
 
     def tag(key_from: str, side: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -258,7 +288,9 @@ def verify_pairs_jaccard(
         # dropped by the caller's row-count probe)
         if "id_a" not in df.columns or "__id" not in df.columns:
             return _EMPTY_STAGE1.copy()
-        p = df[df["__side"] == 0][["id_a", "id_b"]]
+        # dedupe candidate pairs here: duplicates of a pair (one per LSH
+        # band collision) share id_a and therefore this partition
+        p = df[df["__side"] == 0][["id_a", "id_b"]].drop_duplicates()
         s = df[df["__side"] == 1][["__id", "sh"]].rename(columns={"sh": "sh_a"})
         m = p.merge(s, left_on="id_a", right_on="__id", how="inner")
         m = m[["id_a", "id_b", "sh_a"]]
