@@ -290,3 +290,66 @@ class TestStemming:
         idx = search.build_inverted_index(corpus, "text", "doc_id", stem=True).to_pandas()
         m = {r.term: (r.df, list(r.postings)) for r in idx.itertuples()}
         assert m["connect"][0] == 2 and m["connect"][1] == [1, 2]
+
+
+class TestService:
+    """Serving-layer flows (reference FastAPI routes + Streamlit session:
+    /root/reference/src/api/main.py:90-110, streamlit_app.py:68-245)."""
+
+    @pytest.fixture()
+    def session(self, tmp_path):
+        import ray.data as rd
+
+        from pubcrawl import service
+        from pubcrawl import embed as embedmod
+
+        docs = rd.from_items(
+            [
+                {"doc_id": i, "text": t, "conference": c, "year": y}
+                for i, (t, c, y) in enumerate(
+                    [
+                        ("window stream processing engine", "ICML", 2023),
+                        ("stream window analysis pipeline", "ICML", 2024),
+                        ("graph neural network training", "NeurIPS", 2023),
+                        ("window functions for databases", "NeurIPS", 2024),
+                        ("unrelated botany field notes", "ICML", 2023),
+                    ]
+                )
+            ]
+        )
+        root = str(tmp_path / "vec")
+        embedmod.embed_corpus(docs, root, "doc_id", "text", concurrency=2)
+        vecs = embedmod.load_vectors(root).map_batches(
+            lambda t: t.rename_columns(["vec_id", "embedding"]), batch_format="pyarrow"
+        )
+        return service.SearchSession(
+            docs, vecs, embedmod.HashEmbedder(),
+            meta_cols=["conference", "year"],
+        )
+
+    def test_keyword_dispatch_stats_and_pagination(self, session):
+        out = session.search("window", top_n=10)
+        ids = set(out["results"].doc_id)
+        assert ids == {0, 1, 3}
+        stats = out["stats"]
+        assert stats["total_found"] == 3
+        assert sum(stats["distribution"].values()) == 3
+        rows, info = session.page(1, per_page=2)
+        assert len(rows) == 2 and info["total_pages"] == 2
+        rows, info = session.page(99, per_page=2)  # clamped
+        assert info["page"] == 2 and len(rows) == 1
+
+    def test_sem_prefix_dispatch(self, session):
+        out = session.search("sem: stream window analysis pipeline", top_n=3)
+        assert list(out["results"].doc_id)[0] == 1  # exact text match ranks first
+        assert "similarity" in out["results"].columns
+
+    def test_filters_and_reset(self, session):
+        session.search("window", top_n=10)
+        filtered = session.set_filters(conference="ICML")
+        assert set(filtered.doc_id) == {0, 1}
+        session.page(2, per_page=1)
+        session.search("window", top_n=10)  # new search resets
+        assert session.current_page == 1 and len(session.filtered) == 3
+        ctx = session.prompt_context(k=2)
+        assert ctx.count("[") >= 2
