@@ -58,16 +58,20 @@ class HashEmbedder:
         return v
 
     def encode(self, texts: list[str]) -> np.ndarray:
-        out = np.zeros((len(texts), self.dim), dtype=np.float32)
-        for i, t in enumerate(texts):
-            toks = t.lower().split() or [""]
-            acc = np.zeros(self.dim, dtype=np.float64)
-            for w in toks:
-                acc += self._vec(w)
-            acc /= len(toks)
-            n = np.linalg.norm(acc)
-            out[i] = (acc / n if n else acc).astype(np.float32)
-        return out
+        """Batch-vectorized: one cached-vector gather for the batch's unique
+        words, then per-doc token sums via reduceat over the flat token
+        stream (token order preserved → bit-identical to the per-doc loop)."""
+        toks = [t.lower().split() or [""] for t in texts]
+        lens = np.fromiter((len(ws) for ws in toks), np.int64, len(toks))
+        flat = [w for ws in toks for w in ws]
+        uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+        mat = np.stack([self._vec(w) for w in uniq])  # (U, dim), cached
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        acc = np.add.reduceat(mat[inv], starts, axis=0)
+        acc /= lens[:, None]
+        norms = np.linalg.norm(acc, axis=1, keepdims=True)
+        np.divide(acc, norms, out=acc, where=norms != 0)
+        return acc.astype(np.float32)
 
 
 class EmbedderStage:
