@@ -189,11 +189,120 @@ def run_task(
     return out
 
 
+def download_pdfs_stage(
+    rows: pd.DataFrame, transport_factory, pdf_dir: str, batch_size: int = 8
+) -> dict:
+    """K4/D3 — the reference's PDF sink
+    (/root/reference/src/utils/downloader.py:11-40): per-paper pdf_url fetch
+    to ``<sanitized-title>.pdf``, SKIP-IF-EXISTS, failed fetches cleaned up.
+    Fan-out is a Ray Data task pool; the skip test runs inside the task so a
+    resumed run re-downloads nothing."""
+    os.makedirs(pdf_dir, exist_ok=True)
+    if rows.empty or "pdf_url" not in rows.columns:
+        return {"downloaded": 0, "skipped": 0, "failed": 0}
+    seeds = rd.from_pandas(rows[["pdf_url", "title"]].reset_index(drop=True))
+
+    def fetch(df: pd.DataFrame) -> pd.DataFrame:
+        transport = transport_factory()
+        out = []
+        for url, title in zip(df["pdf_url"], df["title"]):
+            if not url or pd.isna(url):
+                out.append("failed")
+                continue
+            path = os.path.join(
+                pdf_dir, analysis.sanitize_filename(str(title or "untitled")) + ".pdf"
+            )
+            if os.path.exists(path):
+                out.append("skipped")
+                continue
+            st, payload = transport.fetch(url)
+            if st == 200 and payload:
+                tmp = path + ".part"
+                with open(tmp, "wb") as f:
+                    f.write(payload)
+                os.replace(tmp, path)
+                out.append("downloaded")
+            else:
+                out.append("failed")
+        return pd.DataFrame({"status": out})
+
+    got = seeds.map_batches(fetch, batch_format="pandas", batch_size=batch_size).to_pandas()
+    counts = got["status"].value_counts().to_dict()
+    return {k: int(counts.get(k, 0)) for k in ("downloaded", "skipped", "failed")}
+
+
 def run_tasks(config: dict, transport_factory, out_dir: str | None = None, **kw) -> dict:
     """The reference's multi-task driver loop (sequential per task — each task
     is itself a parallel Dataset flow); returns {task label: row count}."""
     results = {}
     for spec in sources.build_task_specs(config):
         df = run_task(spec, transport_factory, out_dir=out_dir, **kw)
+        if spec.download_pdfs and out_dir and len(df):
+            download_pdfs_stage(
+                df, transport_factory,
+                os.path.join(out_dir, spec.conference, str(spec.year), "pdfs"),
+            )
         results[f"{spec.conference}_{spec.year}"] = len(df)
     return results
+
+
+def run_pipeline(
+    config: dict,
+    transport_factory,
+    out_dir: str,
+    mode: str = "collect_and_analyze",
+    taxonomy: dict | None = None,
+    **kw,
+) -> dict:
+    """The reference's OPERATION_MODE switch
+    (/root/reference/src/crawlers/run_crawler.py:32,233-253):
+
+    - ``collect``: run every enabled task, per-task K1-K3 artifacts;
+    - ``analyze``: reload previously-collected per-task CSVs and run the
+      cross-year trend analysis per conference;
+    - ``collect_and_analyze``: both phases over the fresh collection.
+
+    Cross-year analysis = classify against the taxonomy → per-topic stats
+    with year as the category axis → markdown report per conference
+    (trends.py:167-190 flow, distributed via analysis.classify_topics).
+    """
+    if mode not in ("collect", "analyze", "collect_and_analyze"):
+        raise ValueError(f"unknown mode {mode}")
+    out: dict = {"mode": mode}
+    frames: list[pd.DataFrame] = []
+    if mode in ("collect", "collect_and_analyze"):
+        out["collected"] = {}
+        for spec in sources.build_task_specs(config):
+            df = run_task(spec, transport_factory, out_dir=out_dir, **kw)
+            if spec.download_pdfs and len(df):
+                download_pdfs_stage(
+                    df, transport_factory,
+                    os.path.join(out_dir, spec.conference, str(spec.year), "pdfs"),
+                )
+            out["collected"][f"{spec.conference}_{spec.year}"] = len(df)
+            if len(df):
+                frames.append(df)
+    if mode == "analyze":
+        # reload phase (run_crawler.py:199-220): every per-task CSV under out_dir
+        import glob
+
+        for path in sorted(glob.glob(os.path.join(out_dir, "*", "*", "*_data.csv"))):
+            frames.append(pd.read_csv(path, encoding="utf-8-sig"))
+    if mode in ("analyze", "collect_and_analyze") and frames:
+        all_df = pd.concat(frames, ignore_index=True)
+        taxonomy = taxonomy or {}
+        out["analyzed"] = {}
+        for conf, g in all_df.groupby("conference"):
+            base = os.path.join(out_dir, "analysis", str(conf))
+            if taxonomy:
+                ds = rd.from_pandas(g.reset_index(drop=True))
+                classified = analysis.classify_topics(ds, ["title", "abstract"], taxonomy)
+                stats = analysis.topic_stats(
+                    classified, "topics", metric_col=None, category_col="year"
+                )
+                analysis.save_csv(stats, os.path.join(base, "topic_trends.csv"))
+            analysis.save_markdown(
+                g, os.path.join(base, "report.md"), f"{conf} cross-year report"
+            )
+            out["analyzed"][str(conf)] = len(g)
+    return out

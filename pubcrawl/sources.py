@@ -278,6 +278,7 @@ class TaskSpec:
     max_papers: int | None = None
     fetch_reviews: bool = False
     max_workers: int = 8
+    download_pdfs: bool = False
 
 
 CONF_PATTERNS = {
@@ -319,6 +320,7 @@ def build_task_specs(config: dict) -> list[TaskSpec]:
                 filters=task.get("filters", []),
                 max_papers=task.get("max_papers_limit"),
                 fetch_reviews=bool(task.get("fetch_reviews", False)),
+                download_pdfs=bool(task.get("download_pdfs", False)),
                 max_workers=int(task.get("max_workers", 8)),
             )
         )

@@ -418,3 +418,59 @@ def test_review_fanout_stage():
     assert out[0]["review_ratings"] == [8, 6]
     assert out[1]["decision"] == "N/A" and out[1]["avg_rating"] is None
     assert [r["title"] for r in out] == ["A", "B"]  # row order preserved
+
+
+def test_run_pipeline_modes_and_pdf_downloads(tmp_path):
+    """OPERATION_MODE switch + download_pdfs (reference run_crawler.py:32,
+    233-253 and downloader.py:11-40): collect writes per-task artifacts +
+    skip-if-exists PDFs; analyze reloads CSVs for the cross-year report."""
+    import json as _json
+    import os
+
+    from pubcrawl import runner
+
+    notes = {"notes": [
+        {"id": f"n{i}", "content": {"title": {"value": f"Stream Paper {i}"},
+                                    "authors": {"value": ["A"]},
+                                    "abstract": {"value": "stream window shuffle"}}}
+        for i in range(3)
+    ]}
+
+    fetch_log = []
+
+    class FakeTransport:
+        def fetch(self, url):
+            fetch_log.append(url)
+            if url.endswith("/notes"):
+                return 200, _json.dumps(notes).encode()
+            if "pdf" in url:
+                return 200, b"%PDF-1.4 fake"
+            return 404, b""
+
+    cfg = {
+        "source_definitions": {"ICLR": {"source_type": "openreview",
+                                        "venue_id": "https://api.example/YYYY/notes"}},
+        "tasks": [{"conference": "ICLR", "year": 2024, "download_pdfs": True}],
+    }
+    out_dir = str(tmp_path / "out")
+    res = runner.run_pipeline(cfg, FakeTransport, out_dir, mode="collect_and_analyze",
+                              taxonomy={"stream": ["stream", "window"]})
+    assert res["collected"]["ICLR_2024"] == 3
+    assert res["analyzed"]["ICLR"] == 3
+    pdfs = os.listdir(os.path.join(out_dir, "ICLR", "2024", "pdfs"))
+    assert len(pdfs) == 3 and all(p.endswith(".pdf") for p in pdfs)
+    assert os.path.exists(os.path.join(out_dir, "analysis", "ICLR", "topic_trends.csv"))
+    assert os.path.exists(os.path.join(out_dir, "ICLR", "2024", "ICLR_2024_data.csv"))
+
+    # skip-if-exists: a second download stage fetches no PDFs
+    n_pdf_fetches = sum("pdf" in u for u in fetch_log)
+    df = runner.run_task(runner.sources.build_task_specs(cfg)[0], FakeTransport)
+    stats = runner.download_pdfs_stage(df, FakeTransport,
+                                       os.path.join(out_dir, "ICLR", "2024", "pdfs"))
+    assert stats == {"downloaded": 0, "skipped": 3, "failed": 0}
+    assert sum("pdf" in u for u in fetch_log) == n_pdf_fetches
+
+    # analyze mode reloads from disk
+    res2 = runner.run_pipeline(cfg, FakeTransport, out_dir, mode="analyze",
+                               taxonomy={"stream": ["stream"]})
+    assert res2["analyzed"]["ICLR"] == 3
