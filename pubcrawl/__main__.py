@@ -4,6 +4,7 @@ never calls ray.init).
   crawl        run a synthetic-web crawl into a fragment store
   images       show stored image_caption metadata (canonical order)
   checkpoints  show the checkpoint/lineage table of a store
+  tasks        run a reference-style task config (collect/analyze modes)
 """
 
 from __future__ import annotations
@@ -54,6 +55,13 @@ def main(argv: list[str] | None = None) -> int:
 
     k = sub.add_parser("checkpoints", help="show the checkpoint/lineage table")
     k.add_argument("--store", required=True)
+
+    t = sub.add_parser("tasks", help="run a task config (reference OPERATION_MODE flow)")
+    t.add_argument("--config", required=True, help="JSON task config file")
+    t.add_argument("--out", required=True, help="artifact output directory")
+    t.add_argument("--mode", default="collect_and_analyze",
+                   choices=["collect", "analyze", "collect_and_analyze"])
+    t.add_argument("--num-cpus", type=int, default=8)
 
     args = p.parse_args(argv)
 
@@ -107,6 +115,16 @@ def main(argv: list[str] | None = None) -> int:
 
         tbl = checkpoint_table(ParquetFragmentStore(args.store))
         print(tbl.to_pandas().to_string(index=False, max_colwidth=30))
+    elif args.cmd == "tasks":
+        ray = _init_ray(args.num_cpus)
+        from pubcrawl.fetch import HttpTransport
+        from pubcrawl.runner import run_pipeline
+
+        with open(args.config) as f:
+            config = json.load(f)
+        res = run_pipeline(config, HttpTransport, args.out, mode=args.mode)
+        print(json.dumps(res))
+        ray.shutdown()
     return 0
 
 
