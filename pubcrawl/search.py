@@ -118,28 +118,67 @@ def keyword_search(
             self.phr_toks = [
                 [porter_stem(w) for w in _TOKEN.findall(p)] for p in self.q.phrases
             ]
+            # token-boundary tf patterns: (?<![a-z0-9])t(?![a-z0-9]) counts
+            # exactly the [a-z0-9]+ tokens equal to t (NOT \b — underscore is
+            # a \w word char but a token separator here). A term that is not
+            # itself one token (e.g. "c++") can never equal a token: tf ≡ 0.
+            self.tf_rx = {
+                t: (rf"(?<![a-z0-9]){re.escape(t)}(?![a-z0-9])"
+                    if re.fullmatch(r"[a-z0-9]+", t) else None)
+                for t in self.idf
+            }
 
         @staticmethod
         def _has_seq(toks: list[str], seq: list[str]) -> bool:
             n = len(seq)
             return any(toks[i : i + n] == seq for i in range(len(toks) - n + 1))
 
+        def _score_vectorized(self, df: pd.DataFrame) -> pd.DataFrame:
+            """Default (unstemmed) path: pandas str kernels end to end —
+            per-term tf counts, doc length, phrase/field masks, BM25 — no
+            per-doc Python loop."""
+            low = df[text_col].fillna("").str.lower()
+            dl = low.str.count(_TOKEN.pattern).to_numpy(dtype=np.float64)
+            mask = np.ones(len(df), dtype=bool)
+            tfs = {}
+            for t, rx in self.tf_rx.items():
+                tf = (
+                    low.str.count(rx).to_numpy(dtype=np.float64)
+                    if rx is not None
+                    else np.zeros(len(df), dtype=np.float64)
+                )
+                tfs[t] = tf
+                mask &= tf > 0
+            for rx in self.phr:
+                mask &= low.str.contains(rx.pattern, regex=True).to_numpy()
+            for fname, fval in self.q.fields:
+                if fname not in df.columns:
+                    mask &= False
+                else:
+                    mask &= (
+                        df[fname].astype(str).str.lower() == fval.lower()
+                    ).to_numpy()
+            denom_base = k1 * (1 - b + b * dl / self.avgdl)
+            s = np.zeros(len(df), dtype=np.float64)
+            for t, w in self.idf.items():
+                tf = tfs[t]
+                s += w * tf * (k1 + 1) / (tf + denom_base)
+            out = pd.DataFrame({id_col: df[id_col].to_numpy()[mask], "score": s[mask]})
+            return out.sort_values(["score", id_col], ascending=[False, True]).head(k)
+
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not self.stem:
+                return self._score_vectorized(df)
             keep_rows, scores = [], []
             for i, (doc_id, text) in enumerate(zip(df[id_col], df[text_col])):
                 low = text.lower()
-                toks = _TOKEN.findall(low)
-                if self.stem:
-                    toks = [porter_stem(w) for w in toks]
+                toks = [porter_stem(w) for w in _TOKEN.findall(low)]
                 counts: dict[str, int] = {}
                 for w in toks:
                     counts[w] = counts.get(w, 0) + 1
                 if any(counts.get(t, 0) == 0 for t in self.idf):
                     continue
-                if self.stem:
-                    if any(not self._has_seq(toks, s) for s in self.phr_toks):
-                        continue
-                elif any(not rx.search(low) for rx in self.phr):
+                if any(not self._has_seq(toks, s) for s in self.phr_toks):
                     continue
                 ok = True
                 for fname, fval in self.q.fields:

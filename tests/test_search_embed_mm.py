@@ -353,3 +353,14 @@ class TestService:
         assert session.current_page == 1 and len(session.filtered) == 3
         ctx = session.prompt_context(k=2)
         assert ctx.count("[") >= 2
+
+
+def test_bm25_vectorized_matches_loop_scores(corpus):
+    """The vectorized (default) scoring path and the per-doc loop path (the
+    stem=True path with identity-stemming query) must produce identical BM25
+    scores on a corpus with no stemmable query terms."""
+    # 'data' and 'engine' are already porter stems → stem=True is a no-op
+    a = search.keyword_search(corpus, "data engine", id_col="doc_id", k=10, stem=False)
+    b = search.keyword_search(corpus, "data engine", id_col="doc_id", k=10, stem=True)
+    assert list(a.doc_id) == list(b.doc_id)
+    assert np.allclose(a.score.to_numpy(), b.score.to_numpy())
