@@ -800,6 +800,83 @@ def asof_last_click(sf_dir: str):
     return joined.map_batches(project, batch_format="pandas", batch_size=None)
 
 
+_G4_SQL = " UNION ALL ".join(
+    f"SELECT '{topic}' AS topic, COUNT(*) AS n, "
+    "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en, "
+    "CAST((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) "
+    "AS rate_e6 FROM documents "
+    f"WHERE regexp_matches(text, '(?i)\\b({'|'.join(kws)})\\b')"
+    for topic, kws in TAXONOMY.items()
+)
+
+
+@query("g4_topic_acceptance", sql=_G4_SQL)
+def g4_topic_acceptance(sf_dir: str):
+    """G4/J4 — per-topic acceptance-rate style stat (the reference's
+    accepted/total share, /root/reference/src/analysis/trends.py:57-67):
+    classify → explode → grouped counts + en-share, rate in exact integer
+    1e-6 units (floor division — no float in the distributed path)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    patterns = {t: re.compile(r"\b(" + "|".join(k) + r")\b", re.I) for t, k in TAXONOMY.items()}
+
+    def classify(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        topics = [[t for t, rx in patterns.items() if rx.search(x or "")] for x in texts]
+        en = pc.cast(pc.equal(batch["lang"], "en"), pa.int64())
+        return pa.table(
+            {"topics": pa.array(topics, pa.list_(pa.string())), "en": en}
+        )
+
+    exploded = relops.explode_list(
+        ds.map_batches(classify, batch_format="pyarrow"), "topics", "topic"
+    )
+    agg = relops.preagg_group_sum(exploded, ["topic"], {"en": "n_en"}, count_as="n")
+    return relops.with_columns(
+        agg,
+        {
+            "rate_e6": lambda t: pc.cast(
+                pc.divide(pc.multiply(t["n_en"], pa.scalar(1_000_000, pa.int64())), t["n"]),
+                pa.int64(),
+            )
+        },
+    )
+
+
+@query(
+    "w3_hopping_windows",
+    sql="SELECT CAST(epoch_us(win) AS BIGINT) AS win_us, event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_e2 FROM ("
+    "  SELECT date_trunc('day', ts) AS win, event_type, value FROM events"
+    "  UNION ALL"
+    "  SELECT date_trunc('day', ts) - INTERVAL 1 DAY AS win, event_type, value FROM events"
+    ") GROUP BY 1, 2",
+)
+def w3_hopping_windows(sf_dir: str):
+    """Hopping windows (size 2 days, hop 1 day): every event lands in the two
+    windows covering it — per-batch window fan-out (flat_map shape via
+    Arrow concat) feeding the same combiner groupby as w1. Streaming-shaped
+    op with an exact SQL oracle."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    day_us = 86_400_000_000
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(pc.floor_temporal(batch["ts"], unit="day"), pa.int64()), pa.int64())
+        v_e2 = pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
+        base = pa.table(
+            {"win_us": day, "event_type": batch["event_type"], "value_e2": v_e2}
+        )
+        prev = pa.table(
+            {"win_us": pc.subtract(day, pa.scalar(day_us, pa.int64())),
+             "event_type": batch["event_type"], "value_e2": v_e2}
+        )
+        return pa.concat_tables([base, prev])
+
+    fanned = ds.map_batches(fan_out, batch_format="pyarrow", batch_size=None)
+    return relops.preagg_group_sum(
+        fanned, ["win_us", "event_type"], {"value_e2": "value_e2"}, count_as="n"
+    )
+
+
 @query("dedup_near_keep")  # LSH + connected components → rows-only check
 def dedup_near_keep(sf_dir: str):
     """End-to-end near-dedup decision table: MinHash+LSH pairs → connected
