@@ -230,3 +230,29 @@ class TestDedupClusters:
         dist = dedup.min_label_propagation(pairs)
         uf = dedup.connected_components(pairs)
         assert dict(zip(dist.id, dist.cluster)) == dict(zip(uf.id, uf.cluster))
+
+
+def test_stable_bucket_integer_fast_path():
+    """Integer-key fast path: deterministic across calls, equal keys → equal
+    bucket regardless of block membership, and full coverage of buckets."""
+    import pandas as pd
+
+    from pubcrawl.relops import _stable_bucket
+
+    df1 = pd.DataFrame({"k": np.arange(1000, dtype=np.int64) % 97,
+                        "j": np.arange(1000, dtype=np.int64) % 13})
+    df2 = df1.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    b1 = _stable_bucket(df1, ["k", "j"], 8)
+    b2 = _stable_bucket(df2, ["k", "j"], 8)
+    m1 = {t: b for t, b in zip(zip(df1.k, df1.j), b1)}
+    m2 = {t: b for t, b in zip(zip(df2.k, df2.j), b2)}
+    assert m1 == m2                      # key → bucket is a pure function
+    assert set(b1) == set(range(8))      # spreads over all buckets
+    # uint64 keys (band hashes) work and stay deterministic
+    dfu = pd.DataFrame({"h": np.array([2**63 + 5, 7, 2**63 + 5], dtype=np.uint64)})
+    bu = _stable_bucket(dfu, ["h"], 4)
+    assert bu[0] == bu[2]
+    # string keys fall back to the hash_pandas_object path deterministically
+    dfs = pd.DataFrame({"s": ["a", "b", "a"]})
+    bs = _stable_bucket(dfs, ["s"], 4)
+    assert bs[0] == bs[2]
