@@ -244,3 +244,34 @@ def test_crawl_shard_clock_matches_oracle(tmp_path):
     imgs = load_images(root, canonical_order=True).to_pandas()
     assert list(imgs.caption) == orc.rows["caption"].to_pylist()
     assert list(imgs.image_id) == orc.rows["image_id"].to_pylist()
+
+
+def test_crawl_never_fetches_blocks_to_driver(tmp_path, monkeypatch):
+    """Scale invariant (VERDICT r1 #5): the crawl loop's driver orchestrates
+    with refs and scalars only — no Arrow block (frontier rows, fetch
+    output, payload bytes) is ever ray.get on the driver. The key-column
+    reduce's (mask, ord) numpy arrays are the designed exception."""
+    import ray as _ray
+
+    fetched_tables = []
+    real_get = _ray.get
+
+    def spy(refs, **kw):
+        out = real_get(refs, **kw)
+        vals = out if isinstance(out, list) else [out]
+        import pyarrow as _pa
+
+        fetched_tables.extend(v for v in vals if isinstance(v, _pa.Table))
+        return out
+
+    cfg = WebConfig(seed=31, n_hosts=4, pages_per_host=2, links_per_page=5,
+                    images_per_page=2, details_per_host=16)
+    monkeypatch.setattr(_ray, "get", spy)
+    try:
+        crawl(cfg, str(tmp_path / "store"), fetch_concurrency=2, bucket_size=64,
+              seen_shards=2)
+    finally:
+        monkeypatch.setattr(_ray, "get", real_get)
+    assert fetched_tables == [], (
+        f"driver fetched {len(fetched_tables)} Arrow blocks during the crawl"
+    )
