@@ -71,7 +71,7 @@ def brute_topk(
                 {"query_id": [], id_col: [], "cos_sim": []}
             )
 
-    partials = ds.map_batches(Score, batch_format="pandas", concurrency=(1, 8)).to_pandas()
+    partials = ds.map_batches(Score(), batch_format="pandas", batch_size=None).to_pandas()
     out = (
         partials.sort_values(["query_id", "cos_sim", id_col], ascending=[True, False, True])
         .groupby("query_id", as_index=False, sort=True)
@@ -224,7 +224,7 @@ def ivf_topk(
                 {"query_id": [], id_col: [], "cos_sim": []}
             )
 
-    partials = ds.map_batches(Score, batch_format="pandas", concurrency=(1, 8)).to_pandas()
+    partials = ds.map_batches(Score(), batch_format="pandas", batch_size=None).to_pandas()
     out = (
         partials.sort_values(["query_id", "cos_sim", id_col], ascending=[True, False, True])
         .groupby("query_id", as_index=False, sort=True)

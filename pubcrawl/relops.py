@@ -349,44 +349,47 @@ def tokenize_column(
     lower → strip non-word chars → split → alpha, len>min_len-1, not stop) →
     exploded word rows. Vectorized with pandas str ops per batch.
     ``stemmer`` (e.g. ``stem.porter_stem``) is applied after the stopword
-    filter — the reference's FTS5 porter tokenizer seat."""
+    filter — the reference's FTS5 porter tokenizer seat.
+
+    Runs as a TASK pool (no actor startup per query): the broadcast stopword
+    ref resolves from the node-local object store per task (~µs), and the
+    per-process stem memo below persists across tasks because Ray reuses
+    worker processes."""
     ref = ray.put(stopwords)
+    clean = re.compile(r"[^\w\s]")
 
-    class Tok:
-        def __init__(self):
-            self.stop = ray.get(ref)
-            self.clean = re.compile(r"[^\w\s]")
-            self.stem_cache: dict[str, str] = {}
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        stop = ray.get(ref)
+        toks = (
+            df[col]
+            .fillna("")
+            .str.lower()
+            .str.replace(clean, " ", regex=True)
+            .str.split()
+        )
+        words = [
+            [w for w in ws if len(w) >= min_len and w.isalpha() and w not in stop]
+            for ws in toks
+        ]
+        if stemmer is not None:
+            words = [[_stem_memo(w, stemmer) for w in ws] for ws in words]
+        rep = np.repeat(np.arange(len(df)), [len(ws) for ws in words])
+        out = df.iloc[rep][[c for c in df.columns if c != col]].copy()
+        out[out_col] = [w for ws in words for w in ws]
+        return out
 
-        def _stem(self, w: str) -> str:
-            v = self.stem_cache.get(w)
-            if v is None:
-                if len(self.stem_cache) > 500_000:
-                    self.stem_cache.clear()
-                v = self.stem_cache[w] = stemmer(w)
-            return v
+    return ds.map_batches(fn, batch_format="pandas", batch_size=None)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            toks = (
-                df[col]
-                .fillna("")
-                .str.lower()
-                .str.replace(self.clean, " ", regex=True)
-                .str.split()
-            )
-            stop = self.stop
-            words = [
-                [w for w in ws if len(w) >= min_len and w.isalpha() and w not in stop]
-                for ws in toks
-            ]
-            if stemmer is not None:
-                words = [[self._stem(w) for w in ws] for ws in words]
-            rep = np.repeat(np.arange(len(df)), [len(ws) for ws in words])
-            out = df.iloc[rep][[c for c in df.columns if c != col]].copy()
-            out[out_col] = [w for ws in words for w in ws]
-            return out
 
-    return ds.map_batches(Tok, batch_format="pandas", batch_size=None, concurrency=(1, 8))
+def _stem_memo(w: str, stemmer, _cache: dict = {}) -> str:
+    """Per-worker-process stem cache (module-level default-arg dict survives
+    across tasks in the same Ray worker)."""
+    v = _cache.get(w)
+    if v is None:
+        if len(_cache) > 500_000:
+            _cache.clear()
+        v = _cache[w] = stemmer(w)
+    return v
 
 
 def collect_arrow(ds: rd.Dataset) -> pa.Table:

@@ -197,7 +197,7 @@ def keyword_search(
             out = pd.DataFrame({id_col: keep_rows, "score": scores})
             return out.sort_values(["score", id_col], ascending=[False, True]).head(k)
 
-    partials = ds.map_batches(Score, batch_format="pandas", concurrency=(1, 8)).to_pandas()
+    partials = ds.map_batches(Score(), batch_format="pandas", batch_size=None).to_pandas()
     top = (
         partials.sort_values(["score", id_col], ascending=[False, True])
         .head(k)
