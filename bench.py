@@ -112,19 +112,23 @@ def run_expand(num_cpus: int) -> dict:
 
     def gen_links(batch):
         # deterministic per-row link generation (seeded by global row index),
-        # built inside tasks so the 12M-row table never sits on the driver
+        # built inside tasks so the 12M-row table never sits on the driver;
+        # numpy.char kernels (same strings as the old f-string loop, ~8× faster
+        # input prep so scaling reps fit in one host-noise window)
         idx = batch["id"].astype(np.int64)
         rng = np.random.default_rng(int(idx[0]) + 7)
         hosts = rng.integers(0, EXPAND_HOSTS, len(idx))
         details = rng.integers(0, 1 << 12, len(idx))
         private = rng.random(len(idx)) < 0.05
-        urls = [
-            f"synth://host-{h:05d}/{'private/' if p else ''}detail/{d}"
-            for h, d, p in zip(hosts, details, private)
-        ]
+        h5 = np.char.zfill(hosts.astype("U5"), 5)
+        mid = np.where(private, "/private/detail/", "/detail/")
+        urls = np.char.add(
+            np.char.add(np.char.add("synth://host-", h5), mid),
+            details.astype("U5"),
+        )
         return pa.table(
             {
-                "url": pa.array(urls, pa.string()),
+                "url": pa.array(urls.tolist(), pa.string()),
                 "parent_seq": pa.array(idx // 64),
                 "link_idx": pa.array((idx % 64).astype(np.int32)),
                 "depth": pa.array(np.ones(len(idx), dtype=np.int32)),
