@@ -113,25 +113,40 @@ def _split_keys_task(n_shards: int):
 
 
 @ray.remote
-def _apply_keep_seq(tbl: pa.Table, masks: list, piece_refs: list, sorted_ords, seq_base: int) -> pa.Table:
+def _apply_keep_seq(
+    tbl: pa.Table, block_idx: int, shard_result_refs: list, piece_refs: list, seq_base: int
+) -> pa.Table:
     """Reassemble this block's keep mask from its per-shard (mask, row_sel)
-    pieces, filter to survivors, and assign seq = discovery rank via binary
-    search in the broadcast sorted survivor-ord array (ords are globally
-    unique: ord = parent_seq·2^20 + link_idx)."""
+    pieces, filter to survivors, and assign seq = discovery rank.
+
+    Ranking is DISTRIBUTED (round-2 fix: the driver used to concat+sort all
+    survivor ords and broadcast them — a measured ~25% serial fraction of
+    the expand phase at 12M rows): each shard's survivors arrive already
+    sorted, the shards partition the survivor set disjointly, so the global
+    rank of an ord is the SUM of per-shard searchsorted counts. Shard
+    results resolve zero-copy from the object store; no driver step exists."""
+    results = ray.get(shard_result_refs)  # [(masks per block, sorted surv ords)]
     pieces = ray.get(piece_refs)
     keep = np.zeros(tbl.num_rows, dtype=bool)
-    for mask, (_, _, sel) in zip(masks, pieces):
+    for (masks, _ords), (_, _, sel) in zip(results, pieces):
+        m = masks[block_idx]
         if len(sel):
-            keep[sel[mask]] = True
+            keep[sel[m]] = True
+    if not keep.any():
+        return pa.table({})
     out = tbl.filter(pa.array(keep))
     blk_ords = out["ord"].to_numpy(zero_copy_only=False)
-    seq = seq_base + np.searchsorted(sorted_ords, blk_ords)
-    return out.append_column("seq", pa.array(seq.astype(np.int64), type=pa.int64()))
+    seq = np.full(len(blk_ords), seq_base, dtype=np.int64)
+    for _masks, ords in results:
+        if len(ords):
+            seq += np.searchsorted(ords, blk_ords)
+    return out.append_column("seq", pa.array(seq, type=pa.int64()))
 
 
 def _dedup_rank_assign(refs: list, seen: SeenSet, seq_base: int) -> list:
     """Key-column reduce for one expansion round — full rows never leave
-    their block and key bytes never touch the driver:
+    their block and key bytes never touch the driver (not even survivor
+    ords — the driver only passes refs):
 
       1. per-block split tasks project (url_hash, ord, row_sel) per seen
          shard (parallel; multi-return → one object per (block, shard));
@@ -139,11 +154,11 @@ def _dedup_rank_assign(refs: list, seen: SeenSet, seq_base: int) -> list:
          within-round first-wins dedup + cross-round seen registration,
          vectorized (all occurrences of a url land on one shard, since
          url → host → host_hash → shard) — reduce work parallelizes across
-         shards; returns per-piece keep masks + its sorted survivor ords;
-      3. driver: merge-sort the shards' sorted ord arrays (the one serial
-         step, numpy C) → broadcast once via ray.put;
-      4. per-block apply tasks reassemble masks, filter, and rank via
-         searchsorted (parallel).
+         shards; returns per-piece keep masks + its sorted survivor ords,
+         which stay in the object store;
+      3. per-block apply tasks reassemble masks, filter, and rank by summing
+         per-shard searchsorted counts (parallel; shards partition the
+         survivor set, so the sums are exact global ranks).
 
     On a multi-node cluster the same plan holds: key pieces flow to shard
     actors, full rows stay node-local until the fetch stage consumes them.
@@ -157,22 +172,12 @@ def _dedup_rank_assign(refs: list, seen: SeenSet, seq_base: int) -> list:
         seen.shards[s].dedup_many.remote([piece_refs[b][s] for b in range(len(refs))])
         for s in range(n_sh)
     ]
-    shard_results = ray.get(shard_futs)  # per shard: (masks per block, sorted surv ords)
-    surv = [r[1] for r in shard_results if len(r[1])]
-    if not surv:
-        return []
-    sorted_ords = np.sort(np.concatenate(surv))
-    sorted_ref = ray.put(sorted_ords)
-    out = []
-    for b, r in enumerate(refs):
-        masks = [shard_results[s][0][b] for s in range(n_sh)]
-        if any(m.any() for m in masks):
-            out.append(
-                _apply_keep_seq.remote(
-                    r, masks, [piece_refs[b][s] for s in range(n_sh)], sorted_ref, seq_base
-                )
-            )
-    return out
+    return [
+        _apply_keep_seq.remote(
+            r, b, shard_futs, [piece_refs[b][s] for s in range(n_sh)], seq_base
+        )
+        for b, r in enumerate(refs)
+    ]
 
 
 def _as_array(col) -> pa.Array:
@@ -299,9 +304,12 @@ def _write_frontier_block(store_root: str, depth: int, part: int, tbl: pa.Table)
 
     import pyarrow.parquet as pq
 
-    out = tbl.select(
-        ["url", "host", "url_hash", "host_hash", "depth", "priority", "seq"]
-    ).cast(FRONTIER)
+    if tbl.num_rows == 0:  # no survivors in this block (schemaless empty)
+        out = pa.table({n: [] for n in FRONTIER.names}, schema=FRONTIER)
+    else:
+        out = tbl.select(
+            ["url", "host", "url_hash", "host_hash", "depth", "priority", "seq"]
+        ).cast(FRONTIER)
     store = ParquetFragmentStore(store_root)
     path = store.fragment_path(f"frontier_d{depth}_p{part:05d}")
     tmp = path + ".tmp"
@@ -325,6 +333,9 @@ def _slice_frontier(tbl: pa.Table, bucket_size: int, batch_size: int):
     bucket regions, and a range-based slice would fetch rows of other
     buckets twice (the round-2 duplicate-fetch bug found against the oracle
     at bench scale). take() on metadata-only frontier rows is cheap."""
+    if tbl.num_rows == 0:
+        yield []
+        return
     seqs = tbl["seq"].to_numpy(zero_copy_only=False)
     prios = tbl["priority"].to_numpy(zero_copy_only=False)
     buckets = seqs // bucket_size

@@ -195,8 +195,10 @@ def test_threaded_fetcher_overlaps_latency():
     from pubcrawl.canon import canonicalize_batch
     from pubcrawl.fetch import Fetcher
 
-    cfg = WebConfig(seed=3, n_hosts=4, latency_s=0.08)
-    urls = [f"synth://host-{h:05d}/detail/{d}" for h in range(4) for d in range(8)]
+    # index pages: negligible payload CPU, so the ratio measures latency
+    # overlap even when the noisy-neighbor VM steals most of the cores
+    cfg = WebConfig(seed=3, n_hosts=8, pages_per_host=4, latency_s=0.08)
+    urls = [f"synth://host-{h:05d}/index/{p}" for h in range(8) for p in range(4)]
     batch = canonicalize_batch(pa.table({"url": urls}))
 
     t0 = _time.monotonic()
@@ -208,7 +210,7 @@ def test_threaded_fetcher_overlaps_latency():
 
     assert serial["payload"].to_pylist() == threaded["payload"].to_pylist()
     assert serial["status"].to_pylist() == threaded["status"].to_pylist()
-    # 32×80ms ≥ 2.56s serial floor; threaded ≈ GIL-bound decode + latency/8
+    # 32×80ms ≥ 2.56s serial floor; threaded ≈ latency/8 (payload CPU ~0)
     assert t_serial >= 2.5
     assert t_threaded < t_serial / 2
 
