@@ -21,6 +21,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from . import relops
+
 
 def _stack(df_emb) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in df_emb])
@@ -166,6 +168,148 @@ def cosine_pairs(
                              "id_b": pd.Series([], dtype="int64"),
                              "cos_sim": pd.Series([], dtype="float64")})
     out = rd.from_arrow_refs(kept).to_pandas()  # final pair list is small
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def srp_collision_prob(threshold: float) -> float:
+    """P(two vectors at cosine ``threshold`` agree on one random hyperplane
+    sign bit) = 1 - theta/pi (Charikar 2002, SimHash/SRP)."""
+    return 1.0 - float(np.arccos(np.clip(threshold, -1.0, 1.0))) / np.pi
+
+
+def srp_recall(threshold: float, n_planes: int, n_tables: int) -> float:
+    """Analytic recall of SRP-LSH banding for a pair at exactly ``threshold``
+    cosine: 1 - (1 - p^r)^L with r sign bits per table and L tables. Pairs
+    above the threshold have strictly higher recall; identical vectors are
+    found with probability 1 (equal signatures in every table)."""
+    p = srp_collision_prob(threshold)
+    return 1.0 - (1.0 - p**n_planes) ** n_tables
+
+
+def lsh_candidate_pairs(
+    ds: rd.Dataset,
+    n_planes: int = 16,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 7,
+    n_partitions: int = 16,
+) -> rd.Dataset:
+    """Hyperplane-LSH (signed-random-projection) candidate generation for
+    cosine near-dup: per batch, project onto ``n_tables * n_planes`` seeded
+    Gaussian hyperplanes, pack each table's sign bits into an int64 bucket
+    code, and emit compact ``(table<<n_planes | code, id)`` rows — ids only,
+    never embeddings. A hash shuffle on the bucket key then emits each
+    bucket's unordered id pairs (``id_a < id_b``). Cross-table duplicate
+    pairs survive here and are dropped in the verify stage
+    (:func:`pubcrawl.dedup.attach_verify_pairs` stage 1).
+
+    Scale shape: data through the shuffle is O(rows x n_tables) scalar
+    pairs; bucket population is geometric in ``n_planes``, so size
+    ``n_planes`` ~ log2(rows) + margin to keep per-bucket pair emission
+    near-linear. At 100-TB scale the bucket key is the partitioning key and
+    hot buckets indicate ``n_planes`` too small for the corpus density.
+    """
+    assert n_planes <= 32 and n_tables <= (1 << 30), "int64 key layout"
+    first = ds.limit(1).to_pandas()
+    if len(first) == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+        ))
+    dim = len(np.asarray(first[emb_col].iloc[0]))
+    rng = np.random.default_rng(seed)
+    planes_ref = ray.put(rng.standard_normal((n_tables * n_planes, dim)))
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    def codes(df: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_stack(df[emb_col]))
+        bits = (m @ ray.get(planes_ref).T) > 0  # (n, L*r)
+        code = (bits.reshape(len(m), n_tables, n_planes) * weights).sum(-1)  # (n, L)
+        table_base = np.arange(n_tables, dtype=np.int64) << np.int64(n_planes)
+        keys = (table_base[None, :] | code).ravel()
+        return pd.DataFrame(
+            {"__key": keys, "__id": np.repeat(df[id_col].to_numpy().astype(np.int64), n_tables)}
+        )
+
+    band_rows = ds.map_batches(codes, batch_format="pandas", batch_size=None)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if "__key" not in df.columns or len(df) == 0:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+            )
+        out_a, out_b = [], []
+        for _, grp in df.groupby("__key", sort=False):
+            ids = np.unique(grp["__id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            ai, bj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ai])
+            out_b.append(ids[bj])
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        ).drop_duplicates()
+
+    return relops.hash_partition_apply(band_rows, ["__key"], bucket_pairs, n_partitions=n_partitions)
+
+
+def cosine_pairs_lsh(
+    ds: rd.Dataset,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 7,
+    n_partitions: int = 16,
+    materialize_input: bool = True,
+) -> pd.DataFrame:
+    """The 100-TB path for embedding near-dup (VERDICT r1 next-round #3's
+    "bucketed candidate generation"): SRP-LSH buckets propose candidate
+    pairs (ids only through the shuffle), then the generic distributed
+    attach-verify scores exact cosine per pair — so precision is 1.0 (output
+    is a subset of :func:`cosine_pairs`) and recall is
+    :func:`srp_recall`-bounded (=1.0 for identical vectors). Same output
+    schema/rounding as :func:`cosine_pairs`; choose it over the exact
+    block-pair join when the corpus is too large for quadratic flops.
+
+    The input is consumed three times (dim probe, bucket-code pass, feature
+    pass); ``materialize_input=True`` pins it in the object store once
+    instead of re-running the upstream pipeline per pass. At corpus sizes
+    beyond object-store+spill capacity pass ``False`` to re-read from
+    source each pass (streaming, no pin)."""
+    from . import dedup
+
+    if materialize_input:
+        ds = ds.materialize()
+    cand = lsh_candidate_pairs(
+        ds, n_planes=n_planes, n_tables=n_tables, id_col=id_col,
+        emb_col=emb_col, seed=seed, n_partitions=n_partitions,
+    )
+
+    def make_features(df: pd.DataFrame, involved) -> pd.DataFrame:
+        sub = df[df[id_col].isin(involved)]
+        m = _normalize(_stack(sub[emb_col])) if len(sub) else np.zeros((0, 1))
+        return pd.DataFrame(
+            {"__id": sub[id_col].to_numpy(), "__ft": [r.tobytes() for r in m]}
+        )
+
+    def score(a: bytes, b: bytes) -> float:
+        return float(np.frombuffer(a, dtype=np.float64) @ np.frombuffer(b, dtype=np.float64))
+
+    verified = dedup.attach_verify_pairs(
+        ds, cand, make_features, score, "cos_sim", n_partitions=n_partitions
+    ).to_pandas()
+    if "cos_sim" not in verified.columns:  # empty Ray blocks drop the schema
+        verified = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
+             "cos_sim": pd.Series([], dtype="float64")}
+        )
+    out = verified[verified["cos_sim"] >= threshold]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 

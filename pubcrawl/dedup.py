@@ -214,25 +214,28 @@ def minhash_lsh_pairs(
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def verify_pairs_jaccard(
+def attach_verify_pairs(
     ds: rd.Dataset,
     cand: rd.Dataset,
-    text_col: str,
-    id_col: str,
+    make_features,
+    score,
+    score_col: str,
     *,
-    ngram: int = 3,
     n_partitions: int = 8,
 ) -> rd.Dataset:
-    """Distributed exact-Jaccard verification of LSH candidate pairs (round-2
-    fix for VERDICT What's-wrong — the round-1 verify was a driver-side
-    per-pair loop over a gathered shingle map).
+    """Generic distributed attach-and-verify over candidate pairs: fetch each
+    involved doc's feature bytes, co-partition pairs with features twice (by
+    ``id_a``, then ``id_b``) through the explicit hash shuffle, and score each
+    pair inside the merge task. The driver holds only the candidate id set.
 
-    Shape: candidate-doc shingle sets are computed in tasks (broadcast id-set
-    filter — ids are scalars, never text), then pairs and shingle rows are
-    co-partitioned twice (by id_a, then by id_b) via the explicit hash
-    shuffle; each merge task attaches its side's shingle arrays and the
-    second stage computes exact Jaccard per pair inside the task. The driver
-    holds only the candidate id set and whatever the caller collects.
+    ``make_features(df)`` maps a pre-filtered batch (only involved ids) to a
+    frame with columns ``__id`` (int64) and ``__ft`` (bytes — features MUST
+    ship as raw buffers: object-ndarray cells would trip Ray's
+    tensor-extension casting on partitions that mix pair and feature pieces).
+    ``score(ft_a, ft_b) -> float`` runs per pair on those buffers; the result
+    lands in ``score_col`` rounded to 6 dp. Candidate-pair duplicates (one
+    per LSH band/table collision) are dropped in stage 1 — duplicates of a
+    pair share ``id_a`` and therefore a partition.
     """
     @ray.remote
     def _uniq_ids(blk) -> np.ndarray:
@@ -243,27 +246,25 @@ def verify_pairs_jaccard(
             np.concatenate([np.asarray(tbl["id_a"]), np.asarray(tbl["id_b"])])
         )
 
+    empty_out = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
+         score_col: pd.Series([], dtype="float64")}
+    )
     parts = ray.get([_uniq_ids.remote(r) for r in cand.to_arrow_refs()])
     involved = frozenset(np.concatenate(parts).tolist()) if parts else frozenset()
     if not involved:
-        return rd.from_pandas(_EMPTY_VERIFIED.copy())
+        return rd.from_pandas(empty_out.copy())
     inv_ref = ray.put(involved)
 
-    def shingles(df: pd.DataFrame) -> pd.DataFrame:
-        """Shingle sets ship as raw uint64 buffers (bytes cells → Arrow
-        binary): a plain, concat/merge-safe column through the two hash
-        shuffles (object-ndarray cells would trip Ray's tensor-extension
-        casting on partitions that mix pair and shingle pieces). Task pool —
-        the involved-id set resolves from the local object store per task."""
-        sub = df[df[id_col].isin(ray.get(inv_ref))]
-        return pd.DataFrame(
-            {"__id": sub[id_col].to_numpy(),
-             "sh": [shingle_hashes(t, ngram).tobytes() for t in sub[text_col]]}
-        )
+    def features(df: pd.DataFrame) -> pd.DataFrame:
+        # Task pool — the involved-id set resolves from the local object
+        # store per task.
+        out = make_features(df, ray.get(inv_ref))
+        return out.astype({"__id": "int64"})
 
-    # materialize: both co-partition stages consume sh_ds — lazy it would
-    # re-shingle the corpus once per stage
-    sh_ds = ds.map_batches(shingles, batch_format="pandas", batch_size=None).materialize()
+    # materialize: both co-partition stages consume ft_ds — lazy it would
+    # recompute corpus features once per stage
+    ft_ds = ds.map_batches(features, batch_format="pandas", batch_size=None).materialize()
 
     def tag(key_from: str, side: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -275,19 +276,24 @@ def verify_pairs_jaccard(
         return fn
 
     p1 = cand.map_batches(tag("id_a", 0), batch_format="pandas", batch_size=None)
-    s1 = sh_ds.map_batches(tag("__id", 1), batch_format="pandas", batch_size=None)
+    s1 = ft_ds.map_batches(tag("__id", 1), batch_format="pandas", batch_size=None)
+
+    empty_stage1 = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
+         "__fa": pd.Series([], dtype=object)}
+    )
 
     def attach_a(df: pd.DataFrame) -> pd.DataFrame:
         # a partition may hold only one side's rows (empty outputs are
         # dropped by the caller's row-count probe)
         if "id_a" not in df.columns or "__id" not in df.columns:
-            return _EMPTY_STAGE1.copy()
+            return empty_stage1.copy()
         # dedupe candidate pairs here: duplicates of a pair (one per LSH
         # band collision) share id_a and therefore this partition
         p = df[df["__side"] == 0][["id_a", "id_b"]].drop_duplicates()
-        s = df[df["__side"] == 1][["__id", "sh"]].rename(columns={"sh": "sh_a"})
+        s = df[df["__side"] == 1][["__id", "__ft"]].rename(columns={"__ft": "__fa"})
         m = p.merge(s, left_on="id_a", right_on="__id", how="inner")
-        m = m[["id_a", "id_b", "sh_a"]]
+        m = m[["id_a", "id_b", "__fa"]]
         # concat over mixed-side pieces NaN-promotes the id columns to
         # float64; restore int64 so the next shuffle's bucket keys line up
         return m.astype({"id_a": "int64", "id_b": "int64"})
@@ -295,36 +301,53 @@ def verify_pairs_jaccard(
     stage1 = relops.hash_partition_apply(p1.union(s1), ["__k"], attach_a, n_partitions=n_partitions)
 
     p2 = stage1.map_batches(tag("id_b", 0), batch_format="pandas", batch_size=None)
-    s2 = sh_ds.map_batches(tag("__id", 1), batch_format="pandas", batch_size=None)
+    s2 = ft_ds.map_batches(tag("__id", 1), batch_format="pandas", batch_size=None)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if "id_a" not in df.columns or "__id" not in df.columns:
-            return _EMPTY_VERIFIED.copy()
-        p = df[df["__side"] == 0][["id_a", "id_b", "sh_a"]]
-        s = df[df["__side"] == 1][["__id", "sh"]].rename(columns={"sh": "sh_b"})
+            return empty_out.copy()
+        p = df[df["__side"] == 0][["id_a", "id_b", "__fa"]]
+        s = df[df["__side"] == 1][["__id", "__ft"]].rename(columns={"__ft": "__fb"})
         m = p.merge(s, left_on="id_b", right_on="__id", how="inner")
-        jac = np.fromiter(
-            (
-                jaccard(np.frombuffer(x, dtype=np.uint64), np.frombuffer(y, dtype=np.uint64))
-                for x, y in zip(m["sh_a"], m["sh_b"])
-            ),
+        sc = np.fromiter(
+            (score(x, y) for x, y in zip(m["__fa"], m["__fb"])),
             dtype=np.float64,
             count=len(m),
         )
-        m = m.assign(jaccard=np.round(jac, 6))
-        return m[["id_a", "id_b", "jaccard"]].astype({"id_a": "int64", "id_b": "int64"})
+        m = m.assign(**{score_col: np.round(sc, 6)})
+        return m[["id_a", "id_b", score_col]].astype({"id_a": "int64", "id_b": "int64"})
 
     return relops.hash_partition_apply(p2.union(s2), ["__k"], verify, n_partitions=n_partitions)
 
 
-_EMPTY_STAGE1 = pd.DataFrame(
-    {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
-     "sh_a": pd.Series([], dtype=object)}
-)
-_EMPTY_VERIFIED = pd.DataFrame(
-    {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
-     "jaccard": pd.Series([], dtype="float64")}
-)
+def verify_pairs_jaccard(
+    ds: rd.Dataset,
+    cand: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    ngram: int = 3,
+    n_partitions: int = 8,
+) -> rd.Dataset:
+    """Distributed exact-Jaccard verification of LSH candidate pairs (round-2
+    fix for VERDICT What's-wrong — the round-1 verify was a driver-side
+    per-pair loop over a gathered shingle map). Shingle sets ship as raw
+    uint64 buffers; see :func:`attach_verify_pairs` for the co-partition
+    shape."""
+
+    def make_features(df: pd.DataFrame, involved) -> pd.DataFrame:
+        sub = df[df[id_col].isin(involved)]
+        return pd.DataFrame(
+            {"__id": sub[id_col].to_numpy(),
+             "__ft": [shingle_hashes(t, ngram).tobytes() for t in sub[text_col]]}
+        )
+
+    def score(a: bytes, b: bytes) -> float:
+        return jaccard(np.frombuffer(a, dtype=np.uint64), np.frombuffer(b, dtype=np.uint64))
+
+    return attach_verify_pairs(
+        ds, cand, make_features, score, "jaccard", n_partitions=n_partitions
+    )
 
 
 # ---------------------------------------------------------------- simhash

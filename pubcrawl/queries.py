@@ -520,6 +520,45 @@ def dedup_embedding_pairs(sf_dir: str):
     return ann.cosine_pairs(ds, threshold=0.35)
 
 
+# planted exact-copy view: every 10th vector re-appears under id+1000000, so
+# the only pairs at cosine >= 0.95 are (x, copy-of-x) — natural max pairwise
+# cosine in the testdata is 0.60 (checked at sf0.001/0.01/0.1). Identical
+# vectors collide in EVERY LSH table, so recall is exactly 1 and the
+# approximate operator is oracle-checkable.
+_LSH_VIEW = (
+    "(SELECT vec_id, embedding FROM embeddings "
+    "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding "
+    "FROM embeddings WHERE vec_id % 10 = 0)"
+)
+
+
+@query(
+    "dedup_embedding_lsh",
+    sql="SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    f"ROUND({_COS_SQL}, 6) AS cos_sim "
+    f"FROM {_LSH_VIEW} a, {_LSH_VIEW} b "
+    f"WHERE a.vec_id < b.vec_id AND {_COS_SQL} >= 0.95",
+)
+def dedup_embedding_lsh(sf_dir: str):
+    """Embedding near-dup, the 100-TB path: SRP-LSH bucketed candidate
+    generation (ids only through the shuffle) + distributed exact-cosine
+    verify — no quadratic flops, precision 1.0, srp_recall-bounded recall
+    (=1 for the planted exact copies this oracle checks)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        mask = (np.asarray(t["vec_id"]) % 10) == 0  # no pc.mod in this pyarrow
+        sub = t.filter(pa.array(mask))
+        return sub.set_column(
+            sub.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(sub["vec_id"], 1000000),
+        )
+
+    dup = ds.map_batches(plant, batch_format="pyarrow", batch_size=None)
+    # n_partitions sized to candidate volume (ids only) at this scale
+    return ann.cosine_pairs_lsh(ds.union(dup), threshold=0.95, n_partitions=8)
+
+
 @query(
     "ann_brute_topk",
     sql="WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), "

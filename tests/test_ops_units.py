@@ -188,6 +188,38 @@ class TestAnn:
         out = ann.ivf_topk(ds, base[:1], np.array([0]), k=1, n_clusters=2, nprobe=2)
         assert list(out.vec_id) == [1]  # the planted near-dup
 
+    def test_srp_recall_formula(self):
+        # identical vectors collide in every table
+        assert ann.srp_recall(1.0, 16, 1) == 1.0
+        # more tables → higher recall; more planes per table → lower
+        assert ann.srp_recall(0.9, 8, 16) > ann.srp_recall(0.9, 8, 4)
+        assert ann.srp_recall(0.9, 4, 8) > ann.srp_recall(0.9, 16, 8)
+        assert 0.0 < ann.srp_recall(0.5, 8, 8) < 1.0
+
+    def test_cosine_pairs_lsh_subset_scores_and_planted_recall(self):
+        ds, base = self._vec_ds()
+        exact = ann.cosine_pairs(ds, threshold=0.999)
+        lsh = ann.cosine_pairs_lsh(ds, threshold=0.999, n_planes=8, n_tables=16)
+        e = set(zip(exact.id_a, exact.id_b))
+        got = set(zip(lsh.id_a, lsh.id_b))
+        # verification is exact → precision 1.0 (subset of the exact op)
+        assert got <= e
+        # planted pair at cos>=0.999: srp_recall(0.999, 8, 16) ≈ 1-3e-16 and
+        # the seed is fixed, so the assertion is deterministic
+        assert (0, 1) in got
+        # per-pair scores match the exact operator bit-for-bit (same
+        # float64 normalize + dot + 6dp round)
+        m = lsh.merge(exact, on=["id_a", "id_b"], suffixes=("_l", "_e"))
+        assert (m["cos_sim_l"].to_numpy() == m["cos_sim_e"].to_numpy()).all()
+
+    def test_cosine_pairs_lsh_empty_input(self):
+        ds = rd.from_pandas(
+            pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                          "embedding": pd.Series([], dtype=object)})
+        )
+        out = ann.cosine_pairs_lsh(ds, threshold=0.9)
+        assert len(out) == 0 and list(out.columns) == ["id_a", "id_b", "cos_sim"]
+
 
 class TestPoliteness:
     def test_token_bucket_rate(self):
