@@ -460,6 +460,75 @@ def m14_keyword_search(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow").select_columns(["doc_id", "source"])
 
 
+@query(
+    "t7_top_orders_per_cust",
+    sql="SELECT o_custkey, o_orderkey, price_e2, CAST(rnk AS BIGINT) AS rnk FROM ("
+    "SELECT o_custkey, o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_e2, "
+    "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk "
+    "FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk",
+)
+def t7_top_orders_per_cust(sf_dir: str):
+    """Per-group top-k (window-rank): each customer's top-3 orders by price —
+    combiner prune + key-hash shuffle (relops.topk_per_group), the grouped
+    variant of the reference's head-N trend tables
+    (/root/reference/src/analysis/trends.py:77,99)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    orders = relops.with_columns(orders, {"price_e2": relops.money_to_units("o_totalprice")})
+    out = relops.topk_per_group(
+        orders,
+        ["o_custkey"],
+        [("o_totalprice", True), ("o_orderkey", False)],
+        k=3,
+        rank_col="rnk",
+    )
+    return out.map_batches(
+        lambda df: df[["o_custkey", "o_orderkey", "price_e2", "rnk"]]
+        .sort_values(["o_custkey", "rnk"])
+        .astype({"rnk": "int64"}),
+        batch_format="pandas", batch_size=None,
+    )
+
+
+@query(
+    "rj_purchase_window",
+    sql="SELECT a.event_id AS anchor_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(SUM(CAST(ROUND(e.value*100) AS BIGINT)) AS BIGINT) AS value_e2 "
+    "FROM events a JOIN events e ON e.ts >= a.ts AND e.ts < a.ts + INTERVAL 1 HOUR "
+    "WHERE a.event_type = 'purchase' GROUP BY a.event_id",
+)
+def rj_purchase_window(sf_dir: str):
+    """Range (interval) join: every purchase anchors a 1-hour window; count +
+    value-sum of ALL events inside it. Non-equi join Ray Data lacks —
+    bucketed-replication plan in relops.range_join_agg (points bucketed by
+    hour, intervals replicated to overlapped buckets, searchsorted resolve)."""
+    HOUR_US = 3_600_000_000
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def pts(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        v = pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64())
+        return pa.table({"ts_us": ts_us, "val_e2": v})
+
+    def anchors(t: pa.Table) -> pa.Table:
+        a = t.filter(pc.equal(t["event_type"], "purchase"))
+        lo = pc.cast(a["ts"], pa.int64())
+        return pa.table(
+            {"anchor_id": a["event_id"], "lo": lo, "hi": pc.add(lo, pa.scalar(HOUR_US, pa.int64()))}
+        )
+
+    points = ds.map_batches(pts, batch_format="pyarrow", batch_size=None)
+    intervals = ds.map_batches(anchors, batch_format="pyarrow", batch_size=None)
+    out = relops.range_join_agg(
+        points, intervals,
+        ts_col="ts_us", val_col="val_e2", key_col="anchor_id",
+        lo_col="lo", hi_col="hi", bucket_width=HOUR_US,
+    )
+    return out.map_batches(
+        lambda df: df.rename(columns={"__n": "n_events", "__vs": "value_e2"}),
+        batch_format="pandas", batch_size=None,
+    )
+
+
 def get_queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 

@@ -472,3 +472,154 @@ def session_windows(
         return g
 
     return hash_partition_apply(ds, [key], windows, n_partitions=n_partitions)
+
+
+def topk_per_group(
+    ds: rd.Dataset,
+    group_keys: list[str],
+    order: list[tuple[str, bool]],
+    k: int,
+    rank_col: str | None = None,
+    n_partitions: int = 16,
+) -> rd.Dataset:
+    """Per-group top-k (SQL ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY ...)
+    <= k``), the grouped counterpart of :func:`topk`.
+
+    ``order`` is ``[(col, descending), ...]`` and callers MUST include a
+    unique tiebreak column so ranks are deterministic. Combiner shape: each
+    batch prunes to k rows per group locally (the only rows that can survive
+    globally), so the key-hash shuffle moves ≤ k rows per (group × block);
+    the per-partition merge re-sorts and stamps ``rank_col`` (int64,
+    1-based) when requested.
+    """
+    by = [c for c, _ in order]
+    asc = [not d for _, d in order]
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(by, ascending=asc, kind="mergesort")
+        return d.groupby(group_keys, sort=False).head(k)
+
+    pruned = ds.map_batches(prune, batch_format="pandas", batch_size=None)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(
+            group_keys + by, ascending=[True] * len(group_keys) + asc, kind="mergesort"
+        )
+        out = d.groupby(group_keys, sort=False).head(k)
+        if rank_col:
+            out = out.assign(
+                **{rank_col: out.groupby(group_keys, sort=False).cumcount().to_numpy() + 1}
+            )
+        return out.reset_index(drop=True)
+
+    return hash_partition_apply(pruned, group_keys, final, n_partitions=n_partitions)
+
+
+def range_join_agg(
+    points: rd.Dataset,
+    intervals: rd.Dataset,
+    *,
+    ts_col: str,
+    val_col: str,
+    key_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+    n_partitions: int = 16,
+) -> rd.Dataset:
+    """Point-in-interval range join with aggregation (SQL non-equi
+    ``JOIN ON p.ts >= i.lo AND p.ts < i.hi GROUP BY i.key``), inner
+    semantics: only intervals containing ≥1 point appear.
+
+    Ray Data has no interval join; this is the bucketed-replication plan
+    (SURVEY.md §7.2 custom-operator clause): points land in time bucket
+    ``ts // bucket_width``; each interval is replicated to every bucket it
+    overlaps (vectorized np.repeat — intervals are assumed ≪ bucket_width ×
+    few, the caller sizes ``bucket_width`` ≈ interval length so replication
+    is ~2×). One key-hash shuffle co-locates each bucket's points with its
+    interval replicas; inside the merge the points sort once by ts and every
+    replica's [lo, hi) — CLIPPED to its bucket so replicas never double
+    count — resolves to a count + value sum via two np.searchsorted probes
+    against the sorted ts array and its value prefix-sum. Partials then
+    reduce by interval key in a second (tiny) shuffle. ``ts/lo/hi`` must be
+    int64 in the same unit (e.g. epoch microseconds); ``val_col`` int64.
+    """
+
+    def pts(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[ts_col].to_numpy()
+        return pd.DataFrame(
+            {
+                "__b": ts // bucket_width,
+                "__ts": ts,
+                "__v": df[val_col].to_numpy(),
+                "__side": np.int8(0),
+            }
+        )
+
+    def repl(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df[lo_col].to_numpy()
+        hi = df[hi_col].to_numpy()
+        key = df[key_col].to_numpy()
+        b0 = lo // bucket_width
+        # hi is exclusive: an interval ending exactly on a bucket boundary
+        # does not reach into the next bucket
+        b1 = np.maximum((hi - 1) // bucket_width, b0)
+        n = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(df)), n)
+        off = np.arange(n.sum(), dtype=np.int64) - np.repeat(np.cumsum(n) - n, n)
+        return pd.DataFrame(
+            {
+                "__b": b0[idx] + off,
+                "__key": key[idx],
+                "__lo": lo[idx],
+                "__hi": hi[idx],
+                "__side": np.int8(1),
+            }
+        )
+
+    p = points.map_batches(pts, batch_format="pandas", batch_size=None)
+    iv = intervals.map_batches(repl, batch_format="pandas", batch_size=None)
+
+    def bucket_merge(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {key_col: pd.Series([], dtype="int64"),
+             "__n": pd.Series([], dtype="int64"),
+             "__vs": pd.Series([], dtype="int64")}
+        )
+        if "__ts" not in df.columns or "__key" not in df.columns:
+            return empty
+        pp = df[df["__side"] == 0]
+        ii = df[df["__side"] == 1]
+        if pp.empty or ii.empty:
+            return empty
+        ts = pp["__ts"].to_numpy(dtype=np.int64)
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        pv = pp["__v"].to_numpy(dtype=np.int64)[order]
+        prefix = np.concatenate([[0], np.cumsum(pv)])
+        # clip each replica to its own bucket: buckets sharing this partition
+        # have disjoint time ranges, so the searchsorted probe over ALL the
+        # partition's points still counts only this bucket's points
+        b = ii["__b"].to_numpy(dtype=np.int64)
+        lo = np.maximum(ii["__lo"].to_numpy(dtype=np.int64), b * bucket_width)
+        hi = np.minimum(ii["__hi"].to_numpy(dtype=np.int64), (b + 1) * bucket_width)
+        l = np.searchsorted(ts, lo, side="left")
+        r = np.searchsorted(ts, hi, side="left")
+        cnt = r - l
+        keep = cnt > 0
+        out = pd.DataFrame(
+            {
+                key_col: ii["__key"].to_numpy(dtype=np.int64)[keep],
+                "__n": cnt[keep],
+                "__vs": (prefix[r] - prefix[l])[keep],
+            }
+        )
+        return out.groupby(key_col, as_index=False)[["__n", "__vs"]].sum()
+
+    partials = hash_partition_apply(p.union(iv), ["__b"], bucket_merge, n_partitions=n_partitions)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key_col, as_index=False)[["__n", "__vs"]].sum()
+        return out.astype({key_col: "int64", "__n": "int64", "__vs": "int64"})
+
+    return hash_partition_apply(partials, [key_col], final, n_partitions=max(4, n_partitions // 2))

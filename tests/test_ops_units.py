@@ -288,3 +288,73 @@ def test_stable_bucket_integer_fast_path():
     dfs = pd.DataFrame({"s": ["a", "b", "a"]})
     bs = _stable_bucket(dfs, ["s"], 4)
     assert bs[0] == bs[2]
+
+
+def test_topk_per_group_matches_pandas_window_rank():
+    """topk_per_group == pandas row_number()<=k per group, ties broken by the
+    caller-supplied unique column; exercised over many small blocks so the
+    per-batch prune really merges partial winners."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pubcrawl import relops
+
+    rng = np.random.default_rng(42)
+    n = 5000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 40, n).astype(np.int64),
+        "v": rng.integers(0, 25, n).astype(np.int64),  # heavy ties
+        "uid": np.arange(n, dtype=np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(17)
+    out = (
+        relops.topk_per_group(ds, ["g"], [("v", True), ("uid", False)], k=5, rank_col="rnk")
+        .to_pandas()
+        .sort_values(["g", "rnk"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["v", "uid"], ascending=[False, True], kind="mergesort")
+    exp = exp.groupby("g", sort=False).head(5)
+    exp = exp.sort_values(["g", "v", "uid"], ascending=[True, False, True], kind="mergesort")
+    exp["rnk"] = exp.groupby("g").cumcount() + 1
+    exp = exp.sort_values(["g", "rnk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[["g", "v", "uid", "rnk"]].astype("int64"),
+                                  exp[["g", "v", "uid", "rnk"]].astype("int64"))
+
+
+def test_range_join_agg_boundaries_and_spans():
+    """Interval semantics: lo inclusive, hi exclusive; intervals spanning
+    multiple buckets are clipped per replica (no double counting); intervals
+    ending exactly on a bucket boundary don't leak into the next bucket;
+    zero-match intervals are absent (inner semantics)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pubcrawl import relops
+
+    W = 100  # bucket width
+    pts = pd.DataFrame({
+        "ts": np.array([0, 50, 99, 100, 150, 199, 200, 250, 399], dtype=np.int64),
+        "v": np.array([1, 2, 4, 8, 16, 32, 64, 128, 256], dtype=np.int64),
+    })
+    iv = pd.DataFrame({
+        "k":  np.array([1,   2,   3,   4,   5], dtype=np.int64),
+        "lo": np.array([0,   50,  100, 240, 500], dtype=np.int64),
+        "hi": np.array([100, 250, 200, 241, 600], dtype=np.int64),
+        # k=1: one full bucket [0,100) → pts 0,50,99
+        # k=2: spans buckets 0,1,2 [50,250) → 50,99,100,150,199,200
+        # k=3: exactly bucket 1 [100,200) → 100,150,199
+        # k=4: sub-bucket [240,241) → none (dropped, inner join)
+        # k=5: empty region → dropped
+    })
+    out = relops.range_join_agg(
+        rd.from_pandas(pts).repartition(3), rd.from_pandas(iv).repartition(2),
+        ts_col="ts", val_col="v", key_col="k", lo_col="lo", hi_col="hi",
+        bucket_width=W, n_partitions=4,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    exp = pd.DataFrame({
+        "k": np.array([1, 2, 3], dtype=np.int64),
+        "__n": np.array([3, 6, 3], dtype=np.int64),
+        "__vs": np.array([1 + 2 + 4, 2 + 4 + 8 + 16 + 32 + 64, 8 + 16 + 32], dtype=np.int64),
+    })
+    pd.testing.assert_frame_equal(out, exp)
