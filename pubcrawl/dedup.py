@@ -371,50 +371,120 @@ def simhash64(text: str) -> int:
     return int(out)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count): view the
+    uint64 array as bytes, unpack to bits, sum per original element."""
+    if len(x) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return (
+        np.unpackbits(np.ascontiguousarray(x).view(np.uint8))
+        .reshape(len(x), 64)
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
+
+def hamming_pairs(
+    ds: rd.Dataset,
+    hash_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    n_partitions: int = 8,
+) -> pd.DataFrame:
+    """Banded-LSH hamming near-dup over a precomputed 64-bit integer hash
+    column (SimHash text signatures, or the image table's ``phash`` — the
+    input_hint's perceptual-hash near-dup path).
+
+    Pigeonhole: any pair within hamming ≤ n_bands-1 differs in at most
+    n_bands-1 of the n_bands disjoint bands, so it shares at least one exact
+    band — recall is GUARANTEED for max_hamming ≤ n_bands-1 and probabilistic
+    above. Plan: vectorized band extraction per batch → key-hash shuffle on
+    (band, band_hash) — only (band, hash, id) triples move, never payloads —
+    → per-bucket pair enumeration with vectorized XOR+popcount verification
+    of the TRUE 64-bit hamming distance. Output pairs are deduped (a pair can
+    match in several bands) and canonically ordered; pair volume is the
+    caller's contract (near-dup candidate sets ≪ corpus)."""
+    band_bits = 64 // n_bands
+    mask = np.uint64((1 << band_bits) - 1)
+
+    def bands(df: pd.DataFrame) -> pd.DataFrame:
+        h = df[hash_col].to_numpy()
+        h = h.astype(np.uint64) if h.dtype.kind == "u" else h.astype(np.int64).view(np.uint64)
+        n = len(df)
+        bh = np.empty(n_bands * n, dtype=np.uint64)
+        for bi in range(n_bands):
+            bh[bi * n : (bi + 1) * n] = (h >> np.uint64(band_bits * bi)) & mask
+        return pd.DataFrame(
+            {
+                "band": np.repeat(np.arange(n_bands, dtype=np.int64), n),
+                "bh": bh.view(np.int64),
+                id_col: np.tile(df[id_col].to_numpy(), n_bands),
+                "__h": np.tile(h.view(np.int64), n_bands),
+            }
+        )
+
+    band_rows = ds.map_batches(bands, batch_format="pandas", batch_size=None)
+    empty = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
+         "hamming": pd.Series([], dtype="int64")}
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby(["band", "bh"], sort=False):
+            u = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            m = len(u)
+            if m < 2:
+                continue
+            ids = u[id_col].to_numpy()
+            hs = u["__h"].to_numpy().view(np.uint64)
+            # row-chunked upper triangle keeps peak memory ~CH×m even for
+            # pathological buckets (e.g. many byte-identical images)
+            ch = 1024
+            for s in range(0, m - 1, ch):
+                e = min(s + ch, m - 1)
+                block = hs[s:e, None] ^ hs[None, :]
+                d = _popcount64(block.ravel()).reshape(block.shape)
+                ii, jj = np.nonzero(d <= max_hamming)
+                keep = jj > (ii + s)  # strict upper triangle in global coords
+                ii, jj = ii[keep], jj[keep]
+                if len(ii):
+                    out.append(
+                        pd.DataFrame(
+                            {"id_a": ids[ii + s], "id_b": ids[jj],
+                             "hamming": d[ii, jj].astype(np.int64)}
+                        )
+                    )
+        return pd.concat(out, ignore_index=True) if out else empty.copy()
+
+    got = relops.hash_partition_apply(band_rows, ["band", "bh"], pairs, n_partitions=n_partitions)
+    out = got.to_pandas()
+    if "id_a" not in out.columns:
+        return empty
+    return out.drop_duplicates().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def simhash_pairs(
     ds: rd.Dataset, text_col: str, id_col: str, *, max_hamming: int = 6
 ) -> pd.DataFrame:
-    """SimHash near-dup: 4×16-bit band LSH (any pair within hamming<=6 over
-    64 bits shares at least one exact 16-bit band for hamming<=3-per-band
-    pigeonhole; bands=4 guarantees recall for hamming<=3, probabilistic
-    above) → verify true hamming."""
+    """SimHash near-dup: signature stage + the generic :func:`hamming_pairs`
+    4×16-bit band LSH (recall guaranteed for hamming<=3 by pigeonhole,
+    probabilistic up to the verified max_hamming)."""
 
     def sig(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 id_col: df[id_col],
-                "sh": np.array([simhash64(t) for t in df[text_col]], dtype=np.uint64),
+                "sh": np.array([simhash64(t) for t in df[text_col]], dtype=np.uint64).view(
+                    np.int64
+                ),
             }
         )
 
     sigs = ds.map_batches(sig, batch_format="pandas")
-
-    def bands(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for doc_id, h in zip(df[id_col], df["sh"]):
-            for bi in range(4):
-                rows.append((bi, int((int(h) >> (16 * bi)) & 0xFFFF), doc_id, int(h)))
-        return pd.DataFrame(rows, columns=["band", "bh", id_col, "sh"])
-
-    band_rows = sigs.map_batches(bands, batch_format="pandas")
-
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, g in df.groupby(["band", "bh"], sort=False):
-            recs = sorted(set(zip(g[id_col], g["sh"])))
-            for i in range(len(recs)):
-                for j in range(i + 1, len(recs)):
-                    (ia, ha), (ib, hb) = recs[i], recs[j]
-                    d = bin(int(ha) ^ int(hb)).count("1")
-                    if d <= max_hamming:
-                        out.append((ia, ib, d))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"]) if out else pd.DataFrame(
-            {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
-             "hamming": pd.Series([], dtype="int64")}
-        )
-
-    out = relops.hash_partition_apply(band_rows, ["band", "bh"], pairs, n_partitions=8).to_pandas()
-    return out.drop_duplicates().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return hamming_pairs(sigs, "sh", id_col, max_hamming=max_hamming, n_bands=4)
 
 
 # ---------------------------------------------------------------- fingerprints

@@ -991,3 +991,143 @@ def dedup_near_keep(sf_dir: str):
     components → keep min-id representative per cluster."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return dedup.near_dedup_keep(ds, "text", "doc_id", threshold=0.5)
+
+
+# ================================================= window LAG / quantile / rollup
+
+
+@query(
+    "w4_lag_gaps",
+    sql="SELECT event_id, user_id, CAST(COALESCE("
+    "epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id), -1) AS BIGINT) AS gap_us "
+    "FROM events",
+)
+def w4_lag_gaps(sf_dir: str):
+    """Window LAG: per-user inter-event gap (SQL ``LAG(ts) OVER (PARTITION BY
+    user ORDER BY ts)``), the sessionization primitive exposed as a general
+    windowed operator — one key-hash shuffle on user_id, per-partition sort +
+    grouped shift (relops.window_lag). First event per user gets -1."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    ds = relops.with_columns(ds, {"ts_us": lambda t: pc.cast(t["ts"], pa.int64())})
+    lagged = relops.window_lag(
+        ds, ["user_id"], ["ts_us", "event_id"], {"ts_us": "prev_us"}, fill=-1
+    )
+
+    def gap(df: pd.DataFrame) -> pd.DataFrame:
+        g = np.where(df["prev_us"].to_numpy() == -1, -1,
+                     df["ts_us"].to_numpy() - df["prev_us"].to_numpy())
+        return pd.DataFrame(
+            {"event_id": df["event_id"], "user_id": df["user_id"],
+             "gap_us": g.astype(np.int64)}
+        )
+
+    return lagged.map_batches(gap, batch_format="pandas", batch_size=None)
+
+
+@query(
+    "q_price_quantiles",
+    sql="SELECT l_returnflag, "
+    "CAST(quantile_disc(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.5) AS BIGINT) AS p50, "
+    "CAST(quantile_disc(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.9) AS BIGINT) AS p90, "
+    "CAST(quantile_disc(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.99) AS BIGINT) AS p99 "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def q_price_quantiles(sf_dir: str):
+    """Exact per-group discrete quantiles over ~600k rows/SF: per-batch
+    (group, value)→count histogram partials (the shuffle moves distinct
+    values, not rows), then quantile selection by cumulative-count
+    searchsorted (relops.group_quantile_disc; DuckDB quantile_disc
+    semantics — element at floor((n-1)*q) of the sorted group)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    ds = relops.with_columns(ds, {"price_e2": relops.money_to_units("l_extendedprice")})
+    return relops.group_quantile_disc(
+        ds.select_columns(["l_returnflag", "price_e2"]),
+        ["l_returnflag"], "price_e2", {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+    )
+
+
+@query(
+    "rollup_order_revenue",
+    sql="SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
+    "COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "
+    "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_e2, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)",
+)
+def rollup_order_revenue(sf_dir: str):
+    """GROUP BY ROLLUP: revenue + counts at (priority, status), (priority),
+    and grand-total levels. Only the finest level touches raw rows (combiner
+    aggregate); coarser levels derive from its tiny output in one merge task
+    (relops.rollup_sum)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    ds = relops.with_columns(ds, {"price_e2": relops.money_to_units("o_totalprice")})
+    return relops.rollup_sum(
+        ds.select_columns(["o_orderpriority", "o_orderstatus", "price_e2"]),
+        ["o_orderpriority", "o_orderstatus"],
+        sum_cols={"price_e2": "price_e2"}, count_as="n",
+    )
+
+
+@query(
+    "sample_hash_orders",
+    sql="SELECT o_orderkey, o_custkey FROM orders "
+    "WHERE md5(CAST(o_orderkey AS VARCHAR)) < '2'",
+)
+def sample_hash_orders(sf_dir: str):
+    """Deterministic cross-engine hash sampling (~1/8): md5-digest predicate
+    on the key column — reproducible across engines/runs unlike seeded RNG
+    (relops.sample_by_hash). The dev-subset primitive for 100-TB corpora."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return relops.sample_by_hash(ds, "o_orderkey", "2")
+
+
+# ================================================== image phash near-dup (A+B)
+
+
+@query("dedup_phash_images")  # perceptual-hash dedup over binary images → rows-only
+def dedup_phash_images(sf_dir: str):
+    """Image near-dup over the input_hint's image(+caption) shape: a
+    deterministic procedural image table (560 png/jpeg payloads; every 10th
+    image re-appears brightness-shifted under image_id+1000000), decoded and
+    phash64-ed in an actor-pool map_batches stage (bytes never on the
+    driver), then banded-Hamming LSH over the 64-bit hashes
+    (dedup.hamming_pairs: 4x16-bit bands, recall GUARANTEED for hamming<=3
+    by pigeonhole, true-hamming verified in-bucket). Output = exactly the
+    pair set {hamming(phash_a, phash_b) <= 3}, asserted against a
+    brute-force oracle in tests/test_multimodal.py."""
+    from .imaging import decode_image, encode_image, phash64, procedural_image
+
+    n = 512
+
+    def make_images(batch: pa.Table) -> pa.Table:
+        ids, blobs, fmts = [], [], []
+        for i in batch["id"].to_pylist():
+            img, fmt, q = procedural_image(1000 + i, 24, 48)
+            ids.append(i)
+            blobs.append(encode_image(img, fmt, q))
+            fmts.append(fmt)
+            if i % 10 == 0:  # planted near-dup: uniform brightness shift
+                shifted = np.clip(img.astype(np.int16) + 6, 0, 255).astype(np.uint8)
+                ids.append(i + 1_000_000)
+                blobs.append(encode_image(shifted, fmt, q))
+                fmts.append(fmt)
+        return pa.table(
+            {"image_id": pa.array(ids, pa.int64()),
+             "bytes": pa.array(blobs, pa.large_binary()),
+             "fmt": pa.array(fmts)}
+        )
+
+    imgs = rd.range(n).map_batches(make_images, batch_format="pyarrow", batch_size=64)
+
+    def hash_stage(batch: pa.Table) -> pa.Table:
+        hs = [
+            phash64(decode_image(batch["bytes"][i].as_py(), batch["fmt"][i].as_py()))
+            for i in range(batch.num_rows)
+        ]
+        return pa.table(
+            {"image_id": batch["image_id"], "phash": pa.array(hs, pa.int64())}
+        )
+
+    hashed = imgs.map_batches(hash_stage, batch_format="pyarrow", batch_size=64)
+    return dedup.hamming_pairs(hashed, "phash", "image_id", max_hamming=3, n_bands=4)

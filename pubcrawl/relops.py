@@ -22,6 +22,7 @@ exact integers).
 
 from __future__ import annotations
 
+import hashlib
 import re
 from typing import Iterable
 
@@ -513,6 +514,140 @@ def topk_per_group(
         return out.reset_index(drop=True)
 
     return hash_partition_apply(pruned, group_keys, final, n_partitions=n_partitions)
+
+
+def window_lag(
+    ds: rd.Dataset,
+    part_keys: list[str],
+    order_keys: list[str],
+    lag_cols: dict[str, str],
+    fill=None,
+    n_partitions: int = 16,
+) -> rd.Dataset:
+    """General window LAG (SQL ``LAG(col) OVER (PARTITION BY part ORDER BY
+    order)``): co-partition by ``part_keys`` (one key-hash shuffle), sort each
+    partition once by part+order, and shift within groups. ``lag_cols`` maps
+    source column → output lag column; first row per group gets ``fill``
+    (pass a sentinel to keep integer dtypes — a pandas NaN would upcast to
+    float and break oracle hash parity). Scale: one partition's rows per
+    merge task, same contract as :func:`session_windows`; callers must
+    include a unique tiebreak in ``order_keys`` for determinism."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(part_keys + order_keys, kind="mergesort").reset_index(drop=True)
+        g = df.groupby(part_keys, sort=False)
+        for src, out in lag_cols.items():
+            lagged = g[src].shift(1)
+            if fill is not None:
+                lagged = lagged.fillna(fill).astype(df[src].dtype)
+            df[out] = lagged
+        return df
+
+    return hash_partition_apply(ds, part_keys, fn, n_partitions=n_partitions)
+
+
+def group_quantile_disc(
+    ds: rd.Dataset,
+    group_keys: list[str],
+    val_col: str,
+    qs: dict[str, float],
+    n_partitions: int = 16,
+) -> rd.Dataset:
+    """Per-group discrete quantiles (SQL ``quantile_disc(v, q)``: the element
+    at 1-based rank ceil(n*q) of the sorted group — DuckDB semantics, probed
+    empirically across n/q combinations).
+
+    Combiner shape: per-batch ``(group, value) → count`` partials (the shuffle
+    moves one row per distinct value per batch, not raw rows — for bounded
+    domains like integer cents this is the scale path), key-hash shuffle by
+    group, then per-group quantile selection from the sorted (value, count)
+    histogram via cumulative-count searchsorted. Values must be sortable
+    scalars (int64 recommended for exact oracle parity)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_keys + [val_col], as_index=False, sort=False).size()
+        return g.rename(columns={"size": "__n"})
+
+    partials = ds.select_columns(group_keys + [val_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, g in df.groupby(group_keys, sort=False):
+            h = g.groupby(val_col, as_index=False, sort=False)["__n"].sum().sort_values(val_col)
+            v = h[val_col].to_numpy()
+            cum = np.cumsum(h["__n"].to_numpy(dtype=np.int64))
+            n = int(cum[-1])
+            rec = list(key if isinstance(key, tuple) else (key,))
+            for _, q in qs.items():
+                idx = max(int(np.ceil(n * q)) - 1, 0)  # 0-based, clamp for q=0
+                # element at global sorted index idx = first value whose
+                # cumulative count exceeds idx
+                rec.append(v[int(np.searchsorted(cum, idx, side="right"))])
+            rows.append(rec)
+        return pd.DataFrame(rows, columns=group_keys + list(qs))
+
+    return hash_partition_apply(partials, group_keys, final, n_partitions=n_partitions)
+
+
+def rollup_sum(
+    ds: rd.Dataset,
+    keys: list[str],
+    sum_cols: dict[str, str] | None = None,
+    count_as: str | None = None,
+    all_label: str = "ALL",
+) -> rd.Dataset:
+    """SQL ``GROUP BY ROLLUP(k1, k2, ...)``: grouped sums/counts at every
+    prefix level of ``keys`` plus the grand total, with rolled-up key slots
+    holding ``all_label`` (the COALESCE(col, 'ALL') convention; key columns
+    must be strings and must not themselves contain nulls or the label).
+
+    Scale shape: the finest level runs as a full combiner aggregate
+    (:func:`preagg_group_sum` — the only pass over raw rows); every coarser
+    level is derived from the finest AGGREGATE (|distinct key combos| rows,
+    small by construction) in a single merge task."""
+    finest = preagg_group_sum(ds, keys, sum_cols=sum_cols, count_as=count_as)
+    vals = list((sum_cols or {}).values()) + ([count_as] if count_as else [])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.astype({k: "string" for k in keys})
+        frames = [df]
+        for lvl in range(len(keys) - 1, -1, -1):
+            sub = keys[:lvl]
+            if sub:
+                g = df.groupby(sub, as_index=False, sort=False)[vals].sum()
+            else:
+                g = df[vals].sum().to_frame().T
+            for k in keys[lvl:]:
+                g[k] = all_label
+            frames.append(g[keys + vals])
+        out = pd.concat(frames, ignore_index=True)
+        return out.astype({k: "object" for k in keys} | {v: "int64" for v in vals})
+
+    return hash_partition_apply(finest, keys[:1], derive, n_partitions=1)
+
+
+def sample_by_hash(ds: rd.Dataset, col: str, max_prefix: str) -> rd.Dataset:
+    """Deterministic hash sample: keep rows where ``md5(str(col))`` hex digest
+    is lexicographically < ``max_prefix`` (e.g. ``"2"`` ≈ 1/8 of rows). The
+    same predicate is expressible in any engine with md5 — DuckDB oracle:
+    ``WHERE md5(CAST(col AS VARCHAR)) < '2'`` — so samples are reproducible
+    across engines and runs, unlike seeded RNG sampling. md5-per-row is a
+    Python loop by necessity (oracle parity requires this exact digest; same
+    tradeoff as dedup.exact_dedup)."""
+    width = len(max_prefix)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_pylist()
+        keep = np.fromiter(
+            (hashlib.md5(str(v).encode()).hexdigest()[:width] < max_prefix for v in vals),
+            dtype=bool,
+            count=len(vals),
+        )
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def range_join_agg(

@@ -358,3 +358,47 @@ def test_range_join_agg_boundaries_and_spans():
         "__vs": np.array([1 + 2 + 4, 2 + 4 + 8 + 16 + 32 + 64, 8 + 16 + 32], dtype=np.int64),
     })
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_hamming_pairs_matches_bruteforce():
+    """Banded-LSH hamming near-dup == brute-force O(n^2) popcount for
+    max_hamming <= n_bands-1 (pigeonhole recall guarantee), on random 64-bit
+    hashes with planted near-neighbors and duplicate ids."""
+    import ray.data as rd
+
+    from pubcrawl import dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 2**63, size=300, dtype=np.int64)
+    ids = np.arange(300, dtype=np.int64)
+    # plant near pairs: ids 1000+i = base[i] with k<=3 flipped bits
+    extra_ids, extra_h = [], []
+    for i in range(0, 300, 17):
+        h = np.int64(base[i]).view(np.uint64)
+        for b in rng.choice(64, size=int(rng.integers(1, 4)), replace=False):
+            h = h ^ (np.uint64(1) << np.uint64(b))
+        extra_ids.append(1000 + i)
+        extra_h.append(np.int64(h.view(np.int64)))
+    all_ids = np.concatenate([ids, np.array(extra_ids, dtype=np.int64)])
+    all_h = np.concatenate([base, np.array(extra_h, dtype=np.int64)])
+    df = pd.DataFrame({"id": all_ids, "h": all_h})
+    # duplicate some rows (same id+hash) — must not produce self-pairs
+    df = pd.concat([df, df.iloc[:20]], ignore_index=True)
+
+    got = dedup.hamming_pairs(
+        rd.from_pandas(df).repartition(4), "h", "id", max_hamming=3, n_bands=4
+    )
+
+    u = df.drop_duplicates("id").sort_values("id").reset_index(drop=True)
+    hu = u["h"].to_numpy().view(np.uint64)
+    x = hu[:, None] ^ hu[None, :]
+    d = np.zeros(x.shape, dtype=np.int64)
+    for k in range(64):
+        d += ((x >> np.uint64(k)) & np.uint64(1)).astype(np.int64)
+    ii, jj = np.nonzero((d <= 3) & (np.arange(len(u))[:, None] < np.arange(len(u))[None, :]))
+    exp = pd.DataFrame({
+        "id_a": u["id"].to_numpy()[ii], "id_b": u["id"].to_numpy()[jj],
+        "hamming": d[ii, jj],
+    }).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(exp) >= 18  # the planted pairs are actually present
+    pd.testing.assert_frame_equal(got, exp)
