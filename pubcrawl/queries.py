@@ -1131,3 +1131,36 @@ def dedup_phash_images(sf_dir: str):
 
     hashed = imgs.map_batches(hash_stage, batch_format="pyarrow", batch_size=64)
     return dedup.hamming_pairs(hashed, "phash", "image_id", max_hamming=3, n_bands=4)
+
+
+# ======================================= distinct counting: exact + HLL sketch
+
+
+@query(
+    "g11_distinct_parts",
+    sql="SELECT l_returnflag, l_linestatus, "
+    "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_parts "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+)
+def g11_distinct_parts(sf_dir: str):
+    """Exact per-group COUNT(DISTINCT): per-batch (group, value) dedup
+    partials — shuffle bounded by the distinct domain, not raw rows
+    (relops.group_count_distinct)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_partkey"])
+    return relops.group_count_distinct(
+        ds, ["l_returnflag", "l_linestatus"], "l_partkey", out="nd_parts"
+    )
+
+
+@query("hll_distinct_users")  # approximate sketch (±1.6% at p=12) → rows-only
+def hll_distinct_users(sf_dir: str):
+    """Approximate per-group COUNT(DISTINCT) via mergeable HyperLogLog
+    sketches — the 100-TB path when the distinct domain itself is too big to
+    shuffle: one 4 KiB register blob per (group, batch) moves, merged by
+    elementwise max (sketch.hll_group_distinct). Deterministic for a given
+    input set (register state is order/partitioning independent); accuracy
+    vs exact asserted in tests/test_ops_units.py."""
+    from . import sketch
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return sketch.hll_group_distinct(ds, ["event_type"], "user_id", p=12)

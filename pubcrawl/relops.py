@@ -758,3 +758,33 @@ def range_join_agg(
         return out.astype({key_col: "int64", "__n": "int64", "__vs": "int64"})
 
     return hash_partition_apply(partials, [key_col], final, n_partitions=max(4, n_partitions // 2))
+
+
+def group_count_distinct(
+    ds: rd.Dataset,
+    group_keys: list[str],
+    val_col: str,
+    out: str = "n_distinct",
+    n_partitions: int = 16,
+) -> rd.Dataset:
+    """Exact per-group COUNT(DISTINCT val): per-batch (keys, val) dedup
+    partials (the shuffle moves at most one row per distinct (group, value)
+    pair per batch — bounded by the distinct domain, not raw rows), key-hash
+    shuffle on the group keys, global dedup + size per partition. For
+    domains too large for exact counting use sketch.hll_group_distinct."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=group_keys + [val_col])
+
+    partials = ds.select_columns(group_keys + [val_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates(subset=group_keys + [val_col])
+        g = u.groupby(group_keys, as_index=False, sort=False).size()
+        g = g.rename(columns={"size": out})
+        g[out] = g[out].astype("int64")
+        return g
+
+    return hash_partition_apply(partials, group_keys, final, n_partitions=n_partitions)

@@ -402,3 +402,51 @@ def test_hamming_pairs_matches_bruteforce():
     }).sort_values(["id_a", "id_b"]).reset_index(drop=True)
     assert len(exp) >= 18  # the planted pairs are actually present
     pd.testing.assert_frame_equal(got, exp)
+
+
+class TestSketch:
+    def test_hll_accuracy_and_determinism(self):
+        import ray.data as rd
+
+        from pubcrawl import sketch
+
+        rng = np.random.default_rng(11)
+        n = 60_000
+        df = pd.DataFrame({
+            "g": np.where(rng.random(n) < 0.5, "a", "b"),
+            # group a ~ 20k distinct, group b ~ 3k distinct
+            "v": np.where(
+                rng.random(n) < 0.5,
+                rng.integers(0, 20_000, n),
+                rng.integers(1_000_000, 1_003_000, n),
+            ).astype(np.int64),
+        })
+        exact = df.groupby("g")["v"].nunique()
+        out = (
+            sketch.hll_group_distinct(rd.from_pandas(df).repartition(6), ["g"], "v", p=12)
+            .to_pandas().set_index("g")["approx_distinct"]
+        )
+        for g in ("a", "b"):
+            rel = abs(out[g] - exact[g]) / exact[g]
+            assert rel < 0.05, (g, out[g], exact[g])
+        # register state is a set property: repartitioning must not move the estimate
+        out2 = (
+            sketch.hll_group_distinct(rd.from_pandas(df).repartition(17), ["g"], "v", p=12)
+            .to_pandas().set_index("g")["approx_distinct"]
+        )
+        assert (out.sort_index() == out2.sort_index()).all()
+
+    def test_hll_registers_match_scalar_rank(self):
+        from pubcrawl import sketch
+        from pubcrawl.hashing import xxh64
+
+        vals = np.arange(500, dtype=np.int64)
+        reg = sketch.hll_registers(vals, p=8)
+        exp = np.zeros(256, dtype=np.uint8)
+        for v in vals:
+            h = xxh64(int(v).to_bytes(8, "little"))
+            idx = h >> 56
+            rest = (h << 8) & 0xFFFFFFFFFFFFFFFF
+            rank = 64 - 8 + 1 if rest == 0 else (64 - rest.bit_length() + 1)
+            exp[idx] = max(exp[idx], min(rank, 57))
+        assert (reg == exp).all()
