@@ -1164,3 +1164,30 @@ def hll_distinct_users(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
     return sketch.hll_group_distinct(ds, ["event_type"], "user_id", p=12)
+
+
+@query(
+    "w5_running_total",
+    sql="SELECT event_id, user_id, CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) "
+    "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_e2 "
+    "FROM events",
+)
+def w5_running_total(sf_dir: str):
+    """Windowed running total per user (relops.window_cumsum): one key-hash
+    shuffle + per-partition sort/cumsum — the cumulative-metric primitive for
+    event streams."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    ds = relops.with_columns(
+        ds,
+        {"value_e2": relops.money_to_units("value"),
+         "ts_us": lambda t: pc.cast(t["ts"], pa.int64())},
+    )
+    out = relops.window_cumsum(
+        ds.select_columns(["event_id", "user_id", "ts_us", "value_e2"]),
+        ["user_id"], ["ts_us", "event_id"], "value_e2", "run_e2",
+    )
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "run_e2"]],
+        batch_format="pandas", batch_size=None,
+    )

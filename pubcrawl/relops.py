@@ -238,15 +238,17 @@ def distinct(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
 
 def topk(ds: rd.Dataset, keys: list[tuple[str, bool]], k: int) -> rd.Dataset:
     """T1/T5: global top-k with deterministic tiebreak. Per-batch prune to k
-    first so the sort shuffle sees at most k rows per block."""
+    first, so the exchange moves at most k rows per block; the final merge is
+    ONE small task over those partials (≤ k×blocks rows by construction) —
+    Ray's general sort shuffle is pure fixed overhead at that size."""
+    by = [c for c, _ in keys]
+    asc = [not d for _, d in keys]
 
     def prune(df: pd.DataFrame) -> pd.DataFrame:
-        by = [c for c, _ in keys]
-        asc = [not d for _, d in keys]
         return df.sort_values(by, ascending=asc).head(k)
 
     pruned = ds.map_batches(prune, batch_format="pandas", batch_size=None)
-    return pruned.sort(key=[c for c, _ in keys], descending=[d for _, d in keys]).limit(k)
+    return hash_partition_apply(pruned, by[:1], prune, n_partitions=1)
 
 
 # ---------------------------------------------------------------- joins
@@ -788,3 +790,25 @@ def group_count_distinct(
         return g
 
     return hash_partition_apply(partials, group_keys, final, n_partitions=n_partitions)
+
+
+def window_cumsum(
+    ds: rd.Dataset,
+    part_keys: list[str],
+    order_keys: list[str],
+    val_col: str,
+    out: str,
+    n_partitions: int = 16,
+) -> rd.Dataset:
+    """Running total (SQL ``SUM(v) OVER (PARTITION BY part ORDER BY order
+    ROWS UNBOUNDED PRECEDING)``): same plan as :func:`window_lag` — one
+    key-hash shuffle on the partition keys, per-partition sort + grouped
+    cumulative sum. Deterministic when ``order_keys`` includes a unique
+    tiebreak; int64 inputs stay int64 (pandas cumsum preserves dtype)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(part_keys + order_keys, kind="mergesort").reset_index(drop=True)
+        df[out] = df.groupby(part_keys, sort=False)[val_col].cumsum()
+        return df
+
+    return hash_partition_apply(ds, part_keys, fn, n_partitions=n_partitions)
