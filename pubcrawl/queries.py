@@ -779,7 +779,7 @@ def embed_semantic_search(sf_dir: str):
 
     root = tempfile.mkdtemp(prefix="pubcrawl_emb_") + "/vec"
     docs = _read(sf_dir, "documents", ["doc_id", "text", "source", "lang"])
-    embedmod.embed_corpus(docs, root, "doc_id", "text", concurrency=4)
+    embedmod.embed_corpus(docs, root, "doc_id", "text", concurrency=8)
     vecs = embedmod.load_vectors(root).map_batches(
         lambda t: t.rename_columns(["vec_id", "embedding"]), batch_format="pyarrow"
     )
@@ -1190,4 +1190,37 @@ def w5_running_total(sf_dir: str):
     return out.map_batches(
         lambda df: df[["event_id", "user_id", "run_e2"]],
         batch_format="pandas", batch_size=None,
+    )
+
+
+@query("image_similarity_topk")  # multimodal features → ANN compose → rows-only
+def image_similarity_topk(sf_dir: str):
+    """Image similarity search end-to-end over the input_hint shape: crawl a
+    deterministic synthetic web → decode + color-histogram/phash features in
+    an actor-pool stage (multimodal.ImageFeatures) → exact cosine top-k over
+    the feature vectors (ann.brute_topk: broadcast query matrix, per-batch
+    matmul, local partials). The image-payload analogue of
+    embed_semantic_search — payload bytes never touch the driver; only the
+    small feature table and the k-row result do."""
+    import tempfile
+
+    from . import ann as ann_mod
+    from . import multimodal as mm
+    from .pipeline import crawl, load_images
+    from .synthweb import WebConfig
+
+    cfg = WebConfig(seed=23, n_hosts=4, pages_per_host=2, links_per_page=4,
+                    images_per_page=2, details_per_host=20)
+    root = tempfile.mkdtemp(prefix="pubcrawl_imgsim_") + "/store"
+    crawl(cfg, root, fetch_concurrency=2, bucket_size=64, seen_shards=2)
+    feats = mm.image_pipeline(load_images(root), mm.ImageFeatures, concurrency=2)
+    feats = feats.select_columns(["image_id", "features"]).materialize()
+    q = feats.take(3)
+    qmat = np.stack([np.asarray(r["features"], dtype=np.float64) for r in q])
+    qids = np.array([r["image_id"] for r in q])
+    out = ann_mod.brute_topk(
+        feats, qmat, qids, k=5, id_col="image_id", emb_col="features"
+    )
+    return out.assign(cos_e6=(out["cos_sim"] * 1e6).round().astype("int64")).drop(
+        columns=["cos_sim"]
     )
