@@ -1224,3 +1224,47 @@ def image_similarity_topk(sf_dir: str):
     return out.assign(cos_e6=(out["cos_sim"] * 1e6).round().astype("int64")).drop(
         columns=["cos_sim"]
     )
+
+
+@query(
+    "cube_order_stats",
+    sql="SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
+    "COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "
+    "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_e2, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)",
+)
+def cube_order_stats(sf_dir: str):
+    """GROUP BY CUBE: every subset level derived from one combiner aggregate
+    (relops.cube_sum)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    ds = relops.with_columns(ds, {"price_e2": relops.money_to_units("o_totalprice")})
+    return relops.cube_sum(
+        ds.select_columns(["o_orderpriority", "o_orderstatus", "price_e2"]),
+        ["o_orderpriority", "o_orderstatus"],
+        sum_cols={"price_e2": "price_e2"}, count_as="n",
+    )
+
+
+@query(
+    "ntile_customer_value",
+    sql="SELECT c_custkey, CAST(NTILE(4) OVER "
+    "(PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS tile, "
+    "c_mktsegment FROM customer",
+)
+def ntile_customer_value(sf_dir: str):
+    """NTILE quartiles of customers by balance within segment
+    (relops.window_ntile)."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    ds = relops.with_columns(ds, {"bal_e2": relops.money_to_units("c_acctbal")})
+    ds = relops.with_columns(
+        ds, {"neg_bal": lambda t: pc.negate_checked(t["bal_e2"])}
+    )
+    out = relops.window_ntile(
+        ds.select_columns(["c_custkey", "c_mktsegment", "neg_bal"]),
+        ["c_mktsegment"], ["neg_bal", "c_custkey"], 4, out="tile",
+    )
+    return out.map_batches(
+        lambda df: df[["c_custkey", "tile", "c_mktsegment"]].astype({"tile": "int64"}),
+        batch_format="pandas", batch_size=None,
+    )

@@ -812,3 +812,69 @@ def window_cumsum(
         return df
 
     return hash_partition_apply(ds, part_keys, fn, n_partitions=n_partitions)
+
+
+def cube_sum(
+    ds: rd.Dataset,
+    keys: list[str],
+    sum_cols: dict[str, str] | None = None,
+    count_as: str | None = None,
+    all_label: str = "ALL",
+) -> rd.Dataset:
+    """SQL ``GROUP BY CUBE(k1, ..)``: grouped sums/counts at EVERY key subset
+    (2^|keys| levels), rolled-up slots holding ``all_label`` — same plan as
+    :func:`rollup_sum`: one combiner pass over raw rows for the finest level,
+    every other subset derived from that small aggregate in one merge task."""
+    finest = preagg_group_sum(ds, keys, sum_cols=sum_cols, count_as=count_as)
+    vals = list((sum_cols or {}).values()) + ([count_as] if count_as else [])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.astype({k: "string" for k in keys})
+        frames = [df]
+        for m in range((1 << len(keys)) - 2, -1, -1):  # all proper subsets
+            sub = [k for i, k in enumerate(keys) if m & (1 << i)]
+            if sub:
+                g = df.groupby(sub, as_index=False, sort=False)[vals].sum()
+            else:
+                g = df[vals].sum().to_frame().T
+            for k in keys:
+                if k not in sub:
+                    g[k] = all_label
+            frames.append(g[keys + vals])
+        out = pd.concat(frames, ignore_index=True)
+        return out.astype({k: "object" for k in keys} | {v: "int64" for v in vals})
+
+    return hash_partition_apply(finest, keys[:1], derive, n_partitions=1)
+
+
+def window_ntile(
+    ds: rd.Dataset,
+    part_keys: list[str],
+    order_keys: list[str],
+    n: int,
+    out: str = "tile",
+    n_partitions: int = 16,
+) -> rd.Dataset:
+    """SQL ``NTILE(n) OVER (PARTITION BY part ORDER BY order)``: rows of each
+    partition split into n order-contiguous buckets, sizes differing by at
+    most one with larger buckets first (ANSI semantics: bucket(i) =
+    floor(i*n/cnt) for 0-based row index when cnt%n==0; otherwise the first
+    cnt%n buckets get the extra row). Same one-shuffle plan as window_lag."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(part_keys + order_keys, kind="mergesort").reset_index(drop=True)
+        g = df.groupby(part_keys, sort=False)
+        idx = g.cumcount().to_numpy()
+        cnt = g[order_keys[0]].transform("size").to_numpy()
+        base = cnt // n
+        rem = cnt % n
+        cut = rem * (base + 1)  # rows before this index sit in size base+1 buckets
+        tile = np.where(
+            idx < cut,
+            idx // np.maximum(base + 1, 1),
+            rem + np.where(base > 0, (idx - cut) // np.maximum(base, 1), 0),
+        )
+        df[out] = (tile + 1).astype(np.int64)
+        return df
+
+    return hash_partition_apply(ds, part_keys, fn, n_partitions=n_partitions)

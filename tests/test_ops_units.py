@@ -450,3 +450,28 @@ class TestSketch:
             rank = 64 - 8 + 1 if rest == 0 else (64 - rest.bit_length() + 1)
             exp[idx] = max(exp[idx], min(rank, 57))
         assert (reg == exp).all()
+
+
+def test_window_ntile_small_partitions():
+    """NTILE with partitions smaller than, equal to, and larger than n —
+    oracle = duckdb on the same frame."""
+    import duckdb
+
+    import ray.data as rd
+    from pubcrawl import relops
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b", "c", "d"], [2, 4, 7, 13]),
+        "id": np.arange(26, dtype=np.int64),
+        "v": rng.integers(0, 10, 26).astype(np.int64),
+    })
+    got = (
+        relops.window_ntile(rd.from_pandas(df).repartition(3), ["g"], ["v", "id"], 4)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "SELECT g, id, v, CAST(NTILE(4) OVER (PARTITION BY g ORDER BY v, id) AS BIGINT)"
+        " AS tile FROM df ORDER BY id"
+    ).df()
+    pd.testing.assert_frame_equal(got[["g", "id", "v", "tile"]], exp)
