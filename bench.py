@@ -65,7 +65,11 @@ def run_crawl(num_cpus: int) -> dict:
         cfg,
         root,
         fetch_concurrency=num_cpus,
-        fetch_batch_size=32,
+        # 256-row fetch slices: driver dispatch is per-slice (~4-5 ms of
+        # least-loaded bookkeeping + ray.wait each), so 32-row slices cost
+        # 4000 dispatches ≈ 16 s of pure orchestration on this web — measured
+        # fetch wall 26 s @32 rows vs 10.0 s @256 rows, politeness identical
+        fetch_batch_size=256,
         bucket_size=2048,
         seen_shards=8,
         politeness_shards=4,
