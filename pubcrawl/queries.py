@@ -1268,3 +1268,53 @@ def ntile_customer_value(sf_dir: str):
         lambda df: df[["c_custkey", "tile", "c_mktsegment"]].astype({"tile": "int64"}),
         batch_format="pandas", batch_size=None,
     )
+
+
+@query(
+    "w6_moving_sum",
+    sql="SELECT event_id, user_id, CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) "
+    "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_e2 "
+    "FROM events",
+)
+def w6_moving_sum(sf_dir: str):
+    """Sliding 4-row window sum per user (relops.window_frame_sum): cumsum
+    difference within co-partitioned groups — the moving-metric primitive."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    ds = relops.with_columns(
+        ds,
+        {"value_e2": relops.money_to_units("value"),
+         "ts_us": lambda t: pc.cast(t["ts"], pa.int64())},
+    )
+    out = relops.window_frame_sum(
+        ds.select_columns(["event_id", "user_id", "ts_us", "value_e2"]),
+        ["user_id"], ["ts_us", "event_id"], "value_e2", "mov_e2", preceding=3,
+    )
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "mov_e2"]],
+        batch_format="pandas", batch_size=None,
+    )
+
+
+@query(
+    "unpivot_lineitem_charges",
+    sql="SELECT l_orderkey, l_linenumber, name, "
+    "CAST(ROUND(value*100) AS BIGINT) AS value_e2 FROM ("
+    "  UNPIVOT (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax "
+    "   FROM lineitem) ON l_extendedprice, l_discount, l_tax "
+    "   INTO NAME name VALUE value)",
+)
+def unpivot_lineitem_charges(sf_dir: str):
+    """UNPIVOT (wide→long melt): pure per-batch Arrow rebuild, no shuffle
+    (relops.unpivot)."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    out = relops.unpivot(
+        ds, ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+    )
+    return relops.with_columns(out, {"value_e2": relops.money_to_units("value")}).select_columns(
+        ["l_orderkey", "l_linenumber", "name", "value_e2"]
+    )

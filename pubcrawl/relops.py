@@ -878,3 +878,59 @@ def window_ntile(
         return df
 
     return hash_partition_apply(ds, part_keys, fn, n_partitions=n_partitions)
+
+
+def window_frame_sum(
+    ds: rd.Dataset,
+    part_keys: list[str],
+    order_keys: list[str],
+    val_col: str,
+    out: str,
+    preceding: int,
+    n_partitions: int = 16,
+) -> rd.Dataset:
+    """Sliding-frame sum (SQL ``SUM(v) OVER (PARTITION BY part ORDER BY order
+    ROWS BETWEEN preceding PRECEDING AND CURRENT ROW)``): the moving-window
+    primitive — same one-shuffle plan as :func:`window_lag`; the frame sum is
+    a cumsum difference (cum[i] - cum[i-preceding-1]) per group, exact on
+    int64."""
+    w = preceding + 1
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(part_keys + order_keys, kind="mergesort").reset_index(drop=True)
+        g = df.groupby(part_keys, sort=False)
+        cum = g[val_col].cumsum().to_numpy()
+        idx = g.cumcount().to_numpy()
+        # cum value w rows back WITHIN the group: groups are contiguous after
+        # the sort, so a flat shift is in-group wherever idx >= w; idx < w → 0
+        shifted = pd.Series(cum).shift(w)
+        lag_cum = np.where(idx >= w, shifted.to_numpy(), 0)
+        df[out] = (cum - lag_cum).astype(df[val_col].dtype)
+        return df
+
+    return hash_partition_apply(ds, part_keys, fn, n_partitions=n_partitions)
+
+
+def unpivot(
+    ds: rd.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    name_col: str = "name",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """UNPIVOT/melt: wide → long, one output row per (row, value column).
+    Embarrassingly parallel — a pure per-batch Arrow rebuild (no shuffle):
+    id columns repeat via take, names tile, values concat."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        k = len(value_cols)
+        take_idx = pa.array(np.tile(np.arange(n, dtype=np.int64), k))
+        out = batch.select(id_cols).take(take_idx)
+        names = pa.array(np.repeat(np.asarray(value_cols, dtype=object), n))
+        vals = pa.concat_arrays(
+            [batch[c].combine_chunks().cast(batch[value_cols[0]].type) for c in value_cols]
+        )
+        return out.append_column(name_col, names).append_column(value_col, vals)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
