@@ -1318,3 +1318,34 @@ def unpivot_lineitem_charges(sf_dir: str):
     return relops.with_columns(out, {"value_e2": relops.money_to_units("value")}).select_columns(
         ["l_orderkey", "l_linenumber", "name", "value_e2"]
     )
+
+
+@query(
+    "sample_stratified_customers",
+    sql="SELECT c_mktsegment, c_custkey, CAST(rn AS BIGINT) AS rn FROM ("
+    "SELECT c_mktsegment, c_custkey, row_number() OVER ("
+    "PARTITION BY c_mktsegment "
+    "ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn "
+    "FROM customer) WHERE rn <= 20",
+)
+def sample_stratified_customers(sf_dir: str):
+    """Deterministic stratified sample: exactly 20 customers per market
+    segment, selected by md5-hash order (cross-engine reproducible, unbiased
+    for hash-independent attributes) — relops.topk_per_group over the digest
+    column, combiner-pruned so the shuffle moves ≤20 rows per (segment ×
+    block)."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def digest(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(str(v).encode()).hexdigest() for v in batch["c_custkey"].to_pylist()]
+        return batch.append_column("__md5", pa.array(hs, pa.string()))
+
+    withd = ds.map_batches(digest, batch_format="pyarrow")
+    out = relops.topk_per_group(
+        withd, ["c_mktsegment"], [("__md5", False), ("c_custkey", False)],
+        k=20, rank_col="rn",
+    )
+    return out.map_batches(
+        lambda df: df[["c_mktsegment", "c_custkey", "rn"]].astype({"rn": "int64"}),
+        batch_format="pandas", batch_size=None,
+    )
