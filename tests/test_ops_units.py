@@ -475,3 +475,90 @@ def test_window_ntile_small_partitions():
         " AS tile FROM df ORDER BY id"
     ).df()
     pd.testing.assert_frame_equal(got[["g", "id", "v", "tile"]], exp)
+
+
+def test_window_and_agg_ops_random_frames_vs_duckdb():
+    """Seeded-random cross-check battery: window LAG / cumsum / frame-sum /
+    NTILE / per-group quantiles / count-distinct / rollup all vs DuckDB on
+    the same frame — skewed groups, ties, singleton and empty-ish partitions."""
+    import duckdb
+
+    import ray.data as rd
+    from pubcrawl import relops
+
+    for seed in (1, 5):
+        rng = np.random.default_rng(seed)
+        n = 400
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c", "dd"], n, p=[0.6, 0.25, 0.1, 0.05]),
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.integers(-50, 50, n).astype(np.int64),
+            "o": rng.integers(0, 40, n).astype(np.int64),  # heavy order ties
+        })
+        ds = rd.from_pandas(df).repartition(5)
+        con = duckdb.connect()
+        con.register("t", df)
+
+        got = relops.window_lag(ds, ["g"], ["o", "id"], {"v": "pv"}, fill=-999).to_pandas()
+        exp = con.execute(
+            "SELECT g, id, v, o, COALESCE(LAG(v) OVER (PARTITION BY g ORDER BY o, id), -999) AS pv FROM t"
+        ).fetchdf()
+        m = got.sort_values("id").reset_index(drop=True)[["g", "id", "v", "o", "pv"]]
+        pd.testing.assert_frame_equal(m, exp.sort_values("id").reset_index(drop=True))
+
+        got = relops.window_cumsum(ds, ["g"], ["o", "id"], "v", "cs").to_pandas()
+        exp = con.execute(
+            "SELECT g, id, v, o, SUM(v) OVER (PARTITION BY g ORDER BY o, id "
+            "ROWS UNBOUNDED PRECEDING) AS cs FROM t"
+        ).fetchdf()
+        assert (
+            got.sort_values("id").cs.to_numpy() == exp.sort_values("id").cs.to_numpy()
+        ).all()
+
+        got = relops.window_frame_sum(ds, ["g"], ["o", "id"], "v", "fs", preceding=2).to_pandas()
+        exp = con.execute(
+            "SELECT id, SUM(v) OVER (PARTITION BY g ORDER BY o, id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS fs FROM t"
+        ).fetchdf()
+        assert (
+            got.sort_values("id").fs.to_numpy() == exp.sort_values("id").fs.to_numpy()
+        ).all()
+
+        got = relops.window_ntile(ds, ["g"], ["o", "id"], 3).to_pandas()
+        exp = con.execute(
+            "SELECT id, NTILE(3) OVER (PARTITION BY g ORDER BY o, id) AS tile FROM t"
+        ).fetchdf()
+        assert (
+            got.sort_values("id").tile.to_numpy() == exp.sort_values("id").tile.to_numpy()
+        ).all()
+
+        got = relops.group_quantile_disc(ds, ["g"], "v", {"p25": 0.25, "p75": 0.75}).to_pandas()
+        exp = con.execute(
+            "SELECT g, quantile_disc(v, 0.25) AS p25, quantile_disc(v, 0.75) AS p75 "
+            "FROM t GROUP BY g"
+        ).fetchdf()
+        m = got.sort_values("g").reset_index(drop=True)
+        e = exp.sort_values("g").reset_index(drop=True)
+        assert (m.p25.to_numpy() == e.p25.to_numpy()).all()
+        assert (m.p75.to_numpy() == e.p75.to_numpy()).all()
+
+        got = relops.group_count_distinct(ds, ["g"], "v", out="nd").to_pandas()
+        exp = con.execute("SELECT g, COUNT(DISTINCT v) AS nd FROM t GROUP BY g").fetchdf()
+        assert (
+            got.sort_values("g").nd.to_numpy() == exp.sort_values("g").nd.to_numpy()
+        ).all()
+
+        got = relops.rollup_sum(ds.map_batches(
+            lambda d: d[["g", "v"]].assign(g2=d["o"].astype(str)),
+            batch_format="pandas", batch_size=None,
+        ), ["g", "g2"], sum_cols={"v": "sv"}, count_as="n").to_pandas()
+        exp = con.execute(
+            "SELECT COALESCE(g, 'ALL') AS g, COALESCE(CAST(o AS VARCHAR), 'ALL') AS g2, "
+            "CAST(SUM(v) AS BIGINT) AS sv, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM t GROUP BY ROLLUP(g, o)"
+        ).fetchdf()
+        k = ["g", "g2"]
+        m = got.sort_values(k).reset_index(drop=True)
+        e = exp.sort_values(k).reset_index(drop=True)
+        assert len(m) == len(e)
+        assert (m.sv.to_numpy() == e.sv.to_numpy()).all() and (m.n.to_numpy() == e.n.to_numpy()).all()
