@@ -131,31 +131,66 @@ class CuckooFilter:
 
 
 class _SeenShardImpl:
+    """Exact membership = ONE SORTED uint64 array probed with vectorized
+    searchsorted; the cuckoo filter stays in sync as the memory-bounded
+    negative-path structure for the spill regime.
+
+    Round-2 change: this used to be a Python ``set`` with per-item
+    ``h in new`` probes — measured 13x slower under 16 concurrent shard
+    actors than solo (millions of PyLong allocations thrash the allocator
+    and LLC across processes), turning the expand reduce into a ~20 s
+    CPU-count-independent floor. Sorted-array probes are pure numpy: no
+    per-item Python objects, sequential memory traffic, and the same
+    bit-for-bit first-wins semantics (tested against the oracle)."""
+
     def __init__(self, capacity_hint: int = 1 << 16):
         self.filter = CuckooFilter(capacity_hint)
-        self.exact: set[int] = set()
+        self._seen = np.empty(0, dtype=np.uint64)  # sorted, unique
+        # filter sync is LAZY: new hashes queue here and fold into the cuckoo
+        # table only when the filter is actually consulted (spill regime /
+        # diagnostics). The fold is 64 MB of random-access writes per shard —
+        # on the hot expand path, 16 shards doing it concurrently saturate
+        # LLC/memory bandwidth for pure bookkeeping the round never reads.
+        self._filter_pending: list[np.ndarray] = []
+
+    def _membership(self, cand: np.ndarray) -> np.ndarray:
+        """Boolean mask: cand[i] already registered. cand need not be sorted."""
+        s = self._seen
+        if len(s) == 0:
+            return np.zeros(len(cand), dtype=bool)
+        pos = np.searchsorted(s, cand)
+        pos[pos == len(s)] = len(s) - 1
+        return s[pos] == cand
+
+    def _register(self, new: np.ndarray) -> None:
+        """Merge new (unique, any order) into the sorted seen array."""
+        if len(new) == 0:
+            return
+        merged = np.concatenate([self._seen, new])
+        merged.sort(kind="stable")
+        self._seen = merged
+        self._filter_pending.append(new)
+
+    def _flush_filter(self) -> None:
+        for arr in self._filter_pending:
+            self.filter.add_many(arr)
+        self._filter_pending.clear()
 
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
         """First-wins membership: boolean mask of hashes that were NEW
         (registered by this call). Duplicates inside one call: only the first
-        occurrence is new — discovery-order semantics. Fast path is the exact
-        set (authoritative); the cuckoo filter is kept in sync as the
-        memory-bounded negative-path structure for the spill regime."""
-        exact = self.exact
-        hl = hashes.tolist()
-        batch = set(hl)
-        new = batch - exact  # C-level set difference: the bulk of the work
-        exact |= new
-        if new:
-            self.filter.add_many(np.fromiter(new, dtype=np.uint64, count=len(new)))
-        if len(batch) == len(hl):  # fast path: caller sent unique hashes
-            return np.fromiter((h in new for h in hl), dtype=bool, count=len(hl))
-        out = np.zeros(len(hl), dtype=bool)
-        local: set[int] = set()
-        for k, h in enumerate(hl):
-            if h in new and h not in local:
-                out[k] = True
-                local.add(h)
+        occurrence is new — discovery-order semantics."""
+        h = hashes.astype(np.uint64, copy=False)
+        n = len(h)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        # np.unique returns the index of the FIRST occurrence of each value
+        uniq, first_idx = np.unique(h, return_index=True)
+        present = self._membership(uniq)
+        new_vals = uniq[~present]
+        self._register(new_vals)
+        out = np.zeros(n, dtype=bool)
+        out[first_idx[~present]] = True
         return out
 
     def dedup_check_and_add(self, hashes: np.ndarray, ords: np.ndarray) -> np.ndarray:
@@ -167,20 +202,18 @@ class _SeenShardImpl:
         n = len(hashes)
         if n == 0:
             return np.zeros(0, dtype=bool)
-        order = np.lexsort((ords, hashes))
-        sh = hashes[order]
+        h = hashes.astype(np.uint64, copy=False)
+        order = np.lexsort((ords, h))
+        sh = h[order]
         first = np.ones(n, dtype=bool)
         first[1:] = sh[1:] != sh[:-1]
         keep = np.zeros(n, dtype=bool)
         keep[order] = first
         idx = np.flatnonzero(keep)
-        cand = hashes[idx].tolist()
-        exact = self.exact
-        new = set(cand) - exact
-        exact |= new
-        if new:
-            self.filter.add_many(np.fromiter(new, dtype=np.uint64, count=len(new)))
-        keep[idx] = np.fromiter((h in new for h in cand), dtype=bool, count=len(cand))
+        cand = h[idx]  # unique within this call (one per hash, min ord)
+        present = self._membership(cand)
+        self._register(cand[~present])
+        keep[idx] = ~present
         return keep
 
     def dedup_many(self, pieces: list):
@@ -205,22 +238,21 @@ class _SeenShardImpl:
 
     def bulk_seed(self, hashes: np.ndarray) -> int:
         """Resume path: pre-register checkpointed url_hashes."""
-        exact = self.exact
-        new = set(hashes.tolist()) - exact
-        exact |= new
-        if new:
-            self.filter.add_many(np.fromiter(new, dtype=np.uint64, count=len(new)))
-        return len(self.exact)
+        uniq = np.unique(hashes.astype(np.uint64, copy=False))
+        present = self._membership(uniq)
+        self._register(uniq[~present])
+        return len(self._seen)
 
     def snapshot(self) -> np.ndarray:
-        return np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
+        return self._seen.copy()
 
     def count(self) -> int:
-        return len(self.exact)
+        return len(self._seen)
 
     def filter_fp_rate(self, probes: np.ndarray) -> float:
         """Diagnostic: false-positive rate of the filter on given non-member
         probes (tested to stay ~1e-3; an FP only costs an exact lookup)."""
+        self._flush_filter()
         c = self.filter.contains
         return sum(c(int(p)) for p in probes) / max(1, len(probes))
 
