@@ -193,12 +193,16 @@ def xxh64_arrow(arr, seed: int = 0) -> np.ndarray:
     starts = offsets[:-1]
     lens = (offsets[1:] - starts).astype(np.int64)
     out = np.empty(len(arr), dtype=np.uint64)
+    # int32 gather indices: the index array is 8 bytes per string BYTE at
+    # int64 — the dominant memory traffic of the whole hash at URL sizes.
+    # String buffers here are block-sized (≪2 GiB), so int32 always fits.
+    starts32 = starts.astype(np.int32)
     for L in np.unique(lens):
         sel = np.flatnonzero(lens == L)
         if L == 0:
             out[sel] = xxh64(b"", seed)
             continue
-        idx = (starts[sel][:, None] + np.arange(int(L))[None, :]).ravel()
+        idx = (starts32[sel][:, None] + np.arange(int(L), dtype=np.int32)[None, :]).ravel()
         mat = np.take(data, idx).reshape(len(sel), int(L))  # np.take ≈ 9× 2D fancy-index
         out[sel] = _xxh64_fixed_len(mat, seed)
     return out
