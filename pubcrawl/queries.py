@@ -1349,3 +1349,143 @@ def sample_stratified_customers(sf_dir: str):
         lambda df: df[["c_mktsegment", "c_custkey", "rn"]].astype({"rn": "int64"}),
         batch_format="pandas", batch_size=None,
     )
+
+
+# ============================================ LEFT OUTER large-large hash join
+
+
+@query(
+    "loj_customer_2001_orders",
+    sql="SELECT c_custkey, COALESCE(o_orderkey, -1) AS o_key, "
+    "COALESCE(CAST(ROUND(o_totalprice*100) AS BIGINT), -1) AS price_e2 "
+    "FROM customer LEFT JOIN "
+    "(SELECT * FROM orders WHERE year(o_orderdate) = 2001) o "
+    "ON c_custkey = o_custkey",
+)
+def loj_customer_2001_orders(sf_dir: str):
+    """LEFT OUTER large-large join: customers x their 2001 orders, customers
+    with no 2001 order kept with sentinel -1 (615 such at sf0.01 — the
+    null-preserving path is genuinely exercised). Same co-partitioned
+    hash-join shuffle as the inner join (relops.hash_join how='left'); the
+    sentinel fill keeps int64 dtypes for oracle hash parity."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.year(t["o_orderdate"]), pa.scalar(2001, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    orders = relops.with_columns(orders, {"price_e2": relops.money_to_units("o_totalprice")})
+    cust = cust.map_batches(
+        lambda df: df.rename(columns={"c_custkey": "key"}), batch_format="pandas"
+    )
+    orders = orders.map_batches(
+        lambda df: df.rename(columns={"o_custkey": "key"})[["key", "o_orderkey", "price_e2"]],
+        batch_format="pandas",
+    )
+    joined = relops.hash_join(
+        cust, orders, on="key", left_cols=[], right_cols=["o_orderkey", "price_e2"],
+        how="left",
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "c_custkey": df["key"].astype("int64"),
+            "o_key": df["o_orderkey"].fillna(-1).astype("int64"),
+            "price_e2": df["price_e2"].fillna(-1).astype("int64"),
+        })
+        return out
+
+    return joined.map_batches(fin, batch_format="pandas", batch_size=None)
+
+
+# ================================================ PIVOT (long → wide) with SUM
+
+
+@query(
+    "pivot_year_status_revenue",
+    sql="SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+    "CAST(COALESCE(SUM(CASE WHEN o_orderstatus='F' THEN CAST(ROUND(o_totalprice*100) AS BIGINT) END), 0) AS BIGINT) AS F, "
+    "CAST(COALESCE(SUM(CASE WHEN o_orderstatus='O' THEN CAST(ROUND(o_totalprice*100) AS BIGINT) END), 0) AS BIGINT) AS O, "
+    "CAST(COALESCE(SUM(CASE WHEN o_orderstatus='P' THEN CAST(ROUND(o_totalprice*100) AS BIGINT) END), 0) AS BIGINT) AS P "
+    "FROM orders GROUP BY 1",
+)
+def pivot_year_status_revenue(sf_dir: str):
+    """PIVOT: per-year revenue spread across declared status columns F/O/P
+    (relops.pivot_sum — fixed output schema, per-batch wide partials, the
+    shuffle moves |years| x 3 cells per block)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderstatus", "o_totalprice"])
+    ds = relops.with_columns(ds, {"price_e2": relops.money_to_units("o_totalprice")})
+
+    def add_year(t: pa.Table) -> pa.Table:
+        return t.append_column("o_year", pc.cast(pc.year(t["o_orderdate"]), pa.int64()))
+
+    ds = ds.map_batches(add_year, batch_format="pyarrow")
+    return relops.pivot_sum(ds, "o_year", "o_orderstatus", "price_e2", ["F", "O", "P"])
+
+
+# ===================================================== ordered STRING_AGG
+
+
+@query(
+    "sa_lang_source_docs",
+    sql="SELECT lang, source, STRING_AGG(CAST(doc_id AS VARCHAR), ',' "
+    "ORDER BY doc_id) AS doc_list FROM documents GROUP BY lang, source",
+)
+def sa_lang_source_docs(sf_dir: str):
+    """Ordered STRING_AGG: comma-joined doc_id list per (lang, source),
+    ordered by doc_id (relops.string_agg_ordered — one key-hash shuffle,
+    per-partition sort, vectorized join)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    return relops.string_agg_ordered(
+        ds, ["lang", "source"], "doc_id", ["doc_id"], sep=",", out_col="doc_list"
+    )
+
+
+# ============================================ time-RANGE window aggregate
+
+
+@query(
+    "wr_user_value_7d",
+    sql="SELECT event_id, user_id, CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) "
+    "OVER (PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS v7_e2 FROM events",
+)
+def wr_user_value_7d(sf_dir: str):
+    """Time-RANGE window frame (not ROWS): per user, the trailing-7-day sum
+    of event value at each event — peers on the same timestamp all included,
+    per SQL RANGE semantics (relops.window_range_sum: searchsorted frame
+    bounds over per-group cumsums)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    ds = relops.with_columns(ds, {"value_e2": relops.money_to_units("value")})
+    out = relops.window_range_sum(
+        ds, ["user_id"], "ts", "value_e2",
+        preceding_us=7 * 24 * 3600 * 1_000_000, out_col="v7_e2",
+    )
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "v7_e2"]], batch_format="pandas",
+        batch_size=None,
+    )
+
+
+# ======================================= per-group CONTINUOUS quantiles
+
+
+@query(
+    "qc_price_quartiles",
+    sql="SELECT l_returnflag, quantile_cont(CAST(ROUND(l_extendedprice*100) "
+    "AS BIGINT), 0.25) AS q25, quantile_cont(CAST(ROUND(l_extendedprice*100) "
+    "AS BIGINT), 0.5) AS q50, quantile_cont(CAST(ROUND(l_extendedprice*100) "
+    "AS BIGINT), 0.75) AS q75 FROM lineitem GROUP BY l_returnflag",
+)
+def qc_price_quartiles(sf_dir: str):
+    """Interpolated (continuous) per-group quartiles over exact integer
+    cents: float64 parity with the oracle is exact because the values are
+    integers and the q's are dyadic (relops.group_quantile_cont docstring)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    ds = relops.with_columns(ds, {"price_e2": relops.money_to_units("l_extendedprice")})
+    return relops.group_quantile_cont(
+        ds, ["l_returnflag"], "price_e2", {"q25": 0.25, "q50": 0.5, "q75": 0.75}
+    )

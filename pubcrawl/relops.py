@@ -934,3 +934,157 @@ def unpivot(
         return out.append_column(name_col, names).append_column(value_col, vals)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def pivot_sum(
+    ds: rd.Dataset,
+    group_key: str,
+    pivot_key: str,
+    val_col: str,
+    categories: list[str],
+    n_partitions: int = 8,
+) -> rd.Dataset:
+    """PIVOT (long → wide) with SUM: one output column per declared category
+    (SQL ``SUM(CASE WHEN pivot = cat THEN v ELSE 0 END)`` per category).
+
+    Categories are DECLARED, not discovered — the output schema is fixed up
+    front, which is the scale-safe contract (schema inference over 100 TB
+    would itself be a full pass). Combiner shape: each batch reduces to one
+    wide row per group (|groups| x |categories| cells), the shuffle moves
+    only those partials, and the merge is a tiny grouped sum."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(group_key, as_index=False, sort=False).size()[[group_key]]
+        piv = df.pivot_table(
+            index=group_key, columns=pivot_key, values=val_col, aggfunc="sum", fill_value=0
+        )
+        for c in categories:
+            out[c] = (
+                piv[c].reindex(out[group_key]).fillna(0).to_numpy(dtype=np.int64)
+                if c in piv.columns
+                else np.int64(0)
+            )
+        return out
+
+    partials = ds.select_columns([group_key, pivot_key, val_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(group_key, as_index=False, sort=False)[categories].sum()
+        return out.astype({c: "int64" for c in categories})
+
+    return hash_partition_apply(partials, [group_key], final, n_partitions=n_partitions)
+
+
+def string_agg_ordered(
+    ds: rd.Dataset,
+    group_keys: list[str],
+    val_col: str,
+    order_keys: list[str],
+    sep: str = ",",
+    out_col: str = "agg",
+    n_partitions: int = 16,
+) -> rd.Dataset:
+    """Ordered string aggregation (SQL ``STRING_AGG(v, sep ORDER BY o)``):
+    co-partition by group (one key-hash shuffle), sort each partition once by
+    group+order, join values per group. Determinism requires ``order_keys``
+    to be a total order within each group (include a unique tiebreak).
+    Scale note: the output row is O(group size) — this operator is for
+    bounded groups (per-key id lists, per-day traces), not unbounded concat."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(group_keys + order_keys, kind="mergesort")
+        s = d[val_col].astype(str)
+        g = pd.DataFrame({"__v": s, **{k: d[k] for k in group_keys}})
+        out = g.groupby(group_keys, as_index=False, sort=False)["__v"].agg(sep.join)
+        return out.rename(columns={"__v": out_col})
+
+    cols = list(dict.fromkeys(group_keys + order_keys + [val_col]))
+    return hash_partition_apply(
+        ds.select_columns(cols), group_keys, fn, n_partitions=n_partitions
+    )
+
+
+def window_range_sum(
+    ds: rd.Dataset,
+    part_keys: list[str],
+    time_col: str,
+    val_col: str,
+    preceding_us: int,
+    out_col: str = "range_sum",
+    n_partitions: int = 16,
+) -> rd.Dataset:
+    """Time-RANGE window sum (SQL ``SUM(v) OVER (PARTITION BY k ORDER BY t
+    RANGE BETWEEN <x> PRECEDING AND CURRENT ROW)``): for each row, the sum of
+    v over ALL rows of the partition with t in [t_row - x, t_row] — unlike a
+    ROWS frame, ties on t are peer rows and the whole peer group is always
+    included (SQL RANGE semantics).
+
+    Per partition after one key-hash shuffle: sort by (part, t), per-group
+    cumulative sums, then two searchsorted probes per group give every row's
+    frame bounds — O(n log n) per group, vectorized, no per-row loop."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(part_keys + [time_col], kind="mergesort").reset_index(drop=True)
+        t = df[time_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = df[val_col].to_numpy()
+        cum = np.concatenate([[0], np.cumsum(v)])
+        # contiguous group slices after the sort
+        gid = df.groupby(part_keys, sort=False).ngroup().to_numpy()
+        starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+        ends = np.r_[starts[1:], len(gid)]
+        out = np.empty(len(gid), dtype=v.dtype)
+        for s, e in zip(starts, ends):
+            ts = t[s:e]
+            lo = np.searchsorted(ts, ts - preceding_us, side="left")
+            hi = np.searchsorted(ts, ts, side="right")
+            out[s:e] = cum[s + hi] - cum[s + lo]
+        df[out_col] = out
+        return df
+
+    return hash_partition_apply(ds, part_keys, fn, n_partitions=n_partitions)
+
+
+def group_quantile_cont(
+    ds: rd.Dataset,
+    group_keys: list[str],
+    val_col: str,
+    qs: dict[str, float],
+    n_partitions: int = 16,
+) -> rd.Dataset:
+    """Per-group CONTINUOUS (interpolated) quantiles, SQL ``quantile_cont``:
+    linear interpolation at 0-based position (n-1)*q of the sorted group.
+
+    Same combiner shape as :func:`group_quantile_disc` ((group, value) →
+    count partials; raw rows never shuffle). Exact float parity with the
+    DuckDB oracle holds when values are integers and q is a dyadic rational
+    (0.25/0.5/0.75): every product and difference is then exact in float64,
+    so ``lo + (hi - lo) * frac`` is bit-identical across engines."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_keys + [val_col], as_index=False, sort=False).size()
+        return g.rename(columns={"size": "__n"})
+
+    partials = ds.select_columns(group_keys + [val_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, g in df.groupby(group_keys, sort=False):
+            h = g.groupby(val_col, as_index=False, sort=False)["__n"].sum().sort_values(val_col)
+            v = h[val_col].to_numpy(dtype=np.float64)
+            cum = np.cumsum(h["__n"].to_numpy(dtype=np.int64))
+            n = int(cum[-1])
+            rec = list(key if isinstance(key, tuple) else (key,))
+            for _, q in qs.items():
+                pos = (n - 1) * q
+                lo_i, frac = int(np.floor(pos)), pos - np.floor(pos)
+                lo = v[int(np.searchsorted(cum, lo_i, side="right"))]
+                hi = v[int(np.searchsorted(cum, min(lo_i + 1, n - 1), side="right"))]
+                rec.append(lo + (hi - lo) * frac)
+            rows.append(rec)
+        return pd.DataFrame(rows, columns=group_keys + list(qs))
+
+    return hash_partition_apply(partials, group_keys, final, n_partitions=n_partitions)

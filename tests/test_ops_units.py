@@ -562,3 +562,82 @@ def test_window_and_agg_ops_random_frames_vs_duckdb():
         e = exp.sort_values(k).reset_index(drop=True)
         assert len(m) == len(e)
         assert (m.sv.to_numpy() == e.sv.to_numpy()).all() and (m.n.to_numpy() == e.n.to_numpy()).all()
+
+
+def test_pivot_stringagg_rangewindow_quantilecont_vs_duckdb():
+    """Seeded-random cross-check for the round-2 additions: PIVOT sum,
+    ordered STRING_AGG, time-RANGE window sum (with deliberate timestamp
+    ties → peer rows), and continuous quantiles — all vs DuckDB on the
+    same frame."""
+    import duckdb
+
+    import ray.data as rd
+    from pubcrawl import relops
+
+    for seed in (2, 9):
+        rng = np.random.default_rng(seed)
+        n = 500
+        # coarse integer seconds → many exact timestamp ties within groups
+        secs = rng.integers(0, 60, n) * 10
+        df = pd.DataFrame({
+            "g": rng.choice(["x", "y", "z"], n, p=[0.5, 0.3, 0.2]),
+            "cat": rng.choice(["A", "B", "C"], n),
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.integers(-30, 70, n).astype(np.int64),
+            "ts": pd.to_datetime("2001-01-01") + pd.to_timedelta(secs, unit="s"),
+        })
+        ds = rd.from_pandas(df).repartition(4)
+        con = duckdb.connect()
+        con.register("t", df)
+
+        # PIVOT sum with a category that may be absent from some batches
+        got = relops.pivot_sum(ds, "g", "cat", "v", ["A", "B", "C", "ZZZ"]).to_pandas()
+        exp = con.execute(
+            "SELECT g, "
+            "CAST(COALESCE(SUM(CASE WHEN cat='A' THEN v END), 0) AS BIGINT) AS A, "
+            "CAST(COALESCE(SUM(CASE WHEN cat='B' THEN v END), 0) AS BIGINT) AS B, "
+            "CAST(COALESCE(SUM(CASE WHEN cat='C' THEN v END), 0) AS BIGINT) AS C, "
+            "CAST(0 AS BIGINT) AS ZZZ FROM t GROUP BY g"
+        ).fetchdf()
+        m = got.sort_values("g").reset_index(drop=True)[["g", "A", "B", "C", "ZZZ"]]
+        pd.testing.assert_frame_equal(m, exp.sort_values("g").reset_index(drop=True))
+
+        # ordered STRING_AGG (id is the unique tiebreak and the value)
+        got = relops.string_agg_ordered(
+            ds, ["g", "cat"], "id", ["id"], sep="|", out_col="ids"
+        ).to_pandas()
+        exp = con.execute(
+            "SELECT g, cat, STRING_AGG(CAST(id AS VARCHAR), '|' ORDER BY id) AS ids "
+            "FROM t GROUP BY g, cat"
+        ).fetchdf()
+        k = ["g", "cat"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(k).reset_index(drop=True),
+            exp.sort_values(k).reset_index(drop=True),
+        )
+
+        # time-RANGE window sum, 100 s trailing — peers (tied ts) included
+        got = relops.window_range_sum(
+            ds, ["g"], "ts", "v", preceding_us=100 * 1_000_000, out_col="rs"
+        ).to_pandas()
+        exp = con.execute(
+            "SELECT id, CAST(SUM(v) OVER (PARTITION BY g ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 100 SECONDS PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS rs FROM t"
+        ).fetchdf()
+        m = got.sort_values("id").reset_index(drop=True)
+        e = exp.sort_values("id").reset_index(drop=True)
+        assert (m.rs.to_numpy() == e.rs.to_numpy()).all()
+
+        # continuous quantiles (dyadic q over ints → exact float64 parity)
+        got = relops.group_quantile_cont(
+            ds, ["g"], "v", {"q25": 0.25, "q50": 0.5, "q75": 0.75}
+        ).to_pandas()
+        exp = con.execute(
+            "SELECT g, quantile_cont(v, 0.25) AS q25, quantile_cont(v, 0.5) AS q50, "
+            "quantile_cont(v, 0.75) AS q75 FROM t GROUP BY g"
+        ).fetchdf()
+        m = got.sort_values("g").reset_index(drop=True)
+        e = exp.sort_values("g").reset_index(drop=True)
+        for c in ("q25", "q50", "q75"):
+            assert (m[c].to_numpy() == e[c].to_numpy()).all(), c
