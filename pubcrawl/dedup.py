@@ -371,6 +371,49 @@ def simhash64(text: str) -> int:
     return int(out)
 
 
+def simhash_batch(texts, _cache: dict = {}) -> np.ndarray:
+    """Batch-vectorized :func:`simhash64` (bit-identical; asserted in tests).
+
+    One pass: per-doc tokenization feeds a flat (doc_idx, word) stream;
+    word→xxh64 goes through the shared per-worker memo (corpus vocabulary is
+    Zipfian, so most lookups hit); the 64 sign accumulators for ALL docs are
+    computed as one unpackbits + reduceat over contiguous doc segments — no
+    per-doc numpy calls, no per-unique-word scalar hashing."""
+    n_docs = len(texts)
+    if n_docs == 0:
+        return np.zeros(0, dtype=np.uint64)
+    flat: list[int] = []
+    bounds = np.empty(n_docs + 1, dtype=np.int64)
+    bounds[0] = 0
+    for d, t in enumerate(texts):
+        for w in _WORD.findall(t.lower()):
+            v = _cache.get(w)
+            if v is None:
+                if len(_cache) > 1_000_000:
+                    _cache.clear()  # bound per-worker memo
+                v = _cache[w] = xxh64(w)
+            flat.append(v)
+        bounds[d + 1] = len(flat)
+    if not flat:
+        return np.zeros(n_docs, dtype=np.uint64)
+    h = np.array(flat, dtype=np.uint64)
+    # (occurrences × 64) sign matrix, LSB-first to match (h >> j) & 1
+    bits = np.unpackbits(h.view(np.uint8).reshape(len(h), 8),
+                         axis=1, bitorder="little").astype(np.int16)
+    signs = bits * 2 - 1
+    # per-doc segment sums; empty segments (no tokens) reduce to the next
+    # row under reduceat, so zero them explicitly afterwards
+    starts = bounds[:-1]
+    nonempty = bounds[1:] > starts
+    acc = np.zeros((n_docs, 64), dtype=np.int64)
+    if nonempty.any():
+        acc[nonempty] = np.add.reduceat(
+            signs, np.minimum(starts[nonempty], len(h) - 1), axis=0
+        )
+    out_bits = (acc > 0).astype(np.uint8)
+    return np.packbits(out_bits, axis=1, bitorder="little").view(np.uint64)[:, 0]
+
+
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit popcount (numpy<2 has no bitwise_count): view the
     uint64 array as bytes, unpack to bits, sum per original element."""
@@ -432,14 +475,29 @@ def hamming_pairs(
     )
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # one lexsort replaces the per-bucket pandas groupby/drop_duplicates/
+        # sort_values round-trips: buckets become contiguous numpy slices
+        band_a = df["band"].to_numpy()
+        bh_a = df["bh"].to_numpy()
+        id_a = df[id_col].to_numpy()
+        h_a = df["__h"].to_numpy()
+        order = np.lexsort((id_a, bh_a, band_a))
+        band_a, bh_a, id_a, h_a = band_a[order], bh_a[order], id_a[order], h_a[order]
+        # drop duplicate (band, bh, id) rows (a doc appears once per band here,
+        # but upstream unions may repeat); then find bucket boundaries
+        new = np.r_[True, (band_a[1:] != band_a[:-1]) | (bh_a[1:] != bh_a[:-1])
+                    | (id_a[1:] != id_a[:-1])]
+        band_a, bh_a, id_a, h_a = band_a[new], bh_a[new], id_a[new], h_a[new]
+        starts = np.flatnonzero(np.r_[True, (band_a[1:] != band_a[:-1])
+                                      | (bh_a[1:] != bh_a[:-1])])
+        ends = np.r_[starts[1:], len(band_a)]
         out = []
-        for _, g in df.groupby(["band", "bh"], sort=False):
-            u = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-            m = len(u)
+        for s0, e0 in zip(starts, ends):
+            m = e0 - s0
             if m < 2:
                 continue
-            ids = u[id_col].to_numpy()
-            hs = u["__h"].to_numpy().view(np.uint64)
+            ids = id_a[s0:e0]
+            hs = h_a[s0:e0].view(np.uint64)
             # row-chunked upper triangle keeps peak memory ~CH×m even for
             # pathological buckets (e.g. many byte-identical images)
             ch = 1024
@@ -477,9 +535,7 @@ def simhash_pairs(
         return pd.DataFrame(
             {
                 id_col: df[id_col],
-                "sh": np.array([simhash64(t) for t in df[text_col]], dtype=np.uint64).view(
-                    np.int64
-                ),
+                "sh": simhash_batch(list(df[text_col])).view(np.int64),
             }
         )
 

@@ -1489,3 +1489,281 @@ def qc_price_quartiles(sf_dir: str):
     return relops.group_quantile_cont(
         ds, ["l_returnflag"], "price_e2", {"q25": 0.25, "q50": 0.5, "q75": 0.75}
     )
+
+
+# ====================================================== SET OPS over distincts
+
+
+@query(
+    "set_buyers_and_clickers",
+    sql="SELECT DISTINCT user_id FROM events WHERE event_type='purchase' "
+    "INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type='click'",
+)
+def set_buyers_and_clickers(sf_dir: str):
+    """INTERSECT: users who both purchased and clicked
+    (relops.set_op_distinct — per-batch distinct combiner, one key-hash
+    shuffle of distinct tuples only)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    buy = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
+                         batch_format="pyarrow")
+    clk = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "click")),
+                         batch_format="pyarrow")
+    return relops.set_op_distinct(buy, clk, ["user_id"], op="intersect")
+
+
+@query(
+    "set_viewers_never_buy",
+    sql="SELECT DISTINCT user_id FROM events WHERE event_type='view' "
+    "EXCEPT SELECT DISTINCT user_id FROM events "
+    "WHERE event_type='purchase' AND CAST(ROUND(value*100) AS BIGINT) >= 45000",
+)
+def set_viewers_never_buy(sf_dir: str):
+    """EXCEPT: viewers with no big (≥450.00) purchase (same co-partitioned
+    plan, left-minus-right per partition; the value threshold keeps the
+    result set non-trivial — every user views at this corpus density)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    ev = relops.with_columns(ev, {"value_e2": relops.money_to_units("value")})
+    view = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "view")),
+                          batch_format="pyarrow")
+    buy = ev.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["event_type"], "purchase"),
+                                   pc.greater_equal(t["value_e2"], 45000))),
+        batch_format="pyarrow",
+    )
+    return relops.set_op_distinct(view, buy, ["user_id"], op="except")
+
+
+# ============================================= FIRST_VALUE / LAST_VALUE frame
+
+
+@query(
+    "fl_purchase_span",
+    sql="SELECT DISTINCT user_id, "
+    "FIRST_VALUE(CAST(ROUND(value*100) AS BIGINT)) OVER w AS first_e2, "
+    "LAST_VALUE(CAST(ROUND(value*100) AS BIGINT)) OVER w AS last_e2 "
+    "FROM events WHERE event_type='purchase' "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+)
+def fl_purchase_span(sf_dir: str):
+    """FIRST_VALUE/LAST_VALUE over the full partition frame, collapsed to one
+    row per user: first and last purchase amount by (ts, event_id) order
+    (relops.group_first_last — ≤2 candidate rows per group per block shuffle)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id", "value"])
+    ds = ds.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
+                        batch_format="pyarrow")
+    ds = relops.with_columns(ds, {"value_e2": relops.money_to_units("value")})
+    return relops.group_first_last(
+        ds, ["user_id"], ["ts", "event_id"], "value_e2",
+        first_col="first_e2", last_col="last_e2",
+    )
+
+
+# ============================================== tie-aware window rank family
+
+
+@query(
+    "wrk_order_price_ranks",
+    sql="SELECT o_orderkey, o_orderpriority, "
+    "CAST(RANK() OVER w AS BIGINT) AS rnk, "
+    "CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk, "
+    "PERCENT_RANK() OVER w AS pct_rank, "
+    "CUME_DIST() OVER w AS cume_dist "
+    "FROM orders WINDOW w AS (PARTITION BY o_orderpriority "
+    "ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC)",
+)
+def wrk_order_price_ranks(sf_dir: str):
+    """RANK / DENSE_RANK / PERCENT_RANK / CUME_DIST per priority class by
+    price, descending — ties share ranks exactly as SQL defines them; the
+    fractional ranks are single float64 divisions of the same exact integers
+    DuckDB divides (relops.window_ranks)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    ds = relops.with_columns(ds, {"price_e2": relops.money_to_units("o_totalprice")})
+    out = relops.window_ranks(ds, ["o_orderpriority"], "price_e2", ascending=False)
+    return out.map_batches(
+        lambda df: df[["o_orderkey", "o_orderpriority", "rnk", "drnk", "pct_rank", "cume_dist"]],
+        batch_format="pandas", batch_size=None,
+    )
+
+
+# ======================================================== ordered funnel
+
+
+@query(
+    "funnel_view_click_purchase",
+    sql="WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events "
+    "WHERE event_type='view' GROUP BY 1), "
+    "s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+    "JOIN s1 ON e.user_id=s1.user_id AND e.ts > s1.t "
+    "WHERE e.event_type='click' GROUP BY 1), "
+    "s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+    "JOIN s2 ON e.user_id=s2.user_id AND e.ts > s2.t "
+    "WHERE e.event_type='purchase' GROUP BY 1) "
+    "SELECT s1.user_id, CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3 "
+    "WHEN s2.user_id IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS funnel_depth "
+    "FROM s1 LEFT JOIN s2 ON s1.user_id=s2.user_id "
+    "LEFT JOIN s3 ON s1.user_id=s3.user_id",
+)
+def funnel_view_click_purchase(sf_dir: str):
+    """First-touch ordered funnel view→click→purchase with strictly
+    increasing timestamps (relops.funnel_stages — one shuffle co-locates a
+    user's events; the stage advance is |stages| vectorized merge passes)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    return relops.funnel_stages(
+        ds, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+    )
+
+
+# ================================================= exact integer variance
+
+
+@query(
+    "var_event_value",
+    sql="SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(COUNT(*)*SUM(v*v) - SUM(v)*SUM(v) AS BIGINT) AS var_num FROM ("
+    "SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS v FROM events"
+    ") GROUP BY event_type",
+)
+def var_event_value(sf_dir: str):
+    """Per-type variance in exact integer arithmetic: var_num = n·Σx²−(Σx)²
+    (var_samp = var_num / (n·(n−1))). The (n, Σx, Σx²) triples are the only
+    thing the shuffle moves (relops.group_var_exact)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    ds = relops.with_columns(ds, {"value_e2": relops.money_to_units("value")})
+    return relops.group_var_exact(ds, ["event_type"], "value_e2")
+
+
+# ====================================== TPC-H composition flagships (Q3/Q10)
+
+
+@query(
+    "q3_shipping_priority",
+    sql="SELECT l_orderkey, "
+    f"CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_e4, "
+    "o_orderdate, o_orderpriority "
+    "FROM customer, orders, lineitem "
+    "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+    "AND l_orderkey = o_orderkey "
+    "AND o_orderdate < TIMESTAMP '1999-06-01' "
+    "AND l_shipdate > TIMESTAMP '1999-06-01' "
+    "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10",
+)
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 analogue end-to-end: segment semi-join (broadcast key set) →
+    date-pruned orders ⋈ lineitem large-large hash join on orderkey →
+    combiner revenue aggregate → global top-10 with deterministic tiebreak.
+    The composition flagship: every stage is the scale-path operator
+    (nothing driver-side until the 10-row result)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow",
+    ).to_pandas()["c_custkey"]
+    cut = pa.scalar(pd.Timestamp("1999-06-01"), pa.timestamp("us"))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+    orders = orders.map_batches(lambda t: t.filter(pc.less(t["o_orderdate"], cut)),
+                                batch_format="pyarrow")
+    orders = relops.semi_join_broadcast(orders, keys, "o_custkey")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    li = li.map_batches(lambda t: t.filter(pc.greater(t["l_shipdate"], cut)),
+                        batch_format="pyarrow")
+    li = li.map_batches(
+        lambda t: pa.table({"o_orderkey": t["l_orderkey"], "revenue_e4": _revenue_e4(t)}),
+        batch_format="pyarrow",
+    )
+    joined = relops.hash_join(
+        orders, li, on="o_orderkey",
+        left_cols=["o_orderdate", "o_orderpriority"], right_cols=["revenue_e4"],
+    )
+    agg = relops.preagg_group_sum(
+        joined, ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        sum_cols={"revenue_e4": "revenue_e4"},
+    )
+    out = relops.topk(agg, [("revenue_e4", True), ("o_orderkey", False)], 10)
+    return out.map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"})[
+            ["l_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority"]],
+        batch_format="pandas", batch_size=None,
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    sql="SELECT c_custkey, n_name, "
+    f"CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_e4 "
+    "FROM customer, nation, orders, lineitem "
+    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND c_nationkey = n_nationkey AND l_returnflag = 'R' "
+    "AND o_orderdate >= TIMESTAMP '1999-01-01' "
+    "AND o_orderdate < TIMESTAMP '1999-07-01' "
+    "GROUP BY c_custkey, n_name "
+    "ORDER BY revenue_e4 DESC, c_custkey LIMIT 20",
+)
+def q10_returned_revenue(sf_dir: str):
+    """TPC-H Q10 analogue: returned-item revenue per customer with nation
+    name. Orders(date-pruned) ⋈ lineitem(R-flag) large-large hash join →
+    per-custkey combiner aggregate → hash join against customer (both sides
+    large at the target scale) → nation broadcast (25 rows) → top-20."""
+    lo = pa.scalar(pd.Timestamp("1999-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1999-07-01"), pa.timestamp("us"))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                                   pc.less(t["o_orderdate"], hi))).select(
+            ["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda t: (lambda f: pa.table(
+            {"o_orderkey": f["l_orderkey"], "revenue_e4": _revenue_e4(f)}
+        ))(t.filter(pc.equal(t["l_returnflag"], "R"))),
+        batch_format="pyarrow",
+    )
+    joined = relops.hash_join(
+        orders, li, on="o_orderkey", left_cols=["o_custkey"], right_cols=["revenue_e4"]
+    )
+    per_cust = relops.preagg_group_sum(
+        joined.map_batches(lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
+                           batch_format="pandas"),
+        ["c_custkey"], sum_cols={"revenue_e4": "revenue_e4"},
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    withnat = relops.hash_join(
+        per_cust, cust, on="c_custkey",
+        left_cols=["revenue_e4"], right_cols=["c_nationkey"],
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nation = nation.rename(columns={"n_nationkey": "c_nationkey"})
+    withnat = relops.broadcast_join(withnat, nation, on="c_nationkey")
+    out = relops.topk(withnat, [("revenue_e4", True), ("c_custkey", False)], 20)
+    return out.map_batches(
+        lambda df: df[["c_custkey", "n_name", "revenue_e4"]],
+        batch_format="pandas", batch_size=None,
+    )
+
+
+@query("image_phash_clusters")  # phash pairs → distributed CC → rows-only
+def image_phash_clusters(sf_dir: str):
+    """Image near-dup CLUSTERS, completing the phash path end-to-end: the
+    same procedural image table and banded-Hamming pair generation as
+    dedup_phash_images, then distributed connected components
+    (dedup.min_label_propagation — explicit hash-shuffle rounds, no driver
+    union-find) and a keep-one-representative flag per involved image
+    (cluster = min member id; representative keeps). Planted near-dups
+    (every 10th image re-encoded brightness-shifted as id+1e6) make the
+    expected clusters exactly the (i, i+1e6) pairs plus any true phash
+    collisions, asserted against a brute-force oracle in tests."""
+    from . import dedup
+
+    pairs = dedup_phash_images(sf_dir)
+    if not len(pairs):
+        return pd.DataFrame({"image_id": [], "cluster": [], "keep": []})
+    cc = dedup.min_label_propagation(pairs, id_a="id_a", id_b="id_b")
+    cc = cc.rename(columns={"id": "image_id"})
+    cc["keep"] = cc["image_id"] == cc["cluster"]
+    return cc.sort_values("image_id").reset_index(drop=True).astype(
+        {"image_id": "int64", "cluster": "int64"}
+    )

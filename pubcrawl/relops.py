@@ -186,8 +186,10 @@ def hash_partition_apply(
     kept = [r for r, n in zip(out_refs, counts) if n > 0]
     if not kept:
         # preserve schema: run fn on an empty frame of the input schema
+        # (from_arrow keeps the column schema on the Dataset; note Ray's
+        # Dataset.to_pandas() still renders a 0-row dataset column-less)
         empty = fn(ds.limit(1).to_pandas().iloc[0:0])
-        return rd.from_pandas(empty)
+        return rd.from_arrow(pa.Table.from_pandas(empty, preserve_index=False))
     return rd.from_arrow_refs(kept)
 
 
@@ -1088,3 +1090,196 @@ def group_quantile_cont(
         return pd.DataFrame(rows, columns=group_keys + list(qs))
 
     return hash_partition_apply(partials, group_keys, final, n_partitions=n_partitions)
+
+
+def set_op_distinct(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    keys: list[str],
+    op: str = "intersect",
+    n_partitions: int = 16,
+) -> rd.Dataset:
+    """SQL set operations over DISTINCT key tuples: ``INTERSECT`` /
+    ``EXCEPT`` (left minus right).
+
+    Plan: both sides project to the key columns, pre-distinct per batch
+    (the combiner — duplicate-heavy inputs shrink before the shuffle), tag
+    ``__side``, union, then ONE key-hash shuffle co-locates equal tuples;
+    each partition set-operates locally (pandas merge on distincts). Only
+    distinct key tuples ever move."""
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be intersect|except, got {op!r}")
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[keys].drop_duplicates()
+            out["__side"] = np.int8(side)
+            return out
+
+        return fn
+
+    lt = left.select_columns(keys).map_batches(tag(0), batch_format="pandas", batch_size=None)
+    rt = right.select_columns(keys).map_batches(tag(1), batch_format="pandas", batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0][keys].drop_duplicates()
+        r = df[df["__side"] == 1][keys].drop_duplicates()
+        if op == "intersect":
+            return l.merge(r, on=keys, how="inner")
+        return l.merge(r, on=keys, how="left", indicator=True).query(
+            "_merge == 'left_only'"
+        )[keys]
+
+    return hash_partition_apply(lt.union(rt), keys, merge, n_partitions=n_partitions)
+
+
+def group_first_last(
+    ds: rd.Dataset,
+    keys: list[str],
+    order_cols: list[str],
+    val_col: str,
+    first_col: str = "first_val",
+    last_col: str = "last_val",
+    n_partitions: int = 16,
+) -> rd.Dataset:
+    """Per-group FIRST_VALUE / LAST_VALUE over the full partition frame (SQL
+    ``FIRST_VALUE(v) OVER (PARTITION BY k ORDER BY o ROWS BETWEEN UNBOUNDED
+    PRECEDING AND UNBOUNDED FOLLOWING)``), collapsed to one row per group.
+
+    ``order_cols`` must be a total order within each group (include a unique
+    tiebreak) — that is what makes the answer deterministic across engines.
+    Combiner shape: each batch keeps only its per-group first and last
+    candidate rows (≤ 2 rows per group per block move), the merge re-sorts
+    candidates and picks the global first/last."""
+    cols = list(dict.fromkeys(keys + order_cols + [val_col]))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[cols].sort_values(keys + order_cols, kind="mergesort")
+        g = d.groupby(keys, sort=False)
+        return pd.concat([g.head(1), g.tail(1)], ignore_index=True)
+
+    cand = ds.select_columns(cols).map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(keys + order_cols, kind="mergesort")
+        g = d.groupby(keys, sort=False)
+        out = g.head(1)[keys].reset_index(drop=True)
+        out[first_col] = g.head(1)[val_col].to_numpy()
+        out[last_col] = g.tail(1)[val_col].to_numpy()
+        return out
+
+    return hash_partition_apply(cand, keys, final, n_partitions=n_partitions)
+
+
+def window_ranks(
+    ds: rd.Dataset,
+    part_keys: list[str],
+    order_col: str,
+    ascending: bool = True,
+    n_partitions: int = 16,
+) -> rd.Dataset:
+    """Tie-aware SQL window ranks in one co-partitioned pass: RANK (min),
+    DENSE_RANK, PERCENT_RANK = (rank-1)/(n-1), CUME_DIST = max_rank/n.
+
+    Float parity note: both fractional ranks are emitted as the single
+    float64 division of two small exact integers — the same operands DuckDB
+    divides — so the results are bit-identical across engines."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(part_keys, sort=False)[order_col]
+        rmin = g.rank(method="min", ascending=ascending)
+        df = df.copy()
+        df["rnk"] = rmin.astype(np.int64)
+        df["drnk"] = g.rank(method="dense", ascending=ascending).astype(np.int64)
+        n = g.transform("size").to_numpy(dtype=np.float64)
+        df["pct_rank"] = np.where(n > 1, (df["rnk"].to_numpy() - 1) / (n - 1), 0.0)
+        df["cume_dist"] = g.rank(method="max", ascending=ascending).to_numpy() / n
+        return df
+
+    return hash_partition_apply(ds, part_keys, fn, n_partitions=n_partitions)
+
+
+def funnel_stages(
+    ds: rd.Dataset,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    stages: list[str],
+    out_col: str = "funnel_depth",
+    n_partitions: int = 16,
+) -> rd.Dataset:
+    """Ordered-funnel depth per user: how many of ``stages`` the user
+    completed with STRICTLY increasing timestamps (stage i+1 counts only if
+    some event of that type happens after the user's EARLIEST completion of
+    stage i — the standard first-touch funnel).
+
+    One key-hash shuffle co-locates each user's events; within a partition
+    the per-stage advance is vectorized (filter by type, merge the previous
+    frontier, ts > prev, group-min) — |stages| passes over partition-local
+    frames, no per-user loop. Users who never hit stage 1 are absent from
+    the output (depth 0)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        cur = (
+            df.loc[df[type_col] == stages[0], [user_col, ts_col]]
+            .groupby(user_col, sort=False)[ts_col]
+            .min()
+        )
+        depth = pd.Series(np.int64(1), index=cur.index)
+        for s in stages[1:]:
+            ev = df.loc[df[type_col] == s, [user_col, ts_col]].merge(
+                cur.rename("__prev"), left_on=user_col, right_index=True
+            )
+            ev = ev[ev[ts_col] > ev["__prev"]]
+            if not len(ev):
+                break
+            cur = ev.groupby(user_col, sort=False)[ts_col].min()
+            depth.loc[cur.index] += 1
+        out = depth.rename(out_col).reset_index()
+        out.columns = [user_col, out_col]
+        return out
+
+    cols = [user_col, type_col, ts_col]
+    return hash_partition_apply(
+        ds.select_columns(cols), [user_col], fn, n_partitions=n_partitions
+    )
+
+
+def group_var_exact(
+    ds: rd.Dataset,
+    keys: list[str],
+    val_col: str,
+    n_partitions: int = 8,
+) -> rd.Dataset:
+    """Per-group variance in EXACT integer arithmetic: emits ``n`` and the
+    sample-variance numerator ``var_num = n*Σx² − (Σx)²`` (so
+    var_samp = var_num / (n·(n−1))) — integer in, integer out, making the
+    cross-engine check exact rather than float-formula-dependent.
+
+    Combiner shape: per-batch (n, Σx, Σx²) per group; only those triples
+    shuffle. Overflow bound: needs n·Σx² < 2^63 — fine for |x| ≤ 10^5 and
+    groups ≤ ~10^8 rows; beyond that, widen the partials to float128/HUGEINT
+    or pre-center x by a per-group pivot."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[val_col].to_numpy(dtype=np.int64)
+        d = pd.DataFrame({k: df[k] for k in keys})
+        d["__n"] = np.int64(1)
+        d["__sx"] = x
+        d["__sxx"] = x * x
+        return d.groupby(keys, as_index=False, sort=False).sum()
+
+    partials = ds.select_columns(keys + [val_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, as_index=False, sort=False)[["__n", "__sx", "__sxx"]].sum()
+        n = g["__n"].to_numpy(dtype=np.int64)
+        sx = g["__sx"].to_numpy(dtype=np.int64)
+        out = g[keys].copy()
+        out["n"] = n
+        out["var_num"] = n * g["__sxx"].to_numpy(dtype=np.int64) - sx * sx
+        return out
+
+    return hash_partition_apply(partials, keys, final, n_partitions=n_partitions)

@@ -641,3 +641,143 @@ def test_pivot_stringagg_rangewindow_quantilecont_vs_duckdb():
         e = exp.sort_values("g").reset_index(drop=True)
         for c in ("q25", "q50", "q75"):
             assert (m[c].to_numpy() == e[c].to_numpy()).all(), c
+
+
+def test_setops_firstlast_ranks_funnel_var_vs_duckdb():
+    """Seeded-random cross-check for the round-2 batch-2 additions: set ops
+    (INTERSECT/EXCEPT over distincts), FIRST/LAST_VALUE collapse, the window
+    rank family (with deliberate value ties), ordered funnel depth, and the
+    exact-integer variance numerator — all vs DuckDB on the same frame."""
+    import duckdb
+
+    import ray.data as rd
+    from pubcrawl import relops
+
+    for seed in (3, 11):
+        rng = np.random.default_rng(seed)
+        n = 600
+        df = pd.DataFrame({
+            "u": rng.integers(0, 40, n).astype(np.int64),
+            "typ": rng.choice(["view", "click", "purchase", "other"], n,
+                              p=[0.4, 0.25, 0.15, 0.2]),
+            "id": np.arange(n, dtype=np.int64),
+            # coarse values → guaranteed rank ties
+            "v": (rng.integers(0, 12, n) * 5).astype(np.int64),
+            "ts": pd.to_datetime("2002-03-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n), unit="s"),
+        })
+        ds = rd.from_pandas(df).repartition(5)
+        con = duckdb.connect()
+        con.register("t", df)
+
+        # INTERSECT / EXCEPT over distinct keys
+        a = ds.map_batches(lambda d: d[d["typ"] == "view"], batch_format="pandas")
+        b = ds.map_batches(lambda d: d[d["typ"] == "purchase"], batch_format="pandas")
+        for op, kw in (("intersect", "INTERSECT"), ("except", "EXCEPT")):
+            got = relops.set_op_distinct(a, b, ["u"], op=op).to_pandas()
+            exp = con.execute(
+                f"SELECT DISTINCT u FROM t WHERE typ='view' {kw} "
+                "SELECT DISTINCT u FROM t WHERE typ='purchase'"
+            ).fetchdf()
+            assert sorted(got["u"]) == sorted(exp["u"]), op
+
+        # FIRST_VALUE / LAST_VALUE collapse (ts ties broken by id)
+        got = relops.group_first_last(
+            ds, ["u"], ["ts", "id"], "v", first_col="f", last_col="l"
+        ).to_pandas()
+        exp = con.execute(
+            "SELECT DISTINCT u, FIRST_VALUE(v) OVER w AS f, LAST_VALUE(v) OVER w AS l "
+            "FROM t WINDOW w AS (PARTITION BY u ORDER BY ts, id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        ).fetchdf()
+        m = got.sort_values("u").reset_index(drop=True)
+        e = exp.sort_values("u").reset_index(drop=True)
+        assert (m.f.to_numpy() == e.f.to_numpy()).all()
+        assert (m.l.to_numpy() == e.l.to_numpy()).all()
+
+        # rank family, descending with ties
+        got = relops.window_ranks(ds, ["typ"], "v", ascending=False).to_pandas()
+        exp = con.execute(
+            "SELECT id, CAST(RANK() OVER w AS BIGINT) AS rnk, "
+            "CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk, "
+            "PERCENT_RANK() OVER w AS pct_rank, CUME_DIST() OVER w AS cume_dist "
+            "FROM t WINDOW w AS (PARTITION BY typ ORDER BY v DESC)"
+        ).fetchdf()
+        m = got.sort_values("id").reset_index(drop=True)
+        e = exp.sort_values("id").reset_index(drop=True)
+        for c in ("rnk", "drnk", "pct_rank", "cume_dist"):
+            assert (m[c].to_numpy() == e[c].to_numpy()).all(), c
+
+        # ordered funnel depth (strict ts increase)
+        got = relops.funnel_stages(
+            ds, "u", "typ", "ts", ["view", "click", "purchase"], out_col="d"
+        ).to_pandas()
+        exp = con.execute(
+            "WITH s1 AS (SELECT u, MIN(ts) t FROM t WHERE typ='view' GROUP BY 1), "
+            "s2 AS (SELECT e.u, MIN(e.ts) t FROM t e JOIN s1 ON e.u=s1.u "
+            "AND e.ts > s1.t WHERE e.typ='click' GROUP BY 1), "
+            "s3 AS (SELECT e.u, MIN(e.ts) t FROM t e JOIN s2 ON e.u=s2.u "
+            "AND e.ts > s2.t WHERE e.typ='purchase' GROUP BY 1) "
+            "SELECT s1.u, CAST(CASE WHEN s3.u IS NOT NULL THEN 3 "
+            "WHEN s2.u IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS d "
+            "FROM s1 LEFT JOIN s2 ON s1.u=s2.u LEFT JOIN s3 ON s1.u=s3.u"
+        ).fetchdf()
+        m = got.sort_values("u").reset_index(drop=True)
+        e = exp.sort_values("u").reset_index(drop=True)
+        assert len(m) == len(e) and (m.d.to_numpy() == e.d.to_numpy()).all()
+
+        # exact integer variance numerator
+        got = relops.group_var_exact(ds, ["typ"], "v").to_pandas()
+        exp = con.execute(
+            "SELECT typ, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(*)*SUM(v*v) - SUM(v)*SUM(v) AS BIGINT) AS var_num "
+            "FROM t GROUP BY typ"
+        ).fetchdf()
+        m = got.sort_values("typ").reset_index(drop=True)
+        e = exp.sort_values("typ").reset_index(drop=True)
+        assert (m.n.to_numpy() == e.n.to_numpy()).all()
+        assert (m.var_num.to_numpy() == e.var_num.to_numpy()).all()
+
+
+def test_image_phash_clusters_match_bruteforce():
+    """The cluster query's min-label-propagation output equals a brute-force
+    union-find over the same verified pair list."""
+    from pubcrawl.queries import QUERIES
+
+    pairs = QUERIES["dedup_phash_images"]("/root/testdata/sf0.001")
+    clusters = QUERIES["image_phash_clusters"]("/root/testdata/sf0.001")
+    assert len(pairs) > 0 and len(clusters) > 0
+    # brute-force union-find
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-member labels
+    exp = {i: find(i) for i in parent}
+    # min-label relabel: find gives root, root is min because unions attach max→min
+    got = dict(zip(clusters["image_id"].astype(int), clusters["cluster"].astype(int)))
+    assert got == exp
+    # representative keeps
+    assert (clusters["keep"] == (clusters["image_id"] == clusters["cluster"])).all()
+
+
+def test_simhash_batch_matches_scalar():
+    """simhash_batch is bit-identical to the scalar simhash64 reference,
+    including empty docs, single-word docs, and repeated-word weighting."""
+    from pubcrawl.dedup import simhash64, simhash_batch
+
+    rng = np.random.default_rng(7)
+    vocab = ["scan", "filter", "join", "window", "stream", "agg", "the", "of"]
+    texts = ["", "scan", "scan scan scan filter", "  ", "UPPER case MiXeD"]
+    texts += [" ".join(rng.choice(vocab, rng.integers(1, 40))) for _ in range(60)]
+    got = simhash_batch(texts)
+    exp = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+    assert (got == exp).all()
