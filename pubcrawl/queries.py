@@ -1767,3 +1767,59 @@ def image_phash_clusters(sf_dir: str):
     return cc.sort_values("image_id").reset_index(drop=True).astype(
         {"image_id": "int64", "cluster": "int64"}
     )
+
+
+# ===================================================== bag-semantics set ops
+
+
+@query(
+    "setall_view_purchase",
+    sql="SELECT user_id FROM events WHERE event_type='view' "
+    "INTERSECT ALL SELECT user_id FROM events WHERE event_type='purchase'",
+)
+def setall_view_purchase(sf_dir: str):
+    """INTERSECT ALL (bag semantics): per user, min(#views, #purchases)
+    copies survive (relops.set_op_bag — per-batch (key,count) combiner, one
+    row per key per block shuffles, np.repeat replication at the merge)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    view = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "view")),
+                          batch_format="pyarrow")
+    buy = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
+                         batch_format="pyarrow")
+    return relops.set_op_bag(view, buy, ["user_id"], op="intersect_all")
+
+
+@query(
+    "setall_clicks_minus_errors",
+    sql="SELECT user_id FROM events WHERE event_type='click' "
+    "EXCEPT ALL SELECT user_id FROM events WHERE event_type='error'",
+)
+def setall_clicks_minus_errors(sf_dir: str):
+    """EXCEPT ALL: per user, max(#clicks − #errors, 0) copies survive."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    clk = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "click")),
+                         batch_format="pyarrow")
+    err = ev.map_batches(lambda t: t.filter(pc.equal(t["event_type"], "error")),
+                         batch_format="pyarrow")
+    return relops.set_op_bag(clk, err, ["user_id"], op="except_all")
+
+
+# ============================================ bottom-k hash quantile sketch
+
+
+@query("bkq_value_quantiles")  # approximate sketch (±O(1/sqrt(k))) → rows-only
+def bkq_value_quantiles(sf_dir: str):
+    """Approximate per-type value quantiles via the deterministic bottom-k
+    hash sample (sketch.bottomk_group_quantiles) — the 100-TB quantile path
+    when even the (group,value) histogram domain is too big to shuffle: only
+    ≤k (hash,value) pairs per group per block move. Deterministic for a
+    given k regardless of partitioning (asserted in tests); accuracy vs the
+    exact quantiles is also test-asserted."""
+    from . import sketch
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+    ds = relops.with_columns(ds, {"value_e2": relops.money_to_units("value")})
+    return sketch.bottomk_group_quantiles(
+        ds, ["event_type"], "value_e2", "event_id",
+        {"p10": 0.1, "p50": 0.5, "p90": 0.9}, k=2048,
+    )

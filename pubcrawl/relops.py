@@ -1283,3 +1283,44 @@ def group_var_exact(
         return out
 
     return hash_partition_apply(partials, keys, final, n_partitions=n_partitions)
+
+
+def set_op_bag(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    keys: list[str],
+    op: str = "intersect_all",
+    n_partitions: int = 16,
+) -> rd.Dataset:
+    """Bag-semantics set operations (SQL ``INTERSECT ALL`` / ``EXCEPT ALL``):
+    output multiplicity per key tuple is ``min(l, r)`` / ``max(l - r, 0)``.
+
+    Combiner shape: each side reduces per batch to (key, count) partials, so
+    the shuffle moves one row per key per block, never raw rows; the
+    per-partition merge sums counts per side and replicates the key rows to
+    the final multiplicity with ``np.repeat``."""
+    if op not in ("intersect_all", "except_all"):
+        raise ValueError(f"op must be intersect_all|except_all, got {op!r}")
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby(keys, as_index=False, sort=False).size()
+            out = out.rename(columns={"size": "__n"})
+            out["__side"] = np.int8(side)
+            return out
+
+        return fn
+
+    lt = left.select_columns(keys).map_batches(tag(0), batch_format="pandas", batch_size=None)
+    rt = right.select_columns(keys).map_batches(tag(1), batch_format="pandas", batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.pivot_table(index=keys, columns="__side", values="__n",
+                           aggfunc="sum", fill_value=0)
+        l = g[0].to_numpy(dtype=np.int64) if 0 in g.columns else np.zeros(len(g), np.int64)
+        r = g[1].to_numpy(dtype=np.int64) if 1 in g.columns else np.zeros(len(g), np.int64)
+        mult = np.minimum(l, r) if op == "intersect_all" else np.maximum(l - r, 0)
+        out = g.reset_index()[keys]
+        return out.loc[np.repeat(out.index.to_numpy(), mult)].reset_index(drop=True)
+
+    return hash_partition_apply(lt.union(rt), keys, merge, n_partitions=n_partitions)

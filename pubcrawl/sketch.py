@@ -115,3 +115,60 @@ def hll_group_distinct(
         return out_df
 
     return relops.hash_partition_apply(partials, group_keys, final, n_partitions=n_partitions)
+
+
+# ------------------------------------------- bottom-k hash quantile sketch
+
+
+def bottomk_group_quantiles(
+    ds,
+    group_keys: list[str],
+    val_col: str,
+    key_col: str,
+    qs: dict[str, float],
+    k: int = 2048,
+    n_partitions: int = 8,
+):
+    """Approximate per-group quantiles via a DETERMINISTIC bottom-k hash
+    sample — the quantile counterpart of :func:`hll_group_distinct` for the
+    case where even the (group, value) histogram domain is too big to
+    shuffle.
+
+    Sketch = the k rows whose ``xxh64(key_col)`` is smallest within the
+    group: a uniform random-but-deterministic sample (the hash is the random
+    tape), mergeable by "keep the k smallest of the union", hence
+    order- and partitioning-independent — rerunning with different block
+    sizes gives bit-identical output. Error is the usual sampling bound
+    O(sqrt(q(1-q)/k)) on the rank. Per-batch partials carry ≤ k
+    (hash, value) pairs per group; the merge keeps the global bottom-k and
+    reads quantiles off the sorted sample at rank round((m-1)·q).
+    """
+    from .hashing import xxh64_many
+    from . import relops
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = xxh64_many([str(v) for v in df[key_col]]).view(np.int64)
+        d = pd.DataFrame({k_: df[k_] for k_ in group_keys})
+        d["__h"] = h
+        d["__v"] = df[val_col].to_numpy()
+        d = d.sort_values("__h", kind="mergesort")
+        return d.groupby(group_keys, sort=False).head(k)
+
+    partials = ds.select_columns(group_keys + [val_col, key_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values("__h", kind="mergesort")
+        d = d.groupby(group_keys, sort=False).head(k)
+        rows = []
+        for key, g in d.groupby(group_keys, sort=False):
+            v = np.sort(g["__v"].to_numpy())
+            m = len(v)
+            rec = list(key if isinstance(key, tuple) else (key,))
+            for _, q in qs.items():
+                rec.append(v[int(round((m - 1) * q))])
+            rows.append(rec)
+        return pd.DataFrame(rows, columns=group_keys + list(qs))
+
+    return relops.hash_partition_apply(partials, group_keys, final, n_partitions=n_partitions)

@@ -781,3 +781,59 @@ def test_simhash_batch_matches_scalar():
     got = simhash_batch(texts)
     exp = np.array([simhash64(t) for t in texts], dtype=np.uint64)
     assert (got == exp).all()
+
+
+def test_bag_setops_and_bottomk_quantiles():
+    """INTERSECT ALL / EXCEPT ALL multiplicities vs DuckDB; bottom-k hash
+    quantile sketch: partitioning-independence (bit-identical across block
+    layouts) and rank-accuracy vs exact quantiles."""
+    import duckdb
+
+    import ray.data as rd
+    from pubcrawl import relops, sketch
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    df = pd.DataFrame({
+        "u": rng.integers(0, 25, n).astype(np.int64),
+        "typ": rng.choice(["a", "b"], n),
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.integers(0, 10_000, n).astype(np.int64),
+    })
+    con = duckdb.connect()
+    con.register("t", df)
+    ds = rd.from_pandas(df).repartition(6)
+    a = ds.map_batches(lambda d: d[d["typ"] == "a"], batch_format="pandas")
+    b = ds.map_batches(lambda d: d[d["typ"] == "b"], batch_format="pandas")
+    for op, kw in (("intersect_all", "INTERSECT ALL"), ("except_all", "EXCEPT ALL")):
+        got = relops.set_op_bag(a, b, ["u"], op=op).to_pandas()
+        exp = con.execute(
+            f"SELECT u FROM t WHERE typ='a' {kw} SELECT u FROM t WHERE typ='b'"
+        ).fetchdf()
+        assert sorted(got["u"]) == sorted(exp["u"]), op
+
+    # sketch determinism across partitionings + exactness when k >= group size
+    qs = {"p10": 0.1, "p50": 0.5, "p90": 0.9}
+    outs = []
+    for parts in (2, 9):
+        got = sketch.bottomk_group_quantiles(
+            rd.from_pandas(df).repartition(parts), ["typ"], "v", "id", qs, k=256
+        ).to_pandas().sort_values("typ").reset_index(drop=True)
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # accuracy: sampled rank error within ~4/sqrt(k) quantile units
+    exact = df.groupby("typ")["v"].quantile([0.1, 0.5, 0.9]).unstack()
+    tol = 4 / np.sqrt(256)  # rank-space tolerance
+    for _, row in outs[0].iterrows():
+        grp = df[df["typ"] == row["typ"]]["v"].sort_values().to_numpy()
+        for name, q in qs.items():
+            # position of the sketch answer in the exact distribution
+            r = np.searchsorted(grp, row[name]) / len(grp)
+            assert abs(r - q) < tol, (row["typ"], name, r, q)
+    # exact when the sample holds the whole group
+    got = sketch.bottomk_group_quantiles(
+        rd.from_pandas(df).repartition(4), ["typ"], "v", "id", {"p50": 0.5}, k=10_000
+    ).to_pandas()
+    for _, row in got.iterrows():
+        grp = np.sort(df[df["typ"] == row["typ"]]["v"].to_numpy())
+        assert row["p50"] == grp[int(round((len(grp) - 1) * 0.5))]
