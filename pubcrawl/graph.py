@@ -1,0 +1,211 @@
+"""Distributed graph operators over edge-list Datasets.
+
+The web-scale counterpart of the crawl engine's link discovery: once a crawl
+has produced a link graph, ranking / degree analytics over it are wide
+operations that must be expressed as explicit key-hash shuffles — the same
+machinery as relops.hash_partition_apply and dedup.min_label_propagation.
+
+PageRank here is textbook power iteration (Page et al. 1999), shaped for Ray
+Data:
+
+- graph state ((id, rank, deg)) and edges are co-partitioned by key-hash per
+  iteration — 2 shuffle waves/iteration, no driver-side tables;
+- the driver only ever holds two scalars: N (node count, once) and the
+  dangling-mass sum (one float per iteration, via a tiny partial-sum
+  aggregate) — the same driver contract as min_label_propagation's fixpoint
+  probe;
+- float determinism: for a FIXED partitioning the reduction order is fixed,
+  so reruns are bit-identical; across different partitionings results agree
+  to float tolerance (asserted vs a dense numpy oracle in tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from . import relops
+
+
+def _scalar_sum(ds: rd.Dataset, col: str) -> float:
+    """Sum one numeric column to a driver scalar via per-block partials."""
+    part = ds.map_batches(
+        lambda df: pd.DataFrame({"s": [float(df[col].sum())]}),
+        batch_format="pandas", batch_size=None,
+    ).to_pandas()
+    return float(part["s"].sum()) if len(part) else 0.0
+
+
+def node_table(edges: rd.Dataset, src: str = "src", dst: str = "dst") -> rd.Dataset:
+    """Distinct node ids appearing at either end of any edge."""
+    both = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"id": np.concatenate([df[src].to_numpy(), df[dst].to_numpy()])}
+        ),
+        batch_format="pandas", batch_size=None,
+    )
+    return relops.distinct(both, ["id"])
+
+
+def pagerank(
+    edges: rd.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+    n_partitions: int = 16,
+) -> rd.Dataset:
+    """PageRank over an integer-id edge list → Dataset of (id, rank).
+
+    Update per iteration (handling dangling nodes by spreading their mass
+    uniformly, the standard correction):
+
+        rank'(v) = (1-d)/N + d·(dangling/N + Σ_{u→v} rank(u)/deg(u))
+
+    Plan per iteration: (1) dangling = Σ rank over deg==0 nodes (per-block
+    partial sums, ONE float to the driver); (2) contributions: edges and
+    state co-partition by src — each partition emits (dst, rank/deg)
+    messages; (3) new state: messages and state co-partition by id — each
+    partition sums incoming messages and applies the base term, carrying deg
+    forward. Multi-edges each carry a contribution (multigraph semantics,
+    matching the dense oracle in tests)."""
+    state = _init_state(edges, src, dst, n_partitions)
+    n_nodes = state.count()
+    base_nodes = float(n_nodes) if n_nodes else 1.0
+
+    # initial rank 1/N
+    state = state.map_batches(
+        lambda df: df.assign(rank=np.float64(1.0 / base_nodes)),
+        batch_format="pandas", batch_size=None,
+    ).materialize()
+
+    e = edges.map_batches(
+        lambda df: pd.DataFrame({"__k": df[src], "__dst": df[dst], "__side": np.int8(0)}),
+        batch_format="pandas", batch_size=None,
+    ).materialize()  # edges are reused every iteration
+
+    for _ in range(iters):
+        dangling = _scalar_sum(
+            state.map_batches(
+                lambda df: df[df["deg"] == 0][["rank"]], batch_format="pandas",
+                batch_size=None,
+            ),
+            "rank",
+        )
+        base = (1.0 - damping) / base_nodes + damping * dangling / base_nodes
+
+        s_tag = state.map_batches(
+            lambda df: pd.DataFrame(
+                {"__k": df["id"], "rank": df["rank"], "deg": df["deg"],
+                 "__side": np.int8(1)}
+            ),
+            batch_format="pandas", batch_size=None,
+        )
+
+        def contribs(df: pd.DataFrame) -> pd.DataFrame:
+            # a partition may hold only one side's rows (concat unions
+            # columns, so the other side's columns are then absent)
+            if "__dst" not in df.columns or "rank" not in df.columns:
+                return pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                                     "msg": pd.Series([], dtype="float64")})
+            ed = df[df["__side"] == 0][["__k", "__dst"]]
+            st = df[df["__side"] == 1][["__k", "rank", "deg"]]
+            st = st[st["deg"] > 0]
+            m = ed.merge(st, on="__k", how="inner")
+            if not len(m):
+                return pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                                     "msg": pd.Series([], dtype="float64")})
+            # concat over mixed-side pieces NaN-promotes __dst to float64;
+            # restore int64 so the next shuffle's buckets line up
+            return pd.DataFrame(
+                {"id": m["__dst"].to_numpy().astype(np.int64),
+                 "msg": m["rank"].to_numpy() / m["deg"].to_numpy()}
+            )
+
+        msgs = relops.hash_partition_apply(
+            e.union(s_tag), ["__k"], contribs, n_partitions=n_partitions
+        )
+
+        m_tag = msgs.map_batches(
+            lambda df: df.assign(__side=np.int8(0)) if "id" in df.columns
+            else pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                               "msg": pd.Series([], dtype="float64"),
+                               "__side": pd.Series([], dtype="int8")}),
+            batch_format="pandas", batch_size=None,
+        )
+        st_tag = state.map_batches(
+            lambda df: df[["id", "deg"]].assign(__side=np.int8(1)),
+            batch_format="pandas", batch_size=None,
+        )
+
+        def apply_rank(df: pd.DataFrame) -> pd.DataFrame:
+            # every message id is a node id, so a partition with messages
+            # always has its state rows too; the reverse may not hold
+            st = df[df["__side"] == 1][["id", "deg"]]
+            mm = df[df["__side"] == 0] if "msg" in df.columns else df.iloc[0:0]
+            if len(mm):
+                # deterministic reduction: sum message values in id order
+                mm = mm.sort_values(["id", "msg"], kind="mergesort")
+                acc = mm.groupby("id", sort=False)["msg"].sum()
+                s = st.merge(acc.rename("in_msg"), left_on="id",
+                             right_index=True, how="left")
+            else:
+                s = st.assign(in_msg=np.nan)
+            s["rank"] = base + damping * s["in_msg"].fillna(0.0).to_numpy()
+            return s[["id", "deg", "rank"]].astype({"deg": "int64"})
+
+        state = relops.hash_partition_apply(
+            m_tag.union(st_tag), ["id"], apply_rank, n_partitions=n_partitions
+        ).materialize()
+
+    return state.map_batches(
+        lambda df: df[["id", "rank"]], batch_format="pandas", batch_size=None
+    )
+
+
+def _init_state(
+    edges: rd.Dataset, src: str, dst: str, n_partitions: int
+) -> rd.Dataset:
+    """(id, deg) for every node: out-degree per src, 0 for pure sinks —
+    combiner partials per batch, one key-hash shuffle."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"id": np.concatenate([df[src].to_numpy(), df[dst].to_numpy()]),
+             "deg": np.concatenate(
+                 [np.ones(len(df), dtype=np.int64), np.zeros(len(df), dtype=np.int64)]
+             )}
+        )
+        return d.groupby("id", as_index=False, sort=False).sum()
+
+    partials = edges.map_batches(partial, batch_format="pandas", batch_size=None)
+    return relops.hash_partition_apply(
+        partials,
+        ["id"],
+        lambda df: df.groupby("id", as_index=False, sort=False)["deg"].sum(),
+        n_partitions=n_partitions,
+    )
+
+
+def pagerank_dense_oracle(
+    edges_df: pd.DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> pd.DataFrame:
+    """Sequential dense-numpy reference for tests: identical update rule."""
+    ids = np.unique(np.concatenate([edges_df[src].to_numpy(), edges_df[dst].to_numpy()]))
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    si = edges_df[src].map(idx).to_numpy()
+    di = edges_df[dst].map(idx).to_numpy()
+    deg = np.bincount(si, minlength=n).astype(np.float64)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[deg == 0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, di, r[si] / deg[si])
+        r = (1 - damping) / n + damping * (dangling / n + contrib)
+    return pd.DataFrame({"id": ids, "rank": r})

@@ -1823,3 +1823,48 @@ def bkq_value_quantiles(sf_dir: str):
         ds, ["event_type"], "value_e2", "event_id",
         {"p10": 0.1, "p50": 0.5, "p90": 0.9}, k=2048,
     )
+
+
+# ================================================ distributed graph ranking
+
+
+@query("pagerank_synth_links")  # float power iteration → rows-only
+def pagerank_synth_links(sf_dir: str):
+    """PageRank over the synthetic web's link graph (graph.pagerank):
+    edge list built distributed from the deterministic link generator (one
+    map_batches over (host, page) pairs — index→index chains, index→detail
+    fan-out, cross-host links, detail pages as dangling sinks), node ids =
+    xxh64(url). Per iteration: 2 co-partitioned shuffles, one scalar
+    (dangling mass) to the driver — verified against a dense numpy power
+    iteration in tests. Returns the top-20 pages by rank."""
+    from . import graph
+    from .hashing import xxh64_many
+    from .synthweb import WebConfig, index_links
+
+    cfg = WebConfig(seed=31, n_hosts=32, pages_per_host=4, links_per_page=8,
+                    details_per_host=64)
+
+    pairs = [{"h": h, "p": p} for h in range(cfg.n_hosts)
+             for p in range(cfg.pages_per_host)]
+
+    def edges_of(df: pd.DataFrame) -> pd.DataFrame:
+        srcs, dsts = [], []
+        for h, p in zip(df["h"], df["p"]):
+            src = f"synth://{cfg.host(int(h))}/index/{int(p)}"
+            for target in index_links(cfg, int(h), int(p)):
+                srcs.append(src)
+                dsts.append(target)
+        return pd.DataFrame(
+            {"src": xxh64_many(srcs).view(np.int64),
+             "dst": xxh64_many(dsts).view(np.int64)}
+        )
+
+    edges = rd.from_items(pairs).map_batches(edges_of, batch_format="pandas",
+                                             batch_size=16)
+    ranks = graph.pagerank(edges, damping=0.85, iters=8, n_partitions=8)
+    top = relops.topk(ranks.map_batches(
+        lambda df: df.assign(rank_e12=(df["rank"] * 1e12).round().astype("int64")),
+        batch_format="pandas", batch_size=None,
+    ), [("rank_e12", True), ("id", False)], 20)
+    return top.map_batches(lambda df: df[["id", "rank_e12"]],
+                           batch_format="pandas", batch_size=None)

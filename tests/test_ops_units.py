@@ -837,3 +837,31 @@ def test_bag_setops_and_bottomk_quantiles():
     for _, row in got.iterrows():
         grp = np.sort(df[df["typ"] == row["typ"]]["v"].to_numpy())
         assert row["p50"] == grp[int(round((len(grp) - 1) * 0.5))]
+
+
+def test_pagerank_matches_dense_oracle():
+    """Distributed PageRank (co-partitioned message passing) equals the
+    sequential dense power iteration on random multigraphs with sinks, to
+    float tolerance, across different block layouts."""
+    import ray.data as rd
+    from pubcrawl import graph
+
+    for seed, layouts in ((5, (3, 7)), (21, (4,))):
+        rng = np.random.default_rng(seed)
+        n_nodes, n_edges = 60, 400
+        edges = pd.DataFrame({
+            "src": rng.integers(0, n_nodes, n_edges).astype(np.int64),
+            "dst": rng.integers(0, n_nodes + 10, n_edges).astype(np.int64),
+        })  # dst beyond src range → guaranteed sink (dangling) nodes
+        exp = graph.pagerank_dense_oracle(edges, damping=0.85, iters=8)
+        for parts in layouts:
+            got = graph.pagerank(
+                rd.from_pandas(edges).repartition(parts), damping=0.85, iters=8,
+                n_partitions=4,
+            ).to_pandas().sort_values("id").reset_index(drop=True)
+            e = exp.sort_values("id").reset_index(drop=True)
+            assert len(got) == len(e)
+            assert (got["id"].to_numpy() == e["id"].to_numpy()).all()
+            assert np.allclose(got["rank"], e["rank"], rtol=1e-9, atol=1e-12)
+        # ranks form a probability distribution
+        assert abs(exp["rank"].sum() - 1.0) < 1e-9
