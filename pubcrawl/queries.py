@@ -1868,3 +1868,26 @@ def pagerank_synth_links(sf_dir: str):
     ), [("rank_e12", True), ("id", False)], 20)
     return top.map_batches(lambda df: df[["id", "rank_e12"]],
                            batch_format="pandas", batch_size=None)
+
+
+# =========================================== Misra-Gries exact heavy hitters
+
+
+@query(
+    "mg_heavy_words",
+    sql="SELECT word, COUNT(*) AS n FROM ("
+    "  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents"
+    f") WHERE length(word) >= 3 AND word NOT IN ({_STOP_SQL}) "
+    "GROUP BY word ORDER BY n DESC, word ASC LIMIT 20",
+)
+def mg_heavy_words(sf_dir: str):
+    """Exact top-20 corpus words WITHOUT the full-vocabulary shuffle —
+    Misra-Gries sketch candidates + exact broadcast recount
+    (sketch.mg_topk_exact; same answer as the g6 combiner plan, different
+    scale contract: ≤k_counters rows per block move even when the token
+    domain itself is too big to shuffle)."""
+    from . import sketch
+
+    ds = _read(sf_dir, "documents", ["text"])
+    words = relops.tokenize_column(ds, "text", frozenset(EN_STOP))
+    return sketch.mg_topk_exact(words, "word", topn=20, k_counters=2048)

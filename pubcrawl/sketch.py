@@ -172,3 +172,64 @@ def bottomk_group_quantiles(
         return pd.DataFrame(rows, columns=group_keys + list(qs))
 
     return relops.hash_partition_apply(partials, group_keys, final, n_partitions=n_partitions)
+
+
+# ------------------------------------------- Misra-Gries heavy hitters
+
+
+def mg_topk_exact(
+    ds,
+    col: str,
+    topn: int,
+    k_counters: int = 4096,
+    n_partitions: int = 8,
+):
+    """Exact global top-n by count WITHOUT a full-domain shuffle: Misra-Gries
+    candidate generation + an exact recount of candidates only.
+
+    Pass 1: each batch's exact value counts are MG-compressed to ≤
+    ``k_counters`` counters (subtract the (k+1)-th largest count, drop ≤0);
+    for any value v the summed sketch satisfies
+    ``true(v) - n/k ≤ sketch(v) ≤ true(v)``. With T = the topn-th largest
+    sketch count, every true top-n value v has ``sketch(v) + n/k ≥ true(v)
+    ≥ T`` (since sketch ≤ true makes T ≤ the topn-th true count), so the
+    candidate set ``{v : sketch(v) + n/k ≥ T}`` PROVABLY contains the true
+    top-n — unconditionally; skew only affects the candidate-set size, never
+    correctness. Pass 2 broadcast-semi-joins the candidates and recounts
+    them exactly (combiner aggregate), so the returned counts are exact.
+
+    Shuffle volume: ≤ k_counters rows per block in pass 1, candidate rows
+    only in pass 2 — the domain (e.g. a 10^9-token vocabulary) never moves.
+    """
+    from . import relops
+
+    def compress(df: pd.DataFrame) -> pd.DataFrame:
+        vals, cnts = np.unique(df[col].to_numpy(), return_counts=True)
+        if len(vals) > k_counters:
+            thresh = np.partition(cnts, -k_counters - 1)[-k_counters - 1]
+            keep = cnts > thresh
+            vals, cnts = vals[keep], cnts[keep] - thresh
+        return pd.DataFrame({col: vals, "__c": cnts.astype(np.int64)})
+
+    partials = ds.select_columns([col]).map_batches(
+        compress, batch_format="pandas", batch_size=None
+    )
+    sketchd = relops.hash_partition_apply(
+        partials,
+        [col],
+        lambda df: df.groupby(col, as_index=False, sort=False)["__c"].sum(),
+        n_partitions=n_partitions,
+    )
+    n_rows = ds.count()
+    slack = n_rows // k_counters + 1
+    top_sketch = relops.topk(sketchd, [("__c", True), (col, False)], topn).to_pandas()
+    t_bound = int(top_sketch["__c"].min()) if len(top_sketch) else 0
+    cand = sketchd.map_batches(
+        lambda df: df[df["__c"] + slack >= t_bound][[col]],
+        batch_format="pandas", batch_size=None,
+    ).to_pandas()[col]  # candidate list — driver-small by the MG bound
+    recount = relops.preagg_group_sum(
+        relops.semi_join_broadcast(ds.select_columns([col]), cand, col),
+        [col], count_as="n", n_partitions=n_partitions,
+    )
+    return relops.topk(recount, [("n", True), (col, False)], topn)

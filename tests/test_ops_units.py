@@ -865,3 +865,32 @@ def test_pagerank_matches_dense_oracle():
             assert np.allclose(got["rank"], e["rank"], rtol=1e-9, atol=1e-12)
         # ranks form a probability distribution
         assert abs(exp["rank"].sum() - 1.0) < 1e-9
+
+
+def test_mg_topk_exact_under_heavy_compression():
+    """Misra-Gries top-n stays EXACT even when k_counters is far below the
+    value domain (compression fires in every batch) — the unconditional
+    candidate-superset guarantee, vs a pandas ground truth, on a Zipfian
+    value distribution with tie-heavy tails."""
+    import ray.data as rd
+    from pubcrawl import sketch
+
+    rng = np.random.default_rng(17)
+    # Zipf-ish: value v appears ~ C/v times; plus uniform noise tail
+    vals = np.concatenate([
+        np.repeat(np.arange(1, 200, dtype=np.int64),
+                  (4000 / np.arange(1, 200)).astype(np.int64)),
+        rng.integers(200, 5000, 8000).astype(np.int64),
+    ])
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": vals})
+    exp = (
+        df.groupby("v", as_index=False).size().rename(columns={"size": "n"})
+        .sort_values(["n", "v"], ascending=[False, True]).head(15).reset_index(drop=True)
+    )
+    for k in (64, 256):  # both far below the ~5000-value domain
+        got = sketch.mg_topk_exact(
+            rd.from_pandas(df).repartition(7), "v", topn=15, k_counters=k
+        ).to_pandas().reset_index(drop=True)
+        assert (got["v"].to_numpy() == exp["v"].to_numpy()).all(), k
+        assert (got["n"].to_numpy() == exp["n"].to_numpy()).all(), k
