@@ -1891,3 +1891,59 @@ def mg_heavy_words(sf_dir: str):
     ds = _read(sf_dir, "documents", ["text"])
     words = relops.tokenize_column(ds, "text", frozenset(EN_STOP))
     return sketch.mg_topk_exact(words, "word", topn=20, k_counters=2048)
+
+
+# ===================================================== cohort retention
+
+
+@query(
+    "cohort_retention",
+    sql="WITH su AS (SELECT user_id, MIN(ts) AS s FROM events "
+    "WHERE event_type='signup' GROUP BY 1), "
+    "act AS (SELECT DISTINCT e.user_id, date_trunc('week', su.s) AS cw, "
+    "CAST(date_diff('week', date_trunc('week', su.s), "
+    "date_trunc('week', e.ts)) AS BIGINT) AS wk "
+    "FROM events e JOIN su ON e.user_id = su.user_id WHERE e.ts >= su.s) "
+    "SELECT cw AS cohort_week, wk AS week_offset, "
+    "CAST(COUNT(*) AS BIGINT) AS n_users FROM act GROUP BY 1, 2",
+)
+def cohort_retention(sf_dir: str):
+    """Cohort retention triangle: users grouped by signup week (Monday
+    start, = DuckDB date_trunc('week')), counted as active in each later
+    week they have any event. Composition: per-user first-signup (≤2
+    candidate rows/group/block combiner) → events ⋈ signup hash join (both
+    sides large at scale) → per-batch week bucketing (integer day floor
+    against a Monday epoch) → distinct (user, cohort, week) → combiner
+    count."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    signup = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "signup")).select(["user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    su = relops.group_first_last(signup, ["user_id"], ["ts"], "ts",
+                                 first_col="s", last_col="__l")
+    su = su.map_batches(lambda df: df[["user_id", "s"]], batch_format="pandas",
+                        batch_size=None)
+    joined = relops.hash_join(
+        ev.map_batches(lambda df: df[["user_id", "ts"]], batch_format="pandas"),
+        su, on="user_id", left_cols=["ts"], right_cols=["s"],
+    )
+
+    base = pd.Timestamp("1995-01-02")  # a Monday (DuckDB weeks start Monday)
+
+    def weeks(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["ts"] >= df["s"]]
+        wk_e = ((d["ts"] - base).dt.days // 7).to_numpy()
+        wk_s = ((d["s"] - base).dt.days // 7).to_numpy()
+        return pd.DataFrame({
+            "user_id": d["user_id"].to_numpy(),
+            "cohort_week": base + pd.to_timedelta(wk_s * 7, unit="D"),
+            "week_offset": (wk_e - wk_s).astype(np.int64),
+        })
+
+    act = relops.distinct(
+        joined.map_batches(weeks, batch_format="pandas", batch_size=None),
+        ["user_id", "cohort_week", "week_offset"],
+    )
+    return relops.preagg_group_sum(act, ["cohort_week", "week_offset"],
+                                   count_as="n_users")
