@@ -1947,3 +1947,47 @@ def cohort_retention(sf_dir: str):
     )
     return relops.preagg_group_sum(act, ["cohort_week", "week_offset"],
                                    count_as="n_users")
+
+
+# ============================================== MODE + gaps-and-islands
+
+
+@query(
+    "mode_lang_by_source",
+    sql="SELECT source, lang AS mode_lang FROM documents GROUP BY source, lang "
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY source "
+    "ORDER BY COUNT(*) DESC, lang) = 1",
+)
+def mode_lang_by_source(sf_dir: str):
+    """Per-source modal language, deterministic tiebreak (relops.group_mode —
+    (key,value,count) combiner, domain-bounded shuffle)."""
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    return relops.group_mode(ds, ["source"], "lang", out_col="mode_lang")
+
+
+@query(
+    "streak_active_days",
+    sql="WITH d AS (SELECT DISTINCT user_id, "
+    "date_diff('day', DATE '1995-01-01', CAST(date_trunc('day', ts) AS DATE)) "
+    "AS day FROM events), "
+    "g AS (SELECT user_id, day, day - ROW_NUMBER() OVER "
+    "(PARTITION BY user_id ORDER BY day) AS grp FROM d), "
+    "runs AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2) "
+    "SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak "
+    "FROM runs GROUP BY user_id",
+)
+def streak_active_days(sf_dir: str):
+    """Longest consecutive-active-day streak per user (gaps-and-islands,
+    relops.group_max_streak): per-batch-distinct (user, day) pairs shuffle
+    once; islands resolve in one vectorized pass per partition."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_days(df: pd.DataFrame) -> pd.DataFrame:
+        base = pd.Timestamp("1995-01-01")
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "day": ((df["ts"] - base).dt.days).to_numpy().astype(np.int64),
+        })
+
+    days = ds.map_batches(to_days, batch_format="pandas", batch_size=None)
+    return relops.group_max_streak(days, "user_id", "day")

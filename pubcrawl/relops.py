@@ -1324,3 +1324,64 @@ def set_op_bag(
         return out.loc[np.repeat(out.index.to_numpy(), mult)].reset_index(drop=True)
 
     return hash_partition_apply(lt.union(rt), keys, merge, n_partitions=n_partitions)
+
+
+def group_mode(
+    ds: rd.Dataset,
+    keys: list[str],
+    val_col: str,
+    out_col: str = "mode",
+    n_partitions: int = 8,
+) -> rd.Dataset:
+    """Per-group MODE with a deterministic tiebreak (highest count, then
+    smallest value): (key, value, count) combiner partials — the shuffle is
+    bounded by the distinct (key, value) domain — then one argmax per key."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys + [val_col], as_index=False, sort=False).size()
+        return g.rename(columns={"size": "__n"})
+
+    partials = ds.select_columns(keys + [val_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys + [val_col], as_index=False, sort=False)["__n"].sum()
+        g = g.sort_values(keys + ["__n", val_col],
+                          ascending=[True] * len(keys) + [False, True],
+                          kind="mergesort")
+        out = g.groupby(keys, sort=False).head(1)[keys + [val_col]]
+        return out.rename(columns={val_col: out_col}).reset_index(drop=True)
+
+    return hash_partition_apply(partials, keys, final, n_partitions=n_partitions)
+
+
+def group_max_streak(
+    ds: rd.Dataset,
+    key: str,
+    day_col: str,
+    out_col: str = "max_streak",
+    n_partitions: int = 16,
+) -> rd.Dataset:
+    """Gaps-and-islands: per key, the longest run of CONSECUTIVE integer
+    days (``day_col`` = integer day index; distinct-ify first). One key-hash
+    shuffle of per-batch-distinct (key, day) pairs, then a single vectorized
+    pass per partition: sort, island boundaries where the day step ≠ 1 or
+    the key changes, run lengths via boundary-index differences."""
+
+    pre = ds.select_columns([key, day_col]).map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas", batch_size=None
+    )
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates().sort_values([key, day_col], kind="mergesort")
+        k = d[key].to_numpy()
+        day = d[day_col].to_numpy()
+        new_island = np.r_[True, (k[1:] != k[:-1]) | (day[1:] != day[:-1] + 1)]
+        starts = np.flatnonzero(new_island)
+        lengths = np.diff(np.r_[starts, len(d)])
+        island_key = k[starts]
+        out = pd.DataFrame({key: island_key, out_col: lengths.astype(np.int64)})
+        return out.groupby(key, as_index=False, sort=False)[out_col].max()
+
+    return hash_partition_apply(pre, [key], fn, n_partitions=n_partitions)

@@ -894,3 +894,46 @@ def test_mg_topk_exact_under_heavy_compression():
         ).to_pandas().reset_index(drop=True)
         assert (got["v"].to_numpy() == exp["v"].to_numpy()).all(), k
         assert (got["n"].to_numpy() == exp["n"].to_numpy()).all(), k
+
+
+def test_mode_and_streaks_vs_duckdb():
+    """Seeded-random cross-check: per-group MODE (deterministic tiebreak on
+    deliberate count ties) and gaps-and-islands longest streak vs DuckDB."""
+    import duckdb
+
+    import ray.data as rd
+    from pubcrawl import relops
+
+    for seed in (4, 19):
+        rng = np.random.default_rng(seed)
+        n = 800
+        df = pd.DataFrame({
+            "g": rng.integers(0, 12, n).astype(np.int64),
+            "v": rng.integers(0, 6, n).astype(np.int64),  # few values → ties
+            "day": rng.integers(0, 40, n).astype(np.int64),
+        })
+        con = duckdb.connect()
+        con.register("t", df)
+        ds = rd.from_pandas(df).repartition(5)
+
+        got = relops.group_mode(ds, ["g"], "v", out_col="m").to_pandas()
+        exp = con.execute(
+            "SELECT g, v AS m FROM t GROUP BY g, v "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY COUNT(*) DESC, v) = 1"
+        ).fetchdf()
+        m = got.sort_values("g").reset_index(drop=True)
+        e = exp.sort_values("g").reset_index(drop=True)
+        assert (m.m.to_numpy() == e.m.to_numpy()).all()
+
+        got = relops.group_max_streak(ds, "g", "day").to_pandas()
+        exp = con.execute(
+            "WITH d AS (SELECT DISTINCT g, day FROM t), "
+            "i AS (SELECT g, day, day - ROW_NUMBER() OVER "
+            "(PARTITION BY g ORDER BY day) AS grp FROM d), "
+            "r AS (SELECT g, grp, COUNT(*) AS len FROM i GROUP BY 1,2) "
+            "SELECT g, CAST(MAX(len) AS BIGINT) AS max_streak FROM r GROUP BY g"
+        ).fetchdf()
+        m = got.sort_values("g").reset_index(drop=True)
+        e = exp.sort_values("g").reset_index(drop=True)
+        assert len(m) == len(e)
+        assert (m.max_streak.to_numpy() == e.max_streak.to_numpy()).all()
