@@ -1991,3 +1991,104 @@ def streak_active_days(sf_dir: str):
 
     days = ds.map_batches(to_days, batch_format="pandas", batch_size=None)
     return relops.group_max_streak(days, "user_id", "day")
+
+
+# ================================== quantile-threshold outliers (composition)
+
+
+@query(
+    "outliers_above_p99",
+    sql="SELECT event_id, event_type FROM ("
+    "SELECT event_id, event_type, CAST(ROUND(value*100) AS BIGINT) AS v, "
+    "quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.99) "
+    "OVER (PARTITION BY event_type) AS q FROM events) WHERE v > q",
+)
+def outliers_above_p99(sf_dir: str):
+    """Rows above their group's exact p99: group_quantile_cont (histogram
+    combiner) feeds a tiny broadcast join + vectorized filter — the
+    quantile-threshold pattern without re-shuffling the fact table."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    ds = relops.with_columns(ds, {"v": relops.money_to_units("value")})
+    q = relops.group_quantile_cont(ds, ["event_type"], "v", {"q": 0.99}).to_pandas()
+    out = relops.broadcast_join(ds, q, on="event_type")
+    return out.map_batches(
+        lambda df: df.loc[df["v"] > df["q"], ["event_id", "event_type"]],
+        batch_format="pandas", batch_size=None,
+    )
+
+
+# ========================================= CDC-style latest-row merge
+
+
+@query(
+    "cdc_latest_user_state",
+    sql="SELECT user_id, event_type AS last_type, "
+    "CAST(ROUND(value*100) AS BIGINT) AS last_value_e2 FROM events "
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id "
+    "ORDER BY ts DESC, event_id DESC) = 1 AND event_type <> 'error'",
+)
+def cdc_latest_user_state(sf_dir: str):
+    """Change-log merge: the latest event per user is its current state;
+    users whose latest change is a tombstone ('error') are deleted
+    (topk_per_group k=1 by (ts, event_id) desc — ≤1 candidate per group per
+    block shuffles — then a vectorized tombstone filter)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type", "value"])
+    ds = relops.with_columns(ds, {"last_value_e2": relops.money_to_units("value")})
+    latest = relops.topk_per_group(
+        ds, ["user_id"], [("ts", True), ("event_id", True)], 1
+    )
+    return latest.map_batches(
+        lambda df: df.loc[df["event_type"] != "error",
+                          ["user_id", "event_type", "last_value_e2"]]
+        .rename(columns={"event_type": "last_type"}),
+        batch_format="pandas", batch_size=None,
+    )
+
+
+# ================================== bloom-prefiltered large-large join
+
+
+@query(
+    "bloom_order_revenue",
+    sql="SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) "
+    "AS price_e2, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem "
+    "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1999-01-01' "
+    "AND o_orderdate < TIMESTAMP '1999-07-01')",
+)
+def bloom_order_revenue(sf_dir: str):
+    """Bloom-prefiltered semi join: the filtered orders keys build a
+    mergeable Bloom filter (one fixed-size blob per block to the driver, OR
+    merge — sketch.bloom_build), the lineitem side is prefiltered with NO
+    false negatives, and the exact semi join + combiner sum runs on the
+    survivors. The plan for key sets too large to broadcast exactly: the
+    Bloom blob is O(bits), the prefilter slashes the join's shuffle volume,
+    and correctness is unchanged (false positives are removed by the exact
+    join; asserted by the oracle)."""
+    from . import sketch
+
+    lo = pa.scalar(pd.Timestamp("1999-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1999-07-01"), pa.timestamp("us"))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                                   pc.less(t["o_orderdate"], hi))).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: bloom build + exact join
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    li = relops.with_columns(li, {"price_e2": relops.money_to_units("l_extendedprice")})
+    li = li.map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"})[["o_orderkey", "price_e2"]],
+        batch_format="pandas",
+    )
+    bloom = sketch.bloom_build(orders, "o_orderkey", n_bits=1 << 18)
+    pre = sketch.bloom_prefilter(li, "o_orderkey", bloom)
+    joined = relops.hash_join(pre, orders, on="o_orderkey",
+                              left_cols=["price_e2"], right_cols=[])
+    agg = joined.map_batches(
+        lambda df: pd.DataFrame({"price_e2": [df["price_e2"].sum()],
+                                 "n": [np.int64(len(df))]}),
+        batch_format="pandas", batch_size=None,
+    ).to_pandas()
+    return pd.DataFrame({"price_e2": [np.int64(agg["price_e2"].sum())],
+                         "n": [np.int64(agg["n"].sum())]})

@@ -233,3 +233,65 @@ def mg_topk_exact(
         [col], count_as="n", n_partitions=n_partitions,
     )
     return relops.topk(recount, [("n", True), (col, False)], topn)
+
+
+# --------------------------------------------------- mergeable Bloom filter
+
+
+_BLOOM_MIX = np.uint64(0xFF51AFD7ED558CCD)
+
+
+def _bloom_positions(vals: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarray:
+    """(len(vals), n_hashes) bit positions via double hashing of the int64
+    values (h1 + i·h2 scheme — standard Kirsch-Mitzenmacher)."""
+    v = vals.astype(np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = v * _BLOOM_MIX
+        h1 ^= h1 >> np.uint64(33)
+        h2 = (v ^ (v >> np.uint64(29))) * np.uint64(0xC4CEB9FE1A85EC53) | np.uint64(1)
+        idx = (h1[:, None] + np.arange(n_hashes, dtype=np.uint64)[None, :] * h2[:, None])
+    return (idx % np.uint64(n_bits)).astype(np.int64)
+
+
+def bloom_build(ds, col: str, n_bits: int = 1 << 20, n_hashes: int = 5) -> np.ndarray:
+    """Build a Bloom filter over an integer key column, distributed: each
+    batch produces its local bit array (the combiner), arrays merge by OR on
+    the driver — one fixed-size blob per block moves, never the keys. Use
+    when the key set is too large to broadcast exactly (semi_join_broadcast)
+    but a prefilter can slash a hash join's shuffle volume.
+
+    No false negatives (every inserted key probes 1s only); FP rate is the
+    standard (1 - e^{-kn/m})^k."""
+    nbytes = n_bits // 8
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        pos = _bloom_positions(df[col].to_numpy(), n_bits, n_hashes).ravel()
+        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return pd.DataFrame({"__bloom": [bits.tobytes()]})
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    merged = np.zeros(nbytes, dtype=np.uint8)
+    for b in parts["__bloom"]:
+        merged |= np.frombuffer(b, dtype=np.uint8)
+    return merged
+
+
+def bloom_prefilter(ds, col: str, bloom: np.ndarray, n_hashes: int = 5):
+    """Keep only rows whose key MIGHT be in the filter (no false negatives):
+    the bit array ships once via ray.put; membership is a vectorized gather
+    + bit test per batch."""
+    import ray
+
+    n_bits = len(bloom) * 8
+    ref = ray.put(bloom)
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        bits = ray.get(ref)
+        pos = _bloom_positions(df[col].to_numpy(), n_bits, n_hashes)
+        hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+        return df[hit.all(axis=1)]
+
+    return ds.map_batches(filt, batch_format="pandas", batch_size=None)

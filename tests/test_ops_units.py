@@ -937,3 +937,44 @@ def test_mode_and_streaks_vs_duckdb():
         e = exp.sort_values("g").reset_index(drop=True)
         assert len(m) == len(e)
         assert (m.max_streak.to_numpy() == e.max_streak.to_numpy()).all()
+
+
+def test_bloom_prefilter_no_false_negatives_and_join_equivalence():
+    """Bloom prefilter: every true key survives (no false negatives), the FP
+    rate is near the analytic bound, and hash_join after prefiltering equals
+    hash_join without it."""
+    import ray.data as rd
+    from pubcrawl import relops, sketch
+
+    rng = np.random.default_rng(23)
+    small_keys = rng.choice(100_000, 3000, replace=False).astype(np.int64)
+    small = pd.DataFrame({"k": small_keys, "rv": small_keys * 7})
+    big = pd.DataFrame({"k": rng.integers(0, 100_000, 40_000).astype(np.int64)})
+    big["lv"] = big["k"] * 3
+    small_ds = rd.from_pandas(small).repartition(3)
+    big_ds = rd.from_pandas(big).repartition(5)
+
+    bloom = sketch.bloom_build(small_ds, "k", n_bits=1 << 16, n_hashes=5)
+    pre = sketch.bloom_prefilter(big_ds, "k", bloom, n_hashes=5).to_pandas()
+
+    member = np.isin(big["k"].to_numpy(), small_keys)
+    surv = set(map(tuple, pre[["k", "lv"]].to_numpy()))
+    # no false negatives: every true-member row survives
+    true_rows = big[member]
+    assert all((k, lv) in surv for k, lv in true_rows[["k", "lv"]].to_numpy())
+    # FP rate near the analytic bound (m=65536, n=3000, k=5 → ~0.0058)
+    non_member = big[~member]
+    fp = sum((k, lv) in surv for k, lv in non_member[["k", "lv"]].to_numpy()) / len(non_member)
+    assert fp < 0.03, fp
+
+    # join equivalence
+    j_plain = relops.hash_join(big_ds, small_ds, on="k", left_cols=["lv"],
+                               right_cols=["rv"]).to_pandas()
+    j_pre = relops.hash_join(
+        sketch.bloom_prefilter(big_ds, "k", bloom), small_ds, on="k",
+        left_cols=["lv"], right_cols=["rv"],
+    ).to_pandas()
+    key = ["k", "lv", "rv"]
+    a = j_plain.sort_values(key).reset_index(drop=True)
+    b = j_pre.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
