@@ -2092,3 +2092,34 @@ def bloom_order_revenue(sf_dir: str):
     ).to_pandas()
     return pd.DataFrame({"price_e2": [np.int64(agg["price_e2"].sum())],
                          "n": [np.int64(agg["n"].sum())]})
+
+
+# ======================================= skew-safe salted large-large join
+
+
+@query(
+    "salted_segment_orders",
+    sql="SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_e2 "
+    "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+)
+def salted_segment_orders(sf_dir: str):
+    """Large-large join via the skew-safe salted plan (relops.
+    hash_join_salted): hot keys are auto-detected with the Misra-Gries
+    sketch and salted across sub-buckets, dimension rows of hot keys are
+    replicated per salt — result is exactly the unsalted join (oracle), but
+    no single merge task can melt under a hot key at the 100-TB scale."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = relops.with_columns(orders, {"price_e2": relops.money_to_units("o_totalprice")})
+    orders = orders.map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"})[["c_custkey", "price_e2"]],
+        batch_format="pandas",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = relops.hash_join_salted(
+        orders, cust, on="c_custkey", left_cols=["price_e2"],
+        right_cols=["c_mktsegment"], n_salts=4, hot_top=8,
+    )
+    return relops.preagg_group_sum(
+        joined, ["c_mktsegment"], sum_cols={"price_e2": "price_e2"}, count_as="n"
+    )

@@ -1385,3 +1385,81 @@ def group_max_streak(
         return out.groupby(key, as_index=False, sort=False)[out_col].max()
 
     return hash_partition_apply(pre, [key], fn, n_partitions=n_partitions)
+
+
+def hash_join_salted(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    hot_keys: Iterable | None = None,
+    n_salts: int = 8,
+    hot_top: int = 16,
+    n_buckets: int = 32,
+    how: str = "inner",
+) -> rd.Dataset:
+    """Skew-safe large-large join: hot join keys are SALTED so one key's rows
+    spread over ``n_salts`` sub-buckets instead of melting a single merge
+    task.
+
+    ``hot_keys`` defaults to the left side's Misra-Gries heavy hitters
+    (sketch.mg_topk_exact — exact top counts without shuffling the key
+    domain). Plan: LEFT rows with a hot key get ``salt = row_position %
+    n_salts``; RIGHT rows with a hot key are REPLICATED once per salt (the
+    standard broadcast-the-dimension-rows-of-hot-keys trick — right side is
+    assumed the smaller per hot key, e.g. dimension/lookup rows). Everything
+    else flows through the normal co-partitioned plan with salt 0. The
+    composite shuffle key is (key, salt), so result equality with the
+    unsalted join is exact (asserted in tests)."""
+    if hot_keys is None:
+        from . import sketch
+
+        hot = sketch.mg_topk_exact(
+            left.select_columns([on]), on, topn=hot_top, k_counters=4096
+        ).to_pandas()[on]
+        hot_keys = hot.tolist()
+    hot_arr = pa.array(list(hot_keys))
+    hot_ref = ray.put(hot_arr)
+    all_cols = [on, *left_cols, *right_cols]
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({on: df[on]})
+        for c in all_cols[1:]:
+            out[c] = df[c] if c in ([on] + left_cols) else None
+        is_hot = pc.is_in(pa.array(df[on].to_numpy()), value_set=ray.get(hot_ref)).to_numpy(
+            zero_copy_only=False)
+        out["__salt"] = np.where(is_hot, np.arange(len(df)) % n_salts, 0).astype(np.int64)
+        out["__side"] = np.int8(0)
+        return out
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({on: df[on]})
+        for c in all_cols[1:]:
+            out[c] = df[c] if c in ([on] + right_cols) else None
+        is_hot = pc.is_in(pa.array(df[on].to_numpy()), value_set=ray.get(hot_ref)).to_numpy(
+            zero_copy_only=False)
+        cold = out[~is_hot].assign(__salt=np.int64(0))
+        hot_rows = out[is_hot]
+        if len(hot_rows):
+            rep = hot_rows.loc[np.repeat(hot_rows.index.to_numpy(), n_salts)]
+            rep["__salt"] = np.tile(np.arange(n_salts, dtype=np.int64), len(hot_rows))
+            out = pd.concat([cold, rep], ignore_index=True)
+        else:
+            out = cold
+        out["__side"] = np.int8(1)
+        return out
+
+    lt = left.select_columns([on, *left_cols]).map_batches(
+        tag_left, batch_format="pandas", batch_size=None)
+    rt = right.select_columns([on, *right_cols]).map_batches(
+        tag_right, batch_format="pandas", batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0][[on, "__salt", *left_cols]]
+        r = df[df["__side"] == 1][[on, "__salt", *right_cols]]
+        return l.merge(r, on=[on, "__salt"], how=how).drop(columns="__salt")
+
+    return hash_partition_apply(
+        lt.union(rt), [on, "__salt"], merge, n_partitions=min(n_buckets, 16)
+    )

@@ -978,3 +978,32 @@ def test_bloom_prefilter_no_false_negatives_and_join_equivalence():
     a = j_plain.sort_values(key).reset_index(drop=True)
     b = j_pre.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_hash_join_salted_equals_plain_on_skewed_keys():
+    """Salted join == plain hash join on a heavily skewed key distribution
+    (one key holds 40% of the left side), with both explicit and
+    auto-detected (Misra-Gries) hot keys."""
+    import ray.data as rd
+    from pubcrawl import relops
+
+    rng = np.random.default_rng(29)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.4, 7, rng.integers(0, 500, n)).astype(np.int64)
+    left = pd.DataFrame({"k": keys, "lv": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 500, dtype=np.int64)})
+    right["rv"] = right["k"] * 11
+    lds = rd.from_pandas(left).repartition(6)
+    rds = rd.from_pandas(right).repartition(2)
+
+    plain = relops.hash_join(lds, rds, on="k", left_cols=["lv"],
+                             right_cols=["rv"]).to_pandas()
+    for hot in ([7], None):  # explicit, then MG auto-detect
+        salted = relops.hash_join_salted(
+            lds, rds, on="k", left_cols=["lv"], right_cols=["rv"],
+            hot_keys=hot, n_salts=4,
+        ).to_pandas()
+        cols = ["k", "lv", "rv"]
+        a = plain[cols].sort_values(cols).reset_index(drop=True)
+        b = salted[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
