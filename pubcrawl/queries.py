@@ -2123,3 +2123,66 @@ def salted_segment_orders(sf_dir: str):
     return relops.preagg_group_sum(
         joined, ["c_mktsegment"], sum_cols={"price_e2": "price_e2"}, count_as="n"
     )
+
+
+# =============================================== LEAD + profiling + centroids
+
+
+@query(
+    "w7_lead_next_event",
+    sql="SELECT event_id, user_id, "
+    "COALESCE(LEAD(event_id) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id), -1) AS next_event FROM events",
+)
+def w7_lead_next_event(sf_dir: str):
+    """Window LEAD: each event's successor id within its user's timeline
+    (relops.window_lead; sentinel keeps int64 for oracle parity)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = relops.window_lead(ds, ["user_id"], ["ts", "event_id"],
+                             {"event_id": "next_event"}, fill=-1)
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "next_event"]],
+        batch_format="pandas", batch_size=None,
+    )
+
+
+@query(
+    "profile_documents",
+    sql="SELECT 'doc_id' AS column, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls, "
+    "CAST(MIN(doc_id) AS BIGINT) AS min_v, CAST(MAX(doc_id) AS BIGINT) AS max_v "
+    "FROM documents UNION ALL "
+    "SELECT 'n_chars', CAST(COUNT(*) AS BIGINT), "
+    "CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+    "CAST(MIN(n_chars) AS BIGINT), CAST(MAX(n_chars) AS BIGINT) FROM documents "
+    "UNION ALL SELECT 'text', CAST(COUNT(*) AS BIGINT), "
+    "CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+    "CAST(MIN(length(text)) AS BIGINT), CAST(MAX(length(text)) AS BIGINT) "
+    "FROM documents",
+)
+def profile_documents(sf_dir: str):
+    """One-pass data-quality profile of the documents table: per column →
+    rows/nulls/min/max (string columns profile lengths). |columns| partial
+    rows per block move; the reduce is driver-small (relops.profile_table)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars", "text"])
+    return relops.profile_table(ds, ["doc_id", "n_chars"], ["text"])
+
+
+@query("label_centroids")  # float centroid vectors → rows-only
+def label_centroids(sf_dir: str):
+    """Per-label embedding centroids (relops.group_vector_mean — one vector
+    per (label, block) through the shuffle; the k-means-update combiner).
+    Emits the centroid L2 norm ×1e6 per label for a stable scalar check;
+    exactness vs a numpy groupby is unit-test-asserted."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    cen = relops.group_vector_mean(ds, ["label"], "embedding")
+    return cen.map_batches(
+        lambda df: pd.DataFrame({
+            "label": df["label"].to_numpy(),
+            "n": df["n"].astype("int64").to_numpy(),
+            "norm_e6": np.array([
+                round(float(np.linalg.norm(np.asarray(v))) * 1e6) for v in df["centroid"]
+            ], dtype=np.int64),
+        }),
+        batch_format="pandas", batch_size=None,
+    )

@@ -1463,3 +1463,104 @@ def hash_join_salted(
     return hash_partition_apply(
         lt.union(rt), [on, "__salt"], merge, n_partitions=min(n_buckets, 16)
     )
+
+
+def window_lead(
+    ds: rd.Dataset,
+    part_keys: list[str],
+    order_keys: list[str],
+    lead_cols: dict[str, str],
+    fill=None,
+    n_partitions: int = 16,
+) -> rd.Dataset:
+    """Window LEAD — :func:`window_lag` mirrored (shift -1 within each
+    ordered group); last row per group gets ``fill`` (sentinel keeps int
+    dtypes)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(part_keys + order_keys, kind="mergesort").reset_index(drop=True)
+        g = df.groupby(part_keys, sort=False)
+        for src, out in lead_cols.items():
+            led = g[src].shift(-1)
+            if fill is not None:
+                led = led.fillna(fill).astype(df[src].dtype)
+            df[out] = led
+        return df
+
+    return hash_partition_apply(ds, part_keys, fn, n_partitions=n_partitions)
+
+
+def profile_table(
+    ds: rd.Dataset,
+    int_cols: list[str],
+    str_cols: list[str] | None = None,
+) -> pd.DataFrame:
+    """One-pass data-quality profile: per column → rows, nulls, min, max
+    (integer columns; string columns get min/max of lengths). Per-batch
+    partials are one row per column (the combiner); the final merge is a
+    driver-small reduce — profiling 100 TB costs one streaming pass and
+    ships |columns| rows per block."""
+    str_cols = str_cols or []
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in int_cols:
+            s = df[c]
+            ok = s.dropna()
+            rows.append([c, len(s), int(s.isna().sum()),
+                         int(ok.min()) if len(ok) else np.iinfo(np.int64).max,
+                         int(ok.max()) if len(ok) else np.iinfo(np.int64).min])
+        for c in str_cols:
+            s = df[c]
+            ln = s.str.len()
+            ok = ln.dropna()
+            rows.append([c, len(s), int(s.isna().sum()),
+                         int(ok.min()) if len(ok) else np.iinfo(np.int64).max,
+                         int(ok.max()) if len(ok) else np.iinfo(np.int64).min])
+        return pd.DataFrame(rows, columns=["column", "n", "nulls", "min_v", "max_v"])
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None).to_pandas()
+    out = parts.groupby("column", as_index=False).agg(
+        n=("n", "sum"), nulls=("nulls", "sum"), min_v=("min_v", "min"), max_v=("max_v", "max")
+    )
+    return out.sort_values("column").reset_index(drop=True).astype(
+        {"n": "int64", "nulls": "int64", "min_v": "int64", "max_v": "int64"}
+    )
+
+
+def group_vector_mean(
+    ds: rd.Dataset,
+    keys: list[str],
+    vec_col: str,
+    out_col: str = "centroid",
+    n_partitions: int = 8,
+) -> rd.Dataset:
+    """Per-group mean of a ``list<float>`` embedding column: per-batch
+    (key, vector-sum, count) partials — the shuffle moves one vector per
+    (key, block), never rows — then one divide at the merge. The combiner
+    for centroid computation over embedding corpora (k-means update step,
+    label prototypes)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        d = pd.DataFrame({k: df[k] for k in keys})
+        d["__i"] = np.arange(len(d))
+        rows = []
+        for key, g in d.groupby(keys, sort=False):
+            s = m[g["__i"].to_numpy()].sum(axis=0)
+            rows.append(list(key if isinstance(key, tuple) else (key,)) + [s.tobytes(), len(g)])
+        return pd.DataFrame(rows, columns=keys + ["__sum", "__n"])
+
+    partials = ds.select_columns(keys + [vec_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, g in df.groupby(keys, sort=False):
+            s = np.sum([np.frombuffer(b, dtype=np.float64) for b in g["__sum"]], axis=0)
+            n = int(g["__n"].sum())
+            rows.append(list(key if isinstance(key, tuple) else (key,)) + [(s / n).tolist(), n])
+        return pd.DataFrame(rows, columns=keys + [out_col, "n"])
+
+    return hash_partition_apply(partials, keys, final, n_partitions=n_partitions)

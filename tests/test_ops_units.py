@@ -1007,3 +1007,27 @@ def test_hash_join_salted_equals_plain_on_skewed_keys():
         a = plain[cols].sort_values(cols).reset_index(drop=True)
         b = salted[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_group_vector_mean_matches_numpy():
+    """group_vector_mean == numpy groupby mean (float64 tolerance) across
+    block layouts; counts exact."""
+    import ray.data as rd
+    from pubcrawl import relops
+
+    rng = np.random.default_rng(31)
+    n, dim = 500, 16
+    df = pd.DataFrame({
+        "lbl": rng.integers(0, 7, n).astype(np.int64),
+        "emb": [rng.standard_normal(dim).tolist() for _ in range(n)],
+    })
+    m = np.array(df["emb"].tolist())
+    for parts in (3, 8):
+        got = relops.group_vector_mean(
+            rd.from_pandas(df).repartition(parts), ["lbl"], "emb"
+        ).to_pandas().sort_values("lbl").reset_index(drop=True)
+        for _, row in got.iterrows():
+            mask = df["lbl"].to_numpy() == row["lbl"]
+            exp = m[mask].mean(axis=0)
+            assert row["n"] == int(mask.sum())
+            assert np.allclose(np.asarray(row["centroid"]), exp, rtol=1e-12)
