@@ -2186,3 +2186,58 @@ def label_centroids(sf_dir: str):
         }),
         batch_format="pandas", batch_size=None,
     )
+
+
+# ============================= co-partitioned anti join (no key broadcast)
+
+
+@query(
+    "anti_parts_unsold_2001",
+    sql="SELECT p_partkey, p_brand FROM part WHERE p_partkey NOT IN ("
+    "SELECT l_partkey FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "WHERE year(o.o_orderdate) = 2001)",
+)
+def anti_parts_unsold_2001(sf_dir: str):
+    """Parts with no 2001 sale — ANTI join where the key set is itself the
+    output of a large-large join, too big to broadcast at scale
+    (relops.semi_join_partitioned: per-batch-distinct key combiner, one
+    co-partitioning shuffle, vectorized membership per partition)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.equal(pc.year(t["o_orderdate"]),
+                                    pa.scalar(2001, pa.int64()))).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    li = li.map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas",
+    )
+    sold = relops.hash_join(li, orders, on="o_orderkey",
+                            left_cols=["l_partkey"], right_cols=[])
+    sold_keys = sold.map_batches(
+        lambda df: df.rename(columns={"l_partkey": "p_partkey"})[["p_partkey"]],
+        batch_format="pandas",
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    return relops.semi_join_partitioned(part, sold_keys, on="p_partkey", anti=True)
+
+
+# ======================================================== daily active users
+
+
+@query(
+    "dau_daily_active",
+    sql="SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau FROM events GROUP BY 1",
+)
+def dau_daily_active(sf_dir: str):
+    """Daily active users: per-batch (day, user) dedup partials bound the
+    shuffle by the distinct domain (relops.group_count_distinct)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": df["ts"].dt.floor("D"), "user_id": df["user_id"]})
+
+    days = ds.map_batches(day, batch_format="pandas", batch_size=None)
+    return relops.group_count_distinct(days, ["day"], "user_id", out="dau")

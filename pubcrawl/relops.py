@@ -1564,3 +1564,40 @@ def group_vector_mean(
         return pd.DataFrame(rows, columns=keys + [out_col, "n"])
 
     return hash_partition_apply(partials, keys, final, n_partitions=n_partitions)
+
+
+def semi_join_partitioned(
+    left: rd.Dataset,
+    right_keys: rd.Dataset,
+    on: str,
+    anti: bool = False,
+    n_partitions: int = 16,
+) -> rd.Dataset:
+    """Co-partitioned SEMI / ANTI join for key sets too large to broadcast
+    (the scale-out sibling of :func:`semi_join_broadcast`): the right side
+    reduces to per-batch-distinct keys (combiner), both sides co-locate via
+    ONE key-hash shuffle, and each partition filters its left rows with a
+    vectorized membership probe. Left row multiplicity is preserved
+    (SQL semi/anti semantics)."""
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__side"] = np.int8(0)
+        return out
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[on]].drop_duplicates()
+        out["__side"] = np.int8(1)
+        return out
+
+    lt = left.map_batches(tag_left, batch_format="pandas", batch_size=None)
+    rt = right_keys.select_columns([on]).map_batches(
+        tag_right, batch_format="pandas", batch_size=None)
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0].drop(columns="__side")
+        keys = df.loc[df["__side"] == 1, on].unique()
+        member = l[on].isin(keys)
+        return l[~member] if anti else l[member]
+
+    return hash_partition_apply(lt.union(rt), [on], filt, n_partitions=n_partitions)
