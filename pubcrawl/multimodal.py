@@ -146,3 +146,55 @@ def image_pipeline(ds: rd.Dataset, stage, *, concurrency: int = 4, batch_size: i
         batch_size=batch_size,
         concurrency=(1, concurrency),
     )
+
+
+class AudioFeatures:
+    """Audio feature extraction over an opaque ``binary`` waveform column.
+
+    Real audio bytes (mp3/ogg/flac) need a codec this container doesn't
+    have; the DECODE step is therefore gated: with ``deterministic_fake=
+    True`` each payload is interpreted as a seeded 16-bit PCM stand-in
+    (length and content a pure function of the row id), so the Ray-side
+    plumbing — binary in, fixed-width ``list<float>`` feature vector out,
+    small actor-pool batches — is real and tested. Features: RMS energy,
+    zero-crossing rate, and an 8-band spectrum via a real FFT over the PCM
+    frame — the layout a real decoder would feed."""
+
+    N_BANDS = 8
+
+    def __init__(self, deterministic_fake: bool = False, sr: int = 16_000):
+        self.fake = deterministic_fake
+        self.sr = sr
+
+    def _decode(self, payload: bytes, key: int) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "audio decoding requires a codec library not present in this "
+                "environment; pass deterministic_fake=True for the seeded stub"
+            )
+        rng = np.random.default_rng(np.uint64(key))
+        n = int(rng.integers(self.sr // 4, self.sr))  # 0.25–1 s of samples
+        t = np.arange(n) / self.sr
+        f0 = float(rng.uniform(80, 2000))
+        wave = np.sin(2 * np.pi * f0 * t) + 0.1 * rng.standard_normal(n)
+        return (wave * 32767 / np.abs(wave).max()).astype(np.int16)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for i in range(batch.num_rows):
+            key = xxh64(str(batch["audio_id"][i].as_py()))
+            pcm = self._decode(
+                batch["bytes"][i].as_py() if "bytes" in batch.column_names else b"",
+                key,
+            ).astype(np.float64) / 32768.0
+            rms = float(np.sqrt((pcm ** 2).mean()))
+            zcr = float((np.signbit(pcm[1:]) != np.signbit(pcm[:-1])).mean())
+            spec = np.abs(np.fft.rfft(pcm))
+            bands = np.array_split(spec, self.N_BANDS)
+            band_e = np.array([float((b ** 2).sum()) for b in bands])
+            band_e = band_e / band_e.sum() if band_e.sum() else band_e
+            feats.append(np.concatenate([[rms, zcr], band_e]).astype(np.float32))
+        out = batch.drop_columns(["bytes"]) if "bytes" in batch.column_names else batch
+        return out.append_column(
+            "audio_features", pa.array([f.tolist() for f in feats], pa.list_(pa.float32()))
+        )

@@ -2241,3 +2241,49 @@ def dau_daily_active(sf_dir: str):
 
     days = ds.map_batches(day, batch_format="pandas", batch_size=None)
     return relops.group_count_distinct(days, ["day"], "user_id", out="dau")
+
+
+# ====================================================== GROUPING SETS
+
+
+@query(
+    "gs_order_priority_status",
+    sql="SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
+    "COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM orders GROUP BY GROUPING SETS ((o_orderpriority), "
+    "(o_orderstatus), ())",
+)
+def gs_order_priority_status(sf_dir: str):
+    """GROUP BY GROUPING SETS — exactly the requested subsets, derived from
+    one finest-level combiner aggregate (relops.grouping_sets_sum; the
+    generic form of ROLLUP/CUBE)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    return relops.grouping_sets_sum(
+        ds, ["o_orderpriority", "o_orderstatus"],
+        [["o_orderpriority"], ["o_orderstatus"], []], count_as="n",
+    )
+
+
+@query("multimodal_audio")  # stub-decoded audio actor stage → rows-only
+def multimodal_audio(sf_dir: str):
+    """Audio branch of the multimodal path: opaque binary waveforms →
+    actor-pool AudioFeatures stage (stub decode, honestly gated; real FFT
+    feature layout) → per-band energy table. Payload bytes never on the
+    driver; only the (id, features) frame returns."""
+    from . import multimodal as mm
+
+    def make_audio(batch: pa.Table) -> pa.Table:
+        ids = [f"au{int(i)}" for i in batch["id"].to_pylist()]
+        return pa.table({
+            "audio_id": pa.array(ids),
+            "bytes": pa.array([b"\x00" * 32 for _ in ids], pa.large_binary()),
+        })
+
+    ds = rd.range(96).map_batches(make_audio, batch_format="pyarrow", batch_size=16)
+    feats = mm.image_pipeline(ds, mm.AudioFeatures, concurrency=2, batch_size=16,
+                              deterministic_fake=True)
+    out = feats.to_pandas()
+    out["rms_e6"] = [round(float(v[0]) * 1e6) for v in out["audio_features"]]
+    out["zcr_e6"] = [round(float(v[1]) * 1e6) for v in out["audio_features"]]
+    return out[["audio_id", "rms_e6", "zcr_e6"]].sort_values("audio_id").reset_index(drop=True)

@@ -1601,3 +1601,42 @@ def semi_join_partitioned(
         return l[~member] if anti else l[member]
 
     return hash_partition_apply(lt.union(rt), [on], filt, n_partitions=n_partitions)
+
+
+def grouping_sets_sum(
+    ds: rd.Dataset,
+    keys: list[str],
+    sets: list[list[str]],
+    sum_cols: dict[str, str] | None = None,
+    count_as: str | None = None,
+    all_label: str = "ALL",
+) -> rd.Dataset:
+    """SQL ``GROUP BY GROUPING SETS (...)`` — the generic form of
+    :func:`rollup_sum` / :func:`cube_sum`: grouped sums/counts at exactly
+    the requested key subsets, rolled-up slots holding ``all_label``.
+
+    Same scale shape: ONE combiner pass over raw rows at the finest level
+    (the union of all requested keys), every set derived from that small
+    aggregate in a single merge task."""
+    finest = preagg_group_sum(ds, keys, sum_cols=sum_cols, count_as=count_as)
+    vals = list((sum_cols or {}).values()) + ([count_as] if count_as else [])
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s} not a subset of keys {keys}")
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.astype({k: "string" for k in keys})
+        frames = []
+        for sub in sets:
+            if sub:
+                g = df.groupby(list(sub), as_index=False, sort=False)[vals].sum()
+            else:
+                g = df[vals].sum().to_frame().T
+            for k in keys:
+                if k not in sub:
+                    g[k] = all_label
+            frames.append(g[keys + vals])
+        out = pd.concat(frames, ignore_index=True)
+        return out.astype({k: "object" for k in keys} | {v: "int64" for v in vals})
+
+    return hash_partition_apply(finest, keys[:1], derive, n_partitions=1)

@@ -364,3 +364,31 @@ def test_bm25_vectorized_matches_loop_scores(corpus):
     b = search.keyword_search(corpus, "data engine", id_col="doc_id", k=10, stem=True)
     assert list(a.doc_id) == list(b.doc_id)
     assert np.allclose(a.score.to_numpy(), b.score.to_numpy())
+
+
+def test_audio_features_stage_shape_and_determinism():
+    """AudioFeatures actor stage: binary in → fixed-width list<float32> out,
+    deterministic across runs and block layouts; codec honestly gated."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from pubcrawl import multimodal as mm
+
+    rows = [{"audio_id": f"a{i}", "bytes": bytes([i % 251]) * 64} for i in range(12)]
+    outs = []
+    for parts in (2, 5):
+        ds = rd.from_items(rows).repartition(parts)
+        out = mm.image_pipeline(
+            ds, mm.AudioFeatures, concurrency=2, batch_size=4,
+            deterministic_fake=True,
+        ).to_pandas().sort_values("audio_id").reset_index(drop=True)
+        assert list(out.columns) == ["audio_id", "audio_features"]
+        assert all(len(v) == 2 + mm.AudioFeatures.N_BANDS for v in out["audio_features"])
+        outs.append(out)
+    for a, b in zip(outs[0]["audio_features"], outs[1]["audio_features"]):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+    # real-codec path is honestly gated
+    tbl = pa.table({"audio_id": ["x"], "bytes": [b"\x00"]})
+    with _pytest.raises(NotImplementedError):
+        mm.AudioFeatures()(tbl)
