@@ -2287,3 +2287,32 @@ def multimodal_audio(sf_dir: str):
     out["rms_e6"] = [round(float(v[0]) * 1e6) for v in out["audio_features"]]
     out["zcr_e6"] = [round(float(v[1]) * 1e6) for v in out["audio_features"]]
     return out[["audio_id", "rms_e6", "zcr_e6"]].sort_values("audio_id").reset_index(drop=True)
+
+
+# =========================================== ANN accuracy evaluation
+
+
+@query("ann_recall_eval")  # accuracy measurement of the approximate path → rows-only
+def ann_recall_eval(sf_dir: str):
+    """Recall@10 of the IVF approximate ANN vs exact brute force, per nprobe
+    ∈ {1, 2, 4, 8} over 16 fixed query vectors — quantifies the
+    accuracy/compute dial of the scale path (nprobe/n_clusters of the probed
+    cells). Deterministic end-to-end (seeded sample k-means, fixed queries),
+    so the recall table is stable across runs and partitionings."""
+    from . import ann as ann_mod
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    q = ds.limit(16).to_pandas()
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in q["embedding"]])
+    qids = q["vec_id"].to_numpy()
+    truth = ann_mod.brute_topk(ds, qmat, qids, k=10)
+    t_sets = {qid: set(g["vec_id"]) for qid, g in truth.groupby("query_id")}
+    rows = []
+    for nprobe in (1, 2, 4, 8):
+        approx = ann_mod.ivf_topk(ds, qmat, qids, k=10, n_clusters=16, nprobe=nprobe)
+        a_sets = {qid: set(g["vec_id"]) for qid, g in approx.groupby("query_id")}
+        hits = sum(len(t_sets[qid] & a_sets.get(qid, set())) for qid in t_sets)
+        total = sum(len(s) for s in t_sets.values())
+        rows.append({"nprobe": nprobe,
+                     "recall_e6": np.int64(round(hits / total * 1e6))})
+    return pd.DataFrame(rows)

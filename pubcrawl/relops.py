@@ -168,7 +168,14 @@ def hash_partition_apply(
         frames = [p.to_pandas() for p in pieces if p.num_rows]
         if not frames:
             return pa.table({})
-        out = fn(pd.concat(frames, ignore_index=True))
+        import warnings
+
+        with warnings.catch_warnings():
+            # mixed-side unions carry all-NA columns by design; every caller
+            # restores exact dtypes after its merge, so the pandas concat
+            # dtype-inference FutureWarning is noise here
+            warnings.simplefilter("ignore", FutureWarning)
+            out = fn(pd.concat(frames, ignore_index=True))
         return pa.Table.from_pandas(out, preserve_index=False)
 
     @ray.remote
