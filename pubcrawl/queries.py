@@ -1861,7 +1861,9 @@ def pagerank_synth_links(sf_dir: str):
 
     edges = rd.from_items(pairs).map_batches(edges_of, batch_format="pandas",
                                              batch_size=16)
-    ranks = graph.pagerank(edges, damping=0.85, iters=8, n_partitions=8)
+    # n_partitions sized to the graph (~2.2k nodes): message volume per
+    # iteration is tiny, so fewer merge waves beats more parallelism
+    ranks = graph.pagerank(edges, damping=0.85, iters=8, n_partitions=4)
     top = relops.topk(ranks.map_batches(
         lambda df: df.assign(rank_e12=(df["rank"] * 1e12).round().astype("int64")),
         batch_format="pandas", batch_size=None,
@@ -1937,7 +1939,9 @@ def cohort_retention(sf_dir: str):
         wk_s = ((d["s"] - base).dt.days // 7).to_numpy()
         return pd.DataFrame({
             "user_id": d["user_id"].to_numpy(),
-            "cohort_week": base + pd.to_timedelta(wk_s * 7, unit="D"),
+            # explicit us precision — DuckDB timestamps are [us]; a pandas
+            # default [ns] column would dtype-mismatch the driver's hash
+            "cohort_week": (base + pd.to_timedelta(wk_s * 7, unit="D")).astype("datetime64[us]"),
             "week_offset": (wk_e - wk_s).astype(np.int64),
         })
 
