@@ -2320,3 +2320,32 @@ def ann_recall_eval(sf_dir: str):
         rows.append({"nprobe": nprobe,
                      "recall_e6": np.int64(round(hits / total * 1e6))})
     return pd.DataFrame(rows)
+
+
+# ============================================ BPE-ish pre-tokenizer counts
+
+
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+@query(
+    "tok_bpe_counts",
+    sql="SELECT doc_id, CAST(length(regexp_extract_all(text, "
+    f"'{_BPE_PAT.replace(chr(39), chr(39) * 2)}'"
+    ")) AS BIGINT) AS n_bpe FROM documents",
+)
+def tok_bpe_counts(sf_dir: str):
+    """BPE-style pre-tokenizer token counts per document (the GPT-2-ish
+    contraction/word/number/punct/space split, RE2-compatible so the DuckDB
+    oracle runs the byte-identical pattern): one vectorized pandas
+    str.count per batch — the cost model for LLM training-data budgeting
+    without materializing token ids."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_bpe": df["text"].str.count(_BPE_PAT).astype(np.int64),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=None)
