@@ -2349,3 +2349,52 @@ def tok_bpe_counts(sf_dir: str):
         })
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=None)
+
+
+# ============================================ week-over-week change
+
+
+@query(
+    "wow_revenue_change",
+    sql="WITH w AS (SELECT date_diff('week', DATE '1995-01-02', "
+    "CAST(date_trunc('day', o_orderdate) AS DATE)) AS wk, "
+    "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_e2 "
+    "FROM orders WHERE year(o_orderdate) = 2000 GROUP BY 1) "
+    "SELECT CAST(wk AS BIGINT) AS wk, rev_e2, "
+    "CAST(rev_e2 - COALESCE(LAG(rev_e2) OVER (ORDER BY wk), 0) AS BIGINT) "
+    "AS delta_e2 FROM w",
+)
+def wow_revenue_change(sf_dir: str):
+    """Week-over-week revenue delta: combiner weekly aggregate (tiny) →
+    window LAG over the aggregate — the agg→window chain where the window
+    runs on the reduced table, never the fact table."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.year(t["o_orderdate"]), pa.scalar(2000, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    ds = relops.with_columns(ds, {"price_e2": relops.money_to_units("o_totalprice")})
+
+    base = pd.Timestamp("1995-01-02")
+
+    def wk(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "wk": ((df["o_orderdate"] - base).dt.days // 7).astype(np.int64),
+            "price_e2": df["price_e2"].to_numpy(),
+        })
+
+    weekly = relops.preagg_group_sum(
+        ds.map_batches(wk, batch_format="pandas", batch_size=None),
+        ["wk"], sum_cols={"price_e2": "rev_e2"},
+    )
+    weekly = weekly.map_batches(lambda df: df.assign(__g=np.int64(0)),
+                                batch_format="pandas", batch_size=None)
+    lagged = relops.window_lag(weekly, ["__g"], ["wk"], {"rev_e2": "prev"}, fill=0)
+    return lagged.map_batches(
+        lambda df: pd.DataFrame({
+            "wk": df["wk"].to_numpy(),
+            "rev_e2": df["rev_e2"].to_numpy(),
+            "delta_e2": (df["rev_e2"] - df["prev"]).astype(np.int64),
+        }),
+        batch_format="pandas", batch_size=None,
+    )
