@@ -26,6 +26,49 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# OS-level CPU throttle for the scaling protocol: ray.init(num_cpus=N) caps
+# TASK scheduling but actors execute unthrottled in local mode, so a stage
+# whose work lives in 0-CPU RPC actors (the seen shards after the round-2
+# vectorization) runs at full machine speed at BOTH levels and the measured
+# N→4N ratio collapses by construction. Pinning the whole process tree to N
+# cores BEFORE ray.init (raylet + workers inherit the affinity) makes the
+# two levels faithful small-cluster/big-cluster emulations.
+_AFF = os.environ.get("GRAFT_CPU_AFFINITY")
+
+
+def _aff_cores(n: int) -> set[int]:
+    # pin to the TOP n cores: system daemons and co-tenant load cluster on
+    # the low core ids of this VM, and a low-core pin makes the 4N level
+    # collide with them head-on (measured: @16 fetch dropped ~18% pinned
+    # 0-15 vs unpinned)
+    total = os.cpu_count() or 32
+    return set(range(total - n, total))
+
+
+if _AFF and hasattr(os, "sched_setaffinity"):
+    os.sched_setaffinity(0, _aff_cores(int(_AFF)))
+
+
+def _pin_ray_tree(n: int) -> None:
+    """Pin every Ray system/worker process to cores [0, n): raylet spawns
+    workers with a fresh 0-31 affinity (driver affinity does NOT inherit
+    across the raylet), so the driver-side sched_setaffinity alone throttles
+    nothing. Pinning raylet (workers spawned later inherit ITS mask) plus
+    all live workers makes the N-core level a faithful small-node emulation.
+    Safe here because scaling levels run sequentially — no concurrent Ray
+    session to disturb."""
+    import glob as _g
+
+    allowed = _aff_cores(n)
+    for pid_dir in _g.glob("/proc/[0-9]*"):
+        try:
+            cmd = open(pid_dir + "/cmdline", "rb").read().decode(errors="replace")
+            if any(tok in cmd for tok in ("raylet", "ray::", "default_worker.py",
+                                          "gcs_server", "plasma")):
+                os.sched_setaffinity(int(pid_dir.rsplit("/", 1)[-1]), allowed)
+        except (PermissionError, FileNotFoundError, ProcessLookupError, ValueError, OSError):
+            pass
+
 # bench web: ≥50k URLs over 256 hosts (FIXTURES.md §6) — enough host
 # diversity that per-host politeness budgets never cap the 32-CPU run
 BENCH_WEB = dict(
@@ -223,6 +266,9 @@ def main() -> None:
     for t in ("lineitem", "orders", "documents", "embeddings", "events"):
         rd.read_parquet(f"{SF_DIR}/{t}.parquet").count()
 
+    if _AFF and hasattr(os, "sched_setaffinity"):
+        _pin_ray_tree(int(_AFF))  # after ray.init: raylet + prestarted workers
+
     crawl_stats = run_crawl(NUM_CPUS)
     expand_stats = run_expand(NUM_CPUS)
     # scaling mode times only the crawl+expand pipelines (the scaling metric);
@@ -293,7 +339,8 @@ def scaling() -> None:
         rep = {"probe": host_capacity_probe()}
         for ncpu in (4, 16):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING="1",
-                       GRAFT_EXPAND_ROWS=str(EXPAND_ROWS_SCALING))
+                       GRAFT_EXPAND_ROWS=str(EXPAND_ROWS_SCALING),
+                       GRAFT_CPU_AFFINITY=str(ncpu))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
