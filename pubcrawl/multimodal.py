@@ -198,3 +198,71 @@ class AudioFeatures:
         return out.append_column(
             "audio_features", pa.array([f.tolist() for f in feats], pa.list_(pa.float32()))
         )
+
+
+def derive_and_commit(
+    store_root: str,
+    stage,
+    out_prefix: str,
+    *,
+    n_buckets: int = 8,
+    concurrency: int = 4,
+    batch_size: int = 16,
+    id_col: str = "image_id",
+    **stage_kwargs,
+) -> dict:
+    """Resumable derived-table write path: crawl-store images → actor-pool
+    ``stage`` (Resize / ImageFeatures / ...) → PARTITIONED fragment commits.
+
+    The output is partitioned by a deterministic id-hash bucket
+    (``{out_prefix}_{bucket:04d}``); each bucket commits from its own task
+    via the store's atomic idempotent manifest protocol, so a failed or
+    re-run derivation SKIPS already-committed buckets (the commit is the
+    exactly-once point; the compute before it is at-least-once). A rerun
+    over an unchanged store adds zero manifest lines. Payload bytes never
+    touch the driver — only per-bucket {rows} metrics return."""
+    import ray
+
+    from .hashing import xxh64_many
+    from .pipeline import load_images
+    from .store import ParquetFragmentStore
+
+    store = ParquetFragmentStore(store_root)
+    done = {
+        pid for pid in store.committed() if pid.startswith(out_prefix + "_")
+    }
+    ds = image_pipeline(load_images(store_root), stage, concurrency=concurrency,
+                        batch_size=batch_size, **stage_kwargs)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = xxh64_many([str(v) for v in df[id_col]])
+        df = df.copy()
+        df["__bucket"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pandas", batch_size=None)
+    done_ref = ray.put(done)
+
+    def commit_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["__bucket"].iloc[0])
+        pid = f"{out_prefix}_{b:04d}"
+        if pid in ray.get(done_ref):
+            return pd.DataFrame({"partition_id": [pid], "rows": [0], "skipped": [True]})
+        st = ParquetFragmentStore(store_root)
+        tbl = pa.Table.from_pandas(
+            df.drop(columns="__bucket").sort_values(id_col), preserve_index=False
+        )
+        rec = st.commit(tbl, pid, lineage=f"derive:{out_prefix}")
+        return pd.DataFrame({"partition_id": [pid], "rows": [int(rec["rows"])],
+                             "skipped": [False]})
+
+    from . import relops
+
+    marker = relops.hash_partition_apply(
+        bucketed, ["__bucket"], commit_bucket, n_partitions=n_buckets
+    ).to_pandas()
+    return {
+        "committed": int((~marker["skipped"]).sum()),
+        "skipped": int(marker["skipped"].sum()),
+        "rows": int(marker["rows"].sum()),
+    }

@@ -98,3 +98,38 @@ def test_checkpoint_table_schema(tmp_path):
     assert rec["partition_id"] == "p1" and rec["url_lo"] == 3 and rec["url_hi"] == 8
     assert rec["fetch_errors"] == 1 and rec["lineage"] == "depth=0"
     assert rec["committed_at"]
+
+
+def test_derive_and_commit_idempotent_resume(tmp_path):
+    """Derived-table write path: crawl → Resize actor stage → partitioned
+    fragment commits. Second run commits nothing (all buckets skipped, zero
+    new manifest lines); thumbnails are decodable at the target size."""
+    import pyarrow.parquet as pq
+
+    from pubcrawl import multimodal as mm
+    from pubcrawl.imaging import png_decode
+    from pubcrawl.pipeline import crawl
+    from pubcrawl.store import ParquetFragmentStore
+    from pubcrawl.synthweb import WebConfig
+
+    root = str(tmp_path / "store")
+    cfg = WebConfig(seed=5, n_hosts=3, pages_per_host=2, links_per_page=4,
+                    images_per_page=2, details_per_host=10)
+    crawl(cfg, root, fetch_concurrency=2, bucket_size=64, seen_shards=2)
+
+    r1 = mm.derive_and_commit(root, mm.Resize, "thumbs", n_buckets=4,
+                              concurrency=2, out_w=16, out_h=16)
+    assert r1["committed"] > 0 and r1["rows"] > 0
+    store = ParquetFragmentStore(root)
+    lines_after_first = len(store.committed())
+
+    r2 = mm.derive_and_commit(root, mm.Resize, "thumbs", n_buckets=4,
+                              concurrency=2, out_w=16, out_h=16)
+    assert r2["committed"] == 0 and r2["skipped"] == r1["committed"]
+    assert len(store.committed()) == lines_after_first  # no new manifest lines
+
+    pids = [p for p in store.committed() if p.startswith("thumbs_")]
+    tbl = pq.read_table(store.fragment_path(pids[0]))
+    assert set(["image_id", "thumb", "thumb_w", "thumb_h"]) <= set(tbl.column_names)
+    img = png_decode(tbl["thumb"][0].as_py())
+    assert img.shape[:2] == (16, 16)
