@@ -2398,3 +2398,31 @@ def wow_revenue_change(sf_dir: str):
         }),
         batch_format="pandas", batch_size=None,
     )
+
+
+@query("image_thumbs_derive")  # resumable derived-table write path → rows-only
+def image_thumbs_derive(sf_dir: str):
+    """End-to-end resumable derived-image write: crawl a deterministic
+    synthetic web, derive 16x16 thumbnails through the actor-pool Resize
+    stage, and commit them as id-hash-partitioned fragments (idempotent
+    manifest protocol). Runs the derivation TWICE and returns both run
+    markers — the second run must commit 0 buckets and skip all of them,
+    which is the resume contract the driver can see directly."""
+    import tempfile
+
+    from . import multimodal as mm
+    from .pipeline import crawl
+    from .synthweb import WebConfig
+
+    cfg = WebConfig(seed=41, n_hosts=3, pages_per_host=2, links_per_page=4,
+                    images_per_page=2, details_per_host=12)
+    root = tempfile.mkdtemp(prefix="pubcrawl_thumbs_") + "/store"
+    crawl(cfg, root, fetch_concurrency=2, bucket_size=64, seen_shards=2)
+    r1 = mm.derive_and_commit(root, mm.Resize, "thumbs", n_buckets=4,
+                              concurrency=2, out_w=16, out_h=16)
+    r2 = mm.derive_and_commit(root, mm.Resize, "thumbs", n_buckets=4,
+                              concurrency=2, out_w=16, out_h=16)
+    return pd.DataFrame([
+        {"run": 1, "committed": r1["committed"], "skipped": r1["skipped"], "rows": r1["rows"]},
+        {"run": 2, "committed": r2["committed"], "skipped": r2["skipped"], "rows": r2["rows"]},
+    ])
