@@ -1031,3 +1031,32 @@ def test_group_vector_mean_matches_numpy():
             exp = m[mask].mean(axis=0)
             assert row["n"] == int(mask.sum())
             assert np.allclose(np.asarray(row["centroid"]), exp, rtol=1e-12)
+
+
+def test_hash_partition_apply_survives_transient_task_failure(tmp_path):
+    """At-least-once tolerance: a merge task whose WORKER DIES mid-merge
+    (os._exit — the machine-loss analogue) is retried by Ray and the shuffle
+    result is exactly the no-failure answer — the property that makes bucket
+    commits safe to pair with idempotent manifest writes. (Application
+    exceptions are deliberately NOT retried — they surface to the caller.)"""
+    import ray.data as rd
+    from pubcrawl import relops
+
+    sentinel = str(tmp_path / "failed_once")
+    df = pd.DataFrame({"g": np.arange(200) % 5, "v": np.arange(200, dtype=np.int64)})
+
+    def agg_with_one_crash(d: pd.DataFrame) -> pd.DataFrame:
+        import os as _os
+
+        if 0 in set(d["g"]) and not _os.path.exists(sentinel):
+            open(sentinel, "w").close()
+            _os._exit(1)  # hard worker death, not a Python exception
+        return d.groupby("g", as_index=False)["v"].sum()
+
+    out = relops.hash_partition_apply(
+        rd.from_pandas(df).repartition(4), ["g"], agg_with_one_crash, n_partitions=4
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    exp = df.groupby("g", as_index=False)["v"].sum()
+    assert (out["v"].to_numpy() == exp["v"].to_numpy()).all()
+    import os as _os
+    assert _os.path.exists(sentinel)  # the crash really happened
