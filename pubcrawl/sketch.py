@@ -270,13 +270,28 @@ def bloom_build(ds, col: str, n_bits: int = 1 << 20, n_hashes: int = 5) -> np.nd
         np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
         return pd.DataFrame({"__bloom": [bits.tobytes()]})
 
-    parts = ds.select_columns([col]).map_batches(
-        partial, batch_format="pandas", batch_size=None
-    ).to_pandas()
-    merged = np.zeros(nbytes, dtype=np.uint8)
-    for b in parts["__bloom"]:
-        merged |= np.frombuffer(b, dtype=np.uint8)
-    return merged
+    import ray
+
+    @ray.remote
+    def or_merge(*blobs) -> bytes:
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for b in blobs:
+            t = b if isinstance(b, (bytes, bytearray)) else b["__bloom"][0].as_py()
+            acc |= np.frombuffer(t, dtype=np.uint8)
+        return acc.tobytes()
+
+    refs = list(
+        ds.select_columns([col]).map_batches(
+            partial, batch_format="pandas", batch_size=None
+        ).to_arrow_refs()
+    )
+    # tree reduce: the driver never holds more than the final blob — at
+    # 10k blocks a flat driver OR would stream ~GBs through one process
+    fan = 16
+    while len(refs) > fan:
+        refs = [or_merge.remote(*refs[i : i + fan]) for i in range(0, len(refs), fan)]
+    final = ray.get(or_merge.remote(*refs))  # normalizes table/bytes leaves
+    return np.frombuffer(final, dtype=np.uint8).copy()
 
 
 def bloom_prefilter(ds, col: str, bloom: np.ndarray, n_hashes: int = 5):
