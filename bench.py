@@ -30,9 +30,11 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # TASK scheduling but actors execute unthrottled in local mode, so a stage
 # whose work lives in 0-CPU RPC actors (the seen shards after the round-2
 # vectorization) runs at full machine speed at BOTH levels and the measured
-# N→4N ratio collapses by construction. Pinning the whole process tree to N
-# cores BEFORE ray.init (raylet + workers inherit the affinity) makes the
-# two levels faithful small-cluster/big-cluster emulations.
+# N→4N ratio collapses by construction. The driver pins itself here; Ray
+# system processes and workers do NOT inherit this mask (raylet respawns
+# them with the full-machine affinity), so _pin_ray_tree() re-pins the whole
+# tree right after ray.init — together the two give a faithful
+# small-cluster/big-cluster emulation.
 _AFF = os.environ.get("GRAFT_CPU_AFFINITY")
 
 
@@ -50,13 +52,14 @@ if _AFF and hasattr(os, "sched_setaffinity"):
 
 
 def _pin_ray_tree(n: int) -> None:
-    """Pin every Ray system/worker process to cores [0, n): raylet spawns
-    workers with a fresh 0-31 affinity (driver affinity does NOT inherit
-    across the raylet), so the driver-side sched_setaffinity alone throttles
-    nothing. Pinning raylet (workers spawned later inherit ITS mask) plus
-    all live workers makes the N-core level a faithful small-node emulation.
-    Safe here because scaling levels run sequentially — no concurrent Ray
-    session to disturb."""
+    """Pin every Ray system/worker process to the TOP n cores (_aff_cores —
+    low core ids carry the VM's system daemons and co-tenant steal): raylet
+    spawns workers with a fresh full-machine affinity (the driver's mask
+    does NOT inherit across the raylet), so the driver-side
+    sched_setaffinity alone throttles nothing. Pinning raylet (workers
+    spawned later inherit ITS mask) plus all live workers makes the N-core
+    level a faithful small-node emulation. Safe here because scaling levels
+    run sequentially — no concurrent Ray session to disturb."""
     import glob as _g
 
     allowed = _aff_cores(n)

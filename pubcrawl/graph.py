@@ -37,17 +37,6 @@ def _scalar_sum(ds: rd.Dataset, col: str) -> float:
     return float(part["s"].sum()) if len(part) else 0.0
 
 
-def node_table(edges: rd.Dataset, src: str = "src", dst: str = "dst") -> rd.Dataset:
-    """Distinct node ids appearing at either end of any edge."""
-    both = edges.map_batches(
-        lambda df: pd.DataFrame(
-            {"id": np.concatenate([df[src].to_numpy(), df[dst].to_numpy()])}
-        ),
-        batch_format="pandas", batch_size=None,
-    )
-    return relops.distinct(both, ["id"])
-
-
 def pagerank(
     edges: rd.Dataset,
     src: str = "src",
@@ -80,8 +69,16 @@ def pagerank(
         batch_format="pandas", batch_size=None,
     ).materialize()
 
+    # BOTH union sides carry the identical column set (zero-filled where the
+    # side has no value): a mixed-side pandas concat would otherwise
+    # NaN-promote the absent int64 columns to float64, and 64-bit node ids
+    # (xxh64 hashes) above 2^53 silently lose low bits in the round-trip —
+    # messages would then address nonexistent ids and vanish
     e = edges.map_batches(
-        lambda df: pd.DataFrame({"__k": df[src], "__dst": df[dst], "__side": np.int8(0)}),
+        lambda df: pd.DataFrame(
+            {"__k": df[src], "__dst": df[dst],
+             "rank": np.float64(0.0), "deg": np.int64(0), "__side": np.int8(0)}
+        ),
         batch_format="pandas", batch_size=None,
     ).materialize()  # edges are reused every iteration
 
@@ -97,18 +94,13 @@ def pagerank(
 
         s_tag = state.map_batches(
             lambda df: pd.DataFrame(
-                {"__k": df["id"], "rank": df["rank"], "deg": df["deg"],
-                 "__side": np.int8(1)}
+                {"__k": df["id"], "__dst": np.int64(0),
+                 "rank": df["rank"], "deg": df["deg"], "__side": np.int8(1)}
             ),
             batch_format="pandas", batch_size=None,
         )
 
         def contribs(df: pd.DataFrame) -> pd.DataFrame:
-            # a partition may hold only one side's rows (concat unions
-            # columns, so the other side's columns are then absent)
-            if "__dst" not in df.columns or "rank" not in df.columns:
-                return pd.DataFrame({"id": pd.Series([], dtype="int64"),
-                                     "msg": pd.Series([], dtype="float64")})
             ed = df[df["__side"] == 0][["__k", "__dst"]]
             st = df[df["__side"] == 1][["__k", "rank", "deg"]]
             st = st[st["deg"] > 0]
@@ -116,10 +108,9 @@ def pagerank(
             if not len(m):
                 return pd.DataFrame({"id": pd.Series([], dtype="int64"),
                                      "msg": pd.Series([], dtype="float64")})
-            # concat over mixed-side pieces NaN-promotes __dst to float64;
-            # restore int64 so the next shuffle's buckets line up
+            assert m["__dst"].dtype == np.int64  # schema-uniform union upholds this
             return pd.DataFrame(
-                {"id": m["__dst"].to_numpy().astype(np.int64),
+                {"id": m["__dst"].to_numpy(),
                  "msg": m["rank"].to_numpy() / m["deg"].to_numpy()}
             )
 
@@ -127,15 +118,18 @@ def pagerank(
             e.union(s_tag), ["__k"], contribs, n_partitions=n_partitions
         )
 
+        empty_msg = pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                                  "msg": pd.Series([], dtype="float64"),
+                                  "deg": pd.Series([], dtype="int64"),
+                                  "__side": pd.Series([], dtype="int8")})
         m_tag = msgs.map_batches(
-            lambda df: df.assign(__side=np.int8(0)) if "id" in df.columns
-            else pd.DataFrame({"id": pd.Series([], dtype="int64"),
-                               "msg": pd.Series([], dtype="float64"),
-                               "__side": pd.Series([], dtype="int8")}),
+            lambda df: df.assign(deg=np.int64(0), __side=np.int8(0))
+            if "id" in df.columns else empty_msg.copy(),
             batch_format="pandas", batch_size=None,
         )
         st_tag = state.map_batches(
-            lambda df: df[["id", "deg"]].assign(__side=np.int8(1)),
+            lambda df: pd.DataFrame({"id": df["id"], "msg": np.float64(0.0),
+                                     "deg": df["deg"], "__side": np.int8(1)}),
             batch_format="pandas", batch_size=None,
         )
 
@@ -143,7 +137,7 @@ def pagerank(
             # every message id is a node id, so a partition with messages
             # always has its state rows too; the reverse may not hold
             st = df[df["__side"] == 1][["id", "deg"]]
-            mm = df[df["__side"] == 0] if "msg" in df.columns else df.iloc[0:0]
+            mm = df[df["__side"] == 0]
             if len(mm):
                 # deterministic reduction: sum message values in id order
                 mm = mm.sort_values(["id", "msg"], kind="mergesort")

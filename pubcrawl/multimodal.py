@@ -244,17 +244,23 @@ def derive_and_commit(
     done_ref = ray.put(done)
 
     def commit_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        b = int(df["__bucket"].iloc[0])
-        pid = f"{out_prefix}_{b:04d}"
-        if pid in ray.get(done_ref):
-            return pd.DataFrame({"partition_id": [pid], "rows": [0], "skipped": [True]})
+        # a merge partition holds one or MORE bucket values (the shuffle
+        # re-hashes the bucket column, it is not an identity routing), so
+        # commit per bucket group — each under its own declared pid
         st = ParquetFragmentStore(store_root)
-        tbl = pa.Table.from_pandas(
-            df.drop(columns="__bucket").sort_values(id_col), preserve_index=False
-        )
-        rec = st.commit(tbl, pid, lineage=f"derive:{out_prefix}")
-        return pd.DataFrame({"partition_id": [pid], "rows": [int(rec["rows"])],
-                             "skipped": [False]})
+        done_set = ray.get(done_ref)
+        rows = []
+        for b, g in df.groupby("__bucket", sort=True):
+            pid = f"{out_prefix}_{int(b):04d}"
+            if pid in done_set:
+                rows.append({"partition_id": pid, "rows": 0, "skipped": True})
+                continue
+            tbl = pa.Table.from_pandas(
+                g.drop(columns="__bucket").sort_values(id_col), preserve_index=False
+            )
+            rec = st.commit(tbl, pid, lineage=f"derive:{out_prefix}")
+            rows.append({"partition_id": pid, "rows": int(rec["rows"]), "skipped": False})
+        return pd.DataFrame(rows)
 
     from . import relops
 

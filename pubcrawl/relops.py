@@ -171,11 +171,14 @@ def hash_partition_apply(
         import warnings
 
         with warnings.catch_warnings():
-            # mixed-side unions carry all-NA columns by design; every caller
-            # restores exact dtypes after its merge, so the pandas concat
-            # dtype-inference FutureWarning is noise here
+            # mixed-side unions carry all-NA columns by design and the join/
+            # window callers restore exact dtypes after their merge, so the
+            # pandas concat dtype-inference FutureWarning is noise here.
+            # ONLY the concat is wrapped — fn runs outside so deprecations
+            # inside caller merge logic still surface.
             warnings.simplefilter("ignore", FutureWarning)
-            out = fn(pd.concat(frames, ignore_index=True))
+            merged = pd.concat(frames, ignore_index=True)
+        out = fn(merged)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     @ray.remote
@@ -1264,9 +1267,11 @@ def group_var_exact(
     cross-engine check exact rather than float-formula-dependent.
 
     Combiner shape: per-batch (n, Σx, Σx²) per group; only those triples
-    shuffle. Overflow bound: needs n·Σx² < 2^63 — fine for |x| ≤ 10^5 and
-    groups ≤ ~10^8 rows; beyond that, widen the partials to float128/HUGEINT
-    or pre-center x by a per-group pivot."""
+    shuffle. Overflow bound (worst case): n·Σx² ≤ n²·x_max², so int64 needs
+    n·x_max < ~3.0e9 — e.g. groups ≤ ~3×10^4 rows at |x| ≤ 10^5, or ≤ ~3×10^6
+    rows at |x| ≤ 10^3 (numpy wraps SILENTLY past that). Beyond the bound,
+    pre-center x by a per-group pivot (shrinks x_max to the group's spread)
+    or widen the partials to Python-int/HUGEINT."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         x = df[val_col].to_numpy(dtype=np.int64)
@@ -1549,6 +1554,12 @@ def group_vector_mean(
     label prototypes)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # Ray Data emits zero-row (sometimes zero-column) blocks for fully-
+        # filtered batches; np.stack([]) would raise
+        if len(df) == 0 or vec_col not in df.columns:
+            return pd.DataFrame({**{k: pd.Series([], dtype="object") for k in keys},
+                                 "__sum": pd.Series([], dtype="object"),
+                                 "__n": pd.Series([], dtype="int64")})
         m = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
         d = pd.DataFrame({k: df[k] for k in keys})
         d["__i"] = np.arange(len(d))
@@ -1587,6 +1598,27 @@ def semi_join_partitioned(
     vectorized membership probe. Left row multiplicity is preserved
     (SQL semi/anti semantics)."""
 
+    # right-side rows must carry the left's FULL schema with dtype-correct
+    # zero fills: a mixed-side concat would otherwise NaN-promote the left's
+    # int64 payload columns to float64, silently corrupting values > 2^53
+    import pyarrow as _pa
+
+    schema = left.schema()
+    fills: dict = {}
+    dt_restore: dict[str, str] = {}
+    for name, typ in zip(schema.names, schema.types):
+        if name == on:
+            continue
+        if _pa.types.is_integer(typ):
+            fills[name] = np.int64(0)  # NaN would promote to float64 (lossy > 2^53)
+        elif _pa.types.is_boolean(typ):
+            fills[name] = False
+        elif _pa.types.is_timestamp(typ):
+            fills[name] = pd.NaT  # keeps datetime64; resolution restored below
+            dt_restore[name] = typ.unit
+        else:
+            fills[name] = None  # float/object columns tolerate NaN losslessly
+
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
         out["__side"] = np.int8(0)
@@ -1594,6 +1626,8 @@ def semi_join_partitioned(
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
         out = df[[on]].drop_duplicates()
+        for c, v in fills.items():
+            out[c] = v
         out["__side"] = np.int8(1)
         return out
 
@@ -1605,7 +1639,10 @@ def semi_join_partitioned(
         l = df[df["__side"] == 0].drop(columns="__side")
         keys = df.loc[df["__side"] == 1, on].unique()
         member = l[on].isin(keys)
-        return l[~member] if anti else l[member]
+        out = l[~member] if anti else l[member]
+        for c, unit in dt_restore.items():  # concat may widen us → ns
+            out = out.astype({c: f"datetime64[{unit}]"})
+        return out
 
     return hash_partition_apply(lt.union(rt), [on], filt, n_partitions=n_partitions)
 

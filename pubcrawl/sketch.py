@@ -183,6 +183,7 @@ def mg_topk_exact(
     topn: int,
     k_counters: int = 4096,
     n_partitions: int = 8,
+    max_candidates: int = 200_000,
 ):
     """Exact global top-n by count WITHOUT a full-domain shuffle: Misra-Gries
     candidate generation + an exact recount of candidates only.
@@ -209,25 +210,52 @@ def mg_topk_exact(
             thresh = np.partition(cnts, -k_counters - 1)[-k_counters - 1]
             keep = cnts > thresh
             vals, cnts = vals[keep], cnts[keep] - thresh
-        return pd.DataFrame({col: vals, "__c": cnts.astype(np.int64)})
+        out = pd.DataFrame({col: vals, "__c": cnts.astype(np.int64)})
+        # carry this batch's RAW row count on the first partial row so the
+        # total n never needs a third pass over the (possibly expensive)
+        # upstream pipeline
+        rows = np.zeros(len(out), dtype=np.int64)
+        if len(rows):
+            rows[0] = len(df)
+        out["__rows"] = rows
+        return out
 
+    # materialize: partials are ≤ k rows per block by construction, and they
+    # are consumed three times (n derivation, threshold top-k, candidate
+    # filter) — pinning them means the upstream runs ONCE here; the exact
+    # recount below is the only other upstream pass
     partials = ds.select_columns([col]).map_batches(
         compress, batch_format="pandas", batch_size=None
+    ).materialize()
+    n_rows = int(
+        partials.map_batches(
+            lambda df: pd.DataFrame({"s": [int(df["__rows"].sum())]}),
+            batch_format="pandas", batch_size=None,
+        ).to_pandas()["s"].sum()
     )
     sketchd = relops.hash_partition_apply(
-        partials,
+        partials.select_columns([col, "__c"]),
         [col],
         lambda df: df.groupby(col, as_index=False, sort=False)["__c"].sum(),
         n_partitions=n_partitions,
     )
-    n_rows = ds.count()
     slack = n_rows // k_counters + 1
     top_sketch = relops.topk(sketchd, [("__c", True), (col, False)], topn).to_pandas()
     t_bound = int(top_sketch["__c"].min()) if len(top_sketch) else 0
-    cand = sketchd.map_batches(
+    cand_ds = sketchd.map_batches(
         lambda df: df[df["__c"] + slack >= t_bound][[col]],
         batch_format="pandas", batch_size=None,
-    ).to_pandas()[col]  # candidate list — driver-small by the MG bound
+    )
+    n_cand = cand_ds.count()
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"mg_topk_exact: {n_cand} candidates exceed max_candidates="
+            f"{max_candidates} — the distribution is too flat for this "
+            f"k_counters (topn-th sketch count {t_bound} is within the n/k "
+            f"slack {slack} of the tail). Raise k_counters so n/k drops "
+            "below the topn-th true frequency, or raise max_candidates."
+        )
+    cand = cand_ds.to_pandas()[col]  # driver-small: guarded above
     recount = relops.preagg_group_sum(
         relops.semi_join_broadcast(ds.select_columns([col]), cand, col),
         [col], count_as="n", n_partitions=n_partitions,

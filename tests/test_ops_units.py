@@ -849,10 +849,16 @@ def test_pagerank_matches_dense_oracle():
     for seed, layouts in ((5, (3, 7)), (21, (4,))):
         rng = np.random.default_rng(seed)
         n_nodes, n_edges = 60, 400
+        # node ids are FULL-RANGE int64 (xxh64-style): above 2^53 they do not
+        # survive a float64 round-trip, so this regression-tests the
+        # schema-uniform union (a NaN-promoted id column would silently drop
+        # ~99% of messages and still pass with small ids)
+        universe = rng.integers(np.iinfo(np.int64).min, np.iinfo(np.int64).max,
+                                n_nodes + 10, dtype=np.int64)
         edges = pd.DataFrame({
-            "src": rng.integers(0, n_nodes, n_edges).astype(np.int64),
-            "dst": rng.integers(0, n_nodes + 10, n_edges).astype(np.int64),
-        })  # dst beyond src range → guaranteed sink (dangling) nodes
+            "src": universe[rng.integers(0, n_nodes, n_edges)],
+            "dst": universe[rng.integers(0, n_nodes + 10, n_edges)],
+        })  # dst draws beyond the src range → guaranteed sink (dangling) nodes
         exp = graph.pagerank_dense_oracle(edges, damping=0.85, iters=8)
         for parts in layouts:
             got = graph.pagerank(
@@ -1060,3 +1066,36 @@ def test_hash_partition_apply_survives_transient_task_failure(tmp_path):
     assert (out["v"].to_numpy() == exp["v"].to_numpy()).all()
     import os as _os
     assert _os.path.exists(sentinel)  # the crash really happened
+
+
+def test_semi_join_partitioned_preserves_wide_int64_payloads():
+    """Left payload columns above 2^53 must survive the co-partitioned
+    semi/anti join bit-exactly (regression: mixed-side concat NaN-promotion
+    to float64), and timestamp columns keep their microsecond resolution."""
+    import ray.data as rd
+    from pubcrawl import relops
+
+    rng = np.random.default_rng(37)
+    n = 2000
+    big = rng.integers(np.iinfo(np.int64).min, np.iinfo(np.int64).max, n,
+                       dtype=np.int64)
+    left = pd.DataFrame({
+        "k": (np.arange(n) % 97).astype(np.int64),
+        "payload": big,
+        "ts": pd.Series(pd.to_datetime("2001-05-05") +
+                        pd.to_timedelta(np.arange(n), unit="s")).astype("datetime64[us]"),
+    })
+    right = pd.DataFrame({"k": np.arange(0, 97, 3, dtype=np.int64)})
+    for anti in (False, True):
+        got = relops.semi_join_partitioned(
+            rd.from_pandas(left).repartition(5), rd.from_pandas(right).repartition(2),
+            on="k", anti=anti,
+        ).to_pandas()
+        member = left["k"].isin(right["k"].to_numpy())
+        exp = left[~member] if anti else left[member]
+        g = got.sort_values(["k", "payload"]).reset_index(drop=True)
+        e = exp.sort_values(["k", "payload"]).reset_index(drop=True)
+        assert g["payload"].dtype == np.int64
+        assert str(g["ts"].dtype) == "datetime64[us]"
+        assert (g["payload"].to_numpy() == e["payload"].to_numpy()).all()
+        assert (g["ts"].to_numpy() == e["ts"].to_numpy()).all()

@@ -133,3 +133,15 @@ def test_derive_and_commit_idempotent_resume(tmp_path):
     assert set(["image_id", "thumb", "thumb_w", "thumb_h"]) <= set(tbl.column_names)
     img = png_decode(tbl["thumb"][0].as_py())
     assert img.shape[:2] == (16, 16)
+    # every fragment holds EXACTLY the rows whose id hashes to its declared
+    # bucket (regression: colliding buckets in one merge partition must not
+    # commit under the first bucket's pid)
+    import numpy as np
+
+    from pubcrawl.hashing import xxh64_many
+
+    for pid in pids:
+        b = int(pid.rsplit("_", 1)[1])
+        t = pq.read_table(store.fragment_path(pid))
+        h = xxh64_many([str(v) for v in t["image_id"].to_pylist()])
+        assert (h % np.uint64(4) == b).all(), pid
