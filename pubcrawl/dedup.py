@@ -266,17 +266,27 @@ def attach_verify_pairs(
     # recompute corpus features once per stage
     ft_ds = ds.map_batches(features, batch_format="pandas", batch_size=None).materialize()
 
-    def tag(key_from: str, side: int):
+    def tag(key_from: str, side: int, fills: dict):
+        # both union sides carry the SAME columns (int64 zero-fills): a
+        # mixed-side concat would otherwise NaN-promote absent int64 id
+        # columns to float64, which silently loses low bits of 64-bit
+        # (xxh64-style) ids above 2^53
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             out = df.copy()
+            for c, v in fills.items():
+                if c not in out.columns:
+                    out[c] = v
             out["__k"] = out[key_from]
             out["__side"] = np.int8(side)
             return out
 
         return fn
 
-    p1 = cand.map_batches(tag("id_a", 0), batch_format="pandas", batch_size=None)
-    s1 = ft_ds.map_batches(tag("__id", 1), batch_format="pandas", batch_size=None)
+    _zero = np.int64(0)
+    p1 = cand.map_batches(tag("id_a", 0, {"__id": _zero, "__ft": None}),
+                          batch_format="pandas", batch_size=None)
+    s1 = ft_ds.map_batches(tag("__id", 1, {"id_a": _zero, "id_b": _zero}),
+                           batch_format="pandas", batch_size=None)
 
     empty_stage1 = pd.DataFrame(
         {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
@@ -294,14 +304,15 @@ def attach_verify_pairs(
         s = df[df["__side"] == 1][["__id", "__ft"]].rename(columns={"__ft": "__fa"})
         m = p.merge(s, left_on="id_a", right_on="__id", how="inner")
         m = m[["id_a", "id_b", "__fa"]]
-        # concat over mixed-side pieces NaN-promotes the id columns to
-        # float64; restore int64 so the next shuffle's bucket keys line up
-        return m.astype({"id_a": "int64", "id_b": "int64"})
+        assert m["id_a"].dtype == np.int64  # schema-uniform union upholds this
+        return m
 
     stage1 = relops.hash_partition_apply(p1.union(s1), ["__k"], attach_a, n_partitions=n_partitions)
 
-    p2 = stage1.map_batches(tag("id_b", 0), batch_format="pandas", batch_size=None)
-    s2 = ft_ds.map_batches(tag("__id", 1), batch_format="pandas", batch_size=None)
+    p2 = stage1.map_batches(tag("id_b", 0, {"__id": _zero, "__ft": None}),
+                            batch_format="pandas", batch_size=None)
+    s2 = ft_ds.map_batches(tag("__id", 1, {"id_a": _zero, "id_b": _zero, "__fa": None}),
+                           batch_format="pandas", batch_size=None)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if "id_a" not in df.columns or "__id" not in df.columns:

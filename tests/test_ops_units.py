@@ -1099,3 +1099,23 @@ def test_semi_join_partitioned_preserves_wide_int64_payloads():
         assert str(g["ts"].dtype) == "datetime64[us]"
         assert (g["payload"].to_numpy() == e["payload"].to_numpy()).all()
         assert (g["ts"].to_numpy() == e["ts"].to_numpy()).all()
+
+
+def test_attach_verify_pairs_with_full_range_int64_ids():
+    """The distributed attach-verify path must carry xxh64-style 64-bit ids
+    bit-exactly (regression: mixed-side concat float64 promotion)."""
+    import ray.data as rd
+    from pubcrawl import ann
+
+    rng = np.random.default_rng(43)
+    base = rng.standard_normal((12, 8))
+    base[5] = base[2] + 1e-9  # planted near-identical pair
+    huge = rng.integers(np.iinfo(np.int64).min, np.iinfo(np.int64).max, 12,
+                        dtype=np.int64)
+    ds = rd.from_items(
+        [{"vec_id": int(huge[i]), "embedding": base[i].tolist()} for i in range(12)]
+    ).repartition(3)
+    pairs = ann.cosine_pairs_lsh(ds, threshold=0.999, n_planes=8, n_tables=6)
+    want = tuple(sorted((int(huge[2]), int(huge[5]))))
+    got = set(zip(pairs["id_a"].astype(np.int64), pairs["id_b"].astype(np.int64)))
+    assert want in got, (want, got)
