@@ -670,9 +670,15 @@ def min_label_propagation(
         edges.map_batches(init_labels, batch_format="pandas", batch_size=None), ["id", "lbl"]
     )
 
-    def tag(key_from: str, side: int):
+    def tag(key_from: str, side: int, fills: tuple[str, ...] = ()):
+        # both union sides carry the SAME int64 columns (zero fills): a
+        # mixed-side concat would otherwise NaN-promote the absent ids to
+        # float64, losing low bits of 64-bit ids above 2^53
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             out = df.copy()
+            for c in fills:
+                if c not in out.columns:
+                    out[c] = np.int64(0)
             out["__k"] = out[key_from]
             out["__side"] = np.int8(side)
             return out
@@ -681,27 +687,30 @@ def min_label_propagation(
 
     def attach(endpoint: str, out_col: str, carry: list[str]):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
-            if endpoint not in df.columns or "id" not in df.columns:
-                return pd.DataFrame({c: pd.Series([], dtype="int64") for c in ["a", "b", *carry, out_col]})
             e = df[df["__side"] == 0][["a", "b", *carry]]
             l = df[df["__side"] == 1][["id", "lbl"]].rename(columns={"id": endpoint, "lbl": out_col})
             m = e.merge(l, on=endpoint, how="inner")
-            # undo NaN-concat float64 promotion so bucket keys stay aligned
-            return m.astype({c: "int64" for c in ["a", "b", *carry, out_col]})
+            if len(m):
+                assert m["a"].dtype == np.int64  # schema-uniform union upholds this
+            return m[["a", "b", *carry, out_col]]
 
         return fn
 
     prev_sum = None
     for _ in range(max_rounds):
         e1 = relops.hash_partition_apply(
-            edges.map_batches(tag("a", 0), batch_format="pandas", batch_size=None).union(
-                labels.map_batches(tag("id", 1), batch_format="pandas", batch_size=None)
+            edges.map_batches(tag("a", 0, ("id", "lbl")), batch_format="pandas",
+                              batch_size=None).union(
+                labels.map_batches(tag("id", 1, ("a", "b")), batch_format="pandas",
+                                   batch_size=None)
             ),
             ["__k"], attach("a", "la", []), n_partitions=n_partitions,
         )
         e2 = relops.hash_partition_apply(
-            e1.map_batches(tag("b", 0), batch_format="pandas", batch_size=None).union(
-                labels.map_batches(tag("id", 1), batch_format="pandas", batch_size=None)
+            e1.map_batches(tag("b", 0, ("id", "lbl")), batch_format="pandas",
+                           batch_size=None).union(
+                labels.map_batches(tag("id", 1, ("a", "b", "la")), batch_format="pandas",
+                                   batch_size=None)
             ),
             ["__k"], attach("b", "lb", ["la"]), n_partitions=n_partitions,
         )

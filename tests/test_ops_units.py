@@ -1119,3 +1119,25 @@ def test_attach_verify_pairs_with_full_range_int64_ids():
     want = tuple(sorted((int(huge[2]), int(huge[5]))))
     got = set(zip(pairs["id_a"].astype(np.int64), pairs["id_b"].astype(np.int64)))
     assert want in got, (want, got)
+
+
+def test_min_label_propagation_full_range_int64_ids():
+    """Connected components must keep 64-bit ids exact through the label
+    shuffles (regression: NaN-concat float64 promotion)."""
+    from pubcrawl import dedup
+
+    rng = np.random.default_rng(47)
+    ids = rng.integers(np.iinfo(np.int64).min, np.iinfo(np.int64).max, 12,
+                       dtype=np.int64)
+    # two chains and one isolated pair
+    pairs = pd.DataFrame({
+        "id_a": [ids[0], ids[1], ids[3], ids[4], ids[6]],
+        "id_b": [ids[1], ids[2], ids[4], ids[5], ids[7]],
+    })
+    cc = dedup.min_label_propagation(pairs)
+    got = dict(zip(cc["id"].astype(np.int64), cc["cluster"].astype(np.int64)))
+    for grp in ([0, 1, 2], [3, 4, 5], [6, 7]):
+        members = [int(ids[i]) for i in grp]
+        want = min(members)
+        for m in members:
+            assert got[m] == want, (m, got.get(m), want)
