@@ -1417,7 +1417,9 @@ def hash_join_salted(
 
     ``hot_keys`` defaults to the left side's Misra-Gries heavy hitters
     (sketch.mg_topk_exact — exact top counts without shuffling the key
-    domain). Plan: LEFT rows with a hot key get ``salt = row_position %
+    domain). Auto-detection re-reads the left input twice before the join
+    pass; at scale, pass ``hot_keys`` explicitly (they are usually known —
+    or compute them once and reuse across runs). Plan: LEFT rows with a hot key get ``salt = row_position %
     n_salts``; RIGHT rows with a hot key are REPLICATED once per salt (the
     standard broadcast-the-dimension-rows-of-hot-keys trick — right side is
     assumed the smaller per hot key, e.g. dimension/lookup rows). Everything
