@@ -231,6 +231,12 @@ def derive_and_commit(
     done = {
         pid for pid in store.committed() if pid.startswith(out_prefix + "_")
     }
+    all_pids = {f"{out_prefix}_{b:04d}" for b in range(n_buckets)}
+    if all_pids <= done:
+        # every bucket already committed — skip the decode/derive compute
+        # entirely (a bucket that got NO rows never commits and keeps the
+        # rerun path live, which is correct: recomputing it is cheap)
+        return {"committed": 0, "skipped": n_buckets, "rows": 0}
     ds = image_pipeline(load_images(store_root), stage, concurrency=concurrency,
                         batch_size=batch_size, **stage_kwargs)
 
