@@ -147,6 +147,10 @@ def run_crawl(num_cpus: int) -> dict:
         ),
         "wall_fetch_s": round(report.wall_fetch_s, 2),
         "wall_expand_s": round(report.wall_expand_s, 2),
+        # shard widths scale with num_cpus (cluster-size emulation): the N vs
+        # 4N efficiency measures cluster scaling, not a fixed-plan speedup
+        "seen_shards": max(4, num_cpus // 2),
+        "politeness_shards": max(2, num_cpus // 4),
     }
     shutil.rmtree(os.path.dirname(root), ignore_errors=True)
     return out
@@ -195,9 +199,11 @@ def run_expand(num_cpus: int) -> dict:
     # cluster runs 4x the shard actors; fixed width = fake serial floor in
     # local mode where num_cpus can't throttle actor execution)
     seen = SeenSet(num_shards=max(4, num_cpus), capacity_hint=1 << 24)
-    # fixed block count at BOTH parallelism levels (identical physical plan;
-    # only the worker count varies) so the comparison measures workers, not a
-    # plan change
+    # fixed block count at BOTH parallelism levels. NOTE the scaling metric's
+    # semantics: seen/politeness shard widths scale with num_cpus (cluster-
+    # size emulation — a 4N cluster runs 4x the shard actors), so N vs 4N
+    # measures cluster scaling (workers + actor width), not a fixed-plan
+    # speedup; shard widths are reported in the scaling JSON
     base = rd.range(n, override_num_blocks=128).map_batches(
         gen_links, batch_format="numpy", batch_size=None
     ).materialize()  # input prep excluded from the timed region
@@ -221,6 +227,7 @@ def run_expand(num_cpus: int) -> dict:
         "expand_unique_rows": unique,
         "expand_sec": round(wall, 2),
         "frontier_rows_per_sec": round(n / wall, 1),
+        "seen_shards": max(4, num_cpus),
     }
 
 

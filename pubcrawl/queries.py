@@ -1038,7 +1038,7 @@ def q_price_quantiles(sf_dir: str):
     (group, value)→count histogram partials (the shuffle moves distinct
     values, not rows), then quantile selection by cumulative-count
     searchsorted (relops.group_quantile_disc; DuckDB quantile_disc
-    semantics — element at floor((n-1)*q) of the sorted group)."""
+    semantics — the element at 1-based rank ceil(n*q) of the sorted group)."""
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
     ds = relops.with_columns(ds, {"price_e2": relops.money_to_units("l_extendedprice")})
     return relops.group_quantile_disc(

@@ -914,9 +914,13 @@ def window_frame_sum(
         cum = g[val_col].cumsum().to_numpy()
         idx = g.cumcount().to_numpy()
         # cum value w rows back WITHIN the group: groups are contiguous after
-        # the sort, so a flat shift is in-group wherever idx >= w; idx < w → 0
-        shifted = pd.Series(cum).shift(w)
-        lag_cum = np.where(idx >= w, shifted.to_numpy(), 0)
+        # the sort, so a flat shift is in-group wherever idx >= w; idx < w → 0.
+        # Shift without pd.Series.shift — its NaN fill promotes int64 to
+        # float64, losing low bits of cumulative sums above 2^53
+        lag_cum = np.zeros_like(cum)
+        if w < len(cum):
+            lag_cum[w:] = cum[:-w]
+        lag_cum = np.where(idx >= w, lag_cum, 0)
         df[out] = (cum - lag_cum).astype(df[val_col].dtype)
         return df
 
@@ -1267,14 +1271,24 @@ def group_var_exact(
     cross-engine check exact rather than float-formula-dependent.
 
     Combiner shape: per-batch (n, Σx, Σx²) per group; only those triples
-    shuffle. Overflow bound (worst case): n·Σx² ≤ n²·x_max², so int64 needs
-    n·x_max < ~3.0e9 — e.g. groups ≤ ~3×10^4 rows at |x| ≤ 10^5, or ≤ ~3×10^6
-    rows at |x| ≤ 10^3 (numpy wraps SILENTLY past that). Beyond the bound,
-    pre-center x by a per-group pivot (shrinks x_max to the group's spread)
-    or widen the partials to Python-int/HUGEINT."""
+    shuffle. Overflow safety: the per-batch Σx² is guarded against int64 wrap
+    (cheap ``batch_rows·x_max²`` bound check, raises with guidance), and the
+    final merge accumulates in exact Python ints, raising if ``var_num``
+    itself exceeds int64 — so a wrong value is never returned silently. Past
+    the bound, pre-center x by a per-group pivot (shrinks x_max to the
+    group's spread) before calling this."""
+    i64max = (1 << 63) - 1
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         x = df[val_col].to_numpy(dtype=np.int64)
+        if len(x):
+            mx = int(np.abs(x).max())
+            if len(x) * mx * mx > i64max:  # exact Python-int bound check
+                raise OverflowError(
+                    f"group_var_exact: batch Σx² may exceed int64 "
+                    f"(rows={len(x)}, |x|max={mx}); pre-center {val_col} "
+                    "by a per-group pivot or reduce batch size"
+                )
         d = pd.DataFrame({k: df[k] for k in keys})
         d["__n"] = np.int64(1)
         d["__sx"] = x
@@ -1286,12 +1300,26 @@ def group_var_exact(
     )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(keys, as_index=False, sort=False)[["__n", "__sx", "__sxx"]].sum()
-        n = g["__n"].to_numpy(dtype=np.int64)
-        sx = g["__sx"].to_numpy(dtype=np.int64)
+        # exact Python-int accumulation: partials tables are small (groups ×
+        # batches rows), and numpy int64 would wrap silently at the n·Σx²
+        # scale this operator is advertised for
+        d = df.copy()
+        d["__sx"] = d["__sx"].astype(object)
+        d["__sxx"] = d["__sxx"].astype(object)
+        g = d.groupby(keys, as_index=False, sort=False)[["__n", "__sx", "__sxx"]].sum()
+        var_num = [
+            int(n_) * int(sxx_) - int(sx_) * int(sx_)
+            for n_, sx_, sxx_ in zip(g["__n"], g["__sx"], g["__sxx"])
+        ]
+        bad = [v for v in var_num if not (-i64max - 1 <= v <= i64max)]
+        if bad:
+            raise OverflowError(
+                f"group_var_exact: var_num {bad[0]} exceeds int64; pre-center "
+                f"{val_col} by a per-group pivot before calling"
+            )
         out = g[keys].copy()
-        out["n"] = n
-        out["var_num"] = n * g["__sxx"].to_numpy(dtype=np.int64) - sx * sx
+        out["n"] = g["__n"].to_numpy(dtype=np.int64)
+        out["var_num"] = np.asarray(var_num, dtype=np.int64)
         return out
 
     return hash_partition_apply(partials, keys, final, n_partitions=n_partitions)

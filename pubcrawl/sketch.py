@@ -177,6 +177,34 @@ def bottomk_group_quantiles(
 # ------------------------------------------- Misra-Gries heavy hitters
 
 
+def _mg_compress(df: pd.DataFrame, col: str, k_counters: int) -> pd.DataFrame:
+    """One batch's Misra-Gries partial: exact value counts compressed to ≤
+    k_counters counters (subtract the (k+1)-th largest count, drop ≤0), plus
+    the batch's RAW row count carried on the first partial row so the total n
+    (hence the n/k slack) never needs a third pass over the upstream pipeline.
+
+    Invariant (exactness of mg_topk_exact depends on it): the summed __rows
+    over all partials equals the total input row count, EVEN when compression
+    keeps zero counters — e.g. an all-unique batch of > k_counters values,
+    where every count equals the (k+1)-th largest. That case emits a single
+    zero-count sentinel row (harmless to every sketch sum) to carry __rows."""
+    n = len(df)
+    vals, cnts = np.unique(df[col].to_numpy(), return_counts=True)
+    if len(vals) > k_counters:
+        thresh = np.partition(cnts, -k_counters - 1)[-k_counters - 1]
+        keep = cnts > thresh
+        vals, cnts = vals[keep], cnts[keep] - thresh
+        if len(vals) == 0 and n:
+            vals = df[col].to_numpy()[:1]
+            cnts = np.zeros(1, dtype=np.int64)
+    out = pd.DataFrame({col: vals, "__c": cnts.astype(np.int64)})
+    rows = np.zeros(len(out), dtype=np.int64)
+    if len(rows):
+        rows[0] = n
+    out["__rows"] = rows
+    return out
+
+
 def mg_topk_exact(
     ds,
     col: str,
@@ -205,20 +233,7 @@ def mg_topk_exact(
     from . import relops
 
     def compress(df: pd.DataFrame) -> pd.DataFrame:
-        vals, cnts = np.unique(df[col].to_numpy(), return_counts=True)
-        if len(vals) > k_counters:
-            thresh = np.partition(cnts, -k_counters - 1)[-k_counters - 1]
-            keep = cnts > thresh
-            vals, cnts = vals[keep], cnts[keep] - thresh
-        out = pd.DataFrame({col: vals, "__c": cnts.astype(np.int64)})
-        # carry this batch's RAW row count on the first partial row so the
-        # total n never needs a third pass over the (possibly expensive)
-        # upstream pipeline
-        rows = np.zeros(len(out), dtype=np.int64)
-        if len(rows):
-            rows[0] = len(df)
-        out["__rows"] = rows
-        return out
+        return _mg_compress(df, col, k_counters)
 
     # materialize: partials are ≤ k rows per block by construction, and they
     # are consumed three times (n derivation, threshold top-k, candidate

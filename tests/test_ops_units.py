@@ -1141,3 +1141,74 @@ def test_min_label_propagation_full_range_int64_ids():
         want = min(members)
         for m in members:
             assert got[m] == want, (m, got.get(m), want)
+
+
+def test_mg_compress_carries_rows_when_all_counters_dropped():
+    """An all-unique batch of > k_counters values compresses to ZERO counters
+    (every count equals the (k+1)-th largest) — its raw row count must still
+    reach the n/k slack derivation via a zero-count sentinel row, or the
+    candidate superset silently loses the exactness guarantee."""
+    from pubcrawl.sketch import _mg_compress
+
+    df = pd.DataFrame({"v": np.arange(100, dtype=np.int64)})
+    out = _mg_compress(df, "v", k_counters=8)
+    assert int(out["__rows"].sum()) == 100
+    assert int(out["__c"].sum()) == 0  # sentinel adds nothing to any sketch sum
+    # normal batch: counts kept exactly, rows carried once
+    df2 = pd.DataFrame({"v": np.repeat([1, 2], [50, 3]).astype(np.int64)})
+    out2 = _mg_compress(df2, "v", k_counters=8)
+    assert int(out2["__rows"].sum()) == 53
+    assert dict(zip(out2["v"], out2["__c"])) == {1: 50, 2: 3}
+    # empty batch: empty partial, no crash
+    assert len(_mg_compress(df.iloc[:0], "v", 8)) == 0
+
+
+def test_mg_topk_exact_survives_all_dropped_blocks():
+    """Adversarial block layout: the true top-1 value appears once per
+    all-unique block (sketch contribution 0, rows formerly dropped) plus one
+    small exact block; a decoy is concentrated in one block (sketch = true).
+    Without the sentinel-row fix the understated slack excludes the true
+    winner and the decoy is returned."""
+    import pyarrow as pa
+    import ray.data as rd
+    from pubcrawl import sketch
+
+    blocks = []
+    uid = 10_000
+    for _ in range(30):  # y + 5 uniques: > k_counters distinct, all dropped
+        blocks.append(pa.table({"v": np.array([7] + list(range(uid, uid + 5)), dtype=np.int64)}))
+        uid += 5
+    blocks.append(pa.table({"v": np.full(20, 9, dtype=np.int64)}))  # decoy x=9: sketch exact
+    blocks.append(pa.table({"v": np.full(5, 7, dtype=np.int64)}))   # y small exact block
+    ds = rd.from_arrow(blocks)
+    got = sketch.mg_topk_exact(ds, "v", topn=1, k_counters=4).to_pandas()
+    assert list(got["v"]) == [7] and list(got["n"]) == [35]
+
+
+def test_window_frame_sum_exact_above_2p53():
+    """Frame sums stay exact when the group cumsum exceeds 2^53 (regression:
+    pd.Series.shift promoted the lagged cumsum to float64, rounding low bits)."""
+    import ray.data as rd
+    from pubcrawl import relops
+
+    v = np.full(10, (1 << 52) + 1, dtype=np.int64)
+    df = pd.DataFrame({"g": 1, "o": np.arange(10), "v": v})
+    got = (
+        relops.window_frame_sum(rd.from_pandas(df), ["g"], ["o"], "v", "fs", preceding=2)
+        .to_pandas().sort_values("o")
+    )
+    expect = np.minimum(np.arange(10) + 1, 3) * ((1 << 52) + 1)
+    assert got["fs"].dtype == np.int64
+    assert (got["fs"].to_numpy() == expect).all()
+
+
+def test_group_var_exact_overflow_raises():
+    """Values past the int64 Σx² envelope must raise, never wrap silently."""
+    import pytest
+    import ray.data as rd
+    from pubcrawl import relops
+
+    df = pd.DataFrame({"g": ["a"] * 4, "v": np.full(4, 3_100_000_000, dtype=np.int64)})
+    # Ray wraps the worker's OverflowError in RayTaskError — match the message
+    with pytest.raises(Exception, match="group_var_exact.*int64"):
+        relops.group_var_exact(rd.from_pandas(df), ["g"], "v").to_pandas()
