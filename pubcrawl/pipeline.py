@@ -404,6 +404,7 @@ class CrawlPipeline:
         max_retries: int = 5,
         fetch_threads: int = 8,
         politeness_clock: str = "local",  # "shard" on multi-node clusters
+        transport_factory=None,  # zero-arg → transport; default synthetic web
     ):
         self.cfg = cfg
         self.store = open_store(store_root)
@@ -416,7 +417,8 @@ class CrawlPipeline:
         # num_cpus=0.75 leaves scheduling room for the commit shuffle tasks
         self.fetch_workers = [
             FetchWorker.options(num_cpus=0.75).remote(
-                cfg, self.politeness.shards, max_retries, fetch_threads, politeness_clock
+                cfg, self.politeness.shards, max_retries, fetch_threads,
+                politeness_clock, transport_factory,
             )
             for _ in range(fetch_concurrency)
         ]

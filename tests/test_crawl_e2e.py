@@ -277,3 +277,92 @@ def test_crawl_never_fetches_blocks_to_driver(tmp_path, monkeypatch):
     assert fetched_tables == [], (
         f"driver fetched {len(fetched_tables)} Arrow blocks during the crawl"
     )
+
+
+# ------------------------------------------------------------ real HTTP e2e
+
+CFG_HTTP = WebConfig(
+    seed=11,
+    n_hosts=4,
+    pages_per_host=2,
+    links_per_page=5,
+    images_per_page=1,
+    details_per_host=12,
+    fail_percent=0,
+)
+
+
+@pytest.fixture(scope="module")
+def http_mirror():
+    """Local HTTP server mirroring the synthetic web's content under
+    /host-XXXXX/...; the FIRST hit on every path returns 503 so urllib3's
+    Retry layer inside HttpTransport is exercised on every URL."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    content = SyntheticTransport(CFG_HTTP)
+    lock = threading.Lock()
+    seen_once: set[str] = set()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            with lock:
+                first = self.path not in seen_once
+                seen_once.add(self.path)
+            if first:
+                self.send_response(503)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            st, data = content.fetch("synth:/" + self.path)
+            self.send_response(st)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *args):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield srv.server_address[1]
+    srv.shutdown()
+
+
+def test_http_transport_full_pipeline_matches_oracle(http_mirror, tmp_path):
+    """The FULL crawl pipeline (politeness + seen + idempotent commits) over a
+    REAL HTTP transport (requests.Session + urllib3 Retry), bit-for-bit against
+    the sequential oracle on the same served content — VERDICT round-2 item 2.
+    RewriteTransport keeps the canonical synth:// URL space (host structure for
+    politeness/dedup) while bytes physically travel over localhost HTTP."""
+    base = f"http://127.0.0.1:{http_mirror}/"
+
+    def factory(base=base):
+        from pubcrawl.fetch import HttpTransport, RewriteTransport
+
+        return RewriteTransport(
+            HttpTransport(total_retries=3, backoff=0.0, timeout=10),
+            {"synth://": base},
+        )
+
+    root = str(tmp_path / "store")
+    report = crawl(
+        CFG_HTTP,
+        root,
+        fetch_concurrency=2,
+        bucket_size=64,
+        seen_shards=2,
+        politeness_shards=2,
+        fetch_threads=4,
+        transport_factory=factory,
+    )
+    oracle = crawl_oracle(CFG_HTTP)
+    pages = load_pages(root).to_pandas().sort_values("seq")
+    assert set(int(x) for x in pages.url_hash) == oracle.seen_hashes
+    assert list(pages.url) == [u for u, _, _ in oracle.order]
+    assert report.errors == 0  # every 503 recovered inside the Retry layer
+    imgs = load_images(root, canonical_order=True).to_pandas()
+    golden = oracle.rows.to_pandas()
+    assert list(imgs.image_id) == list(golden.image_id)
+    assert list(imgs.phash) == list(golden.phash)
+    assert list(imgs.caption) == list(golden.caption)
