@@ -267,7 +267,8 @@ def cosine_pairs_lsh(
     seed: int = 7,
     n_partitions: int = 16,
     materialize_input: bool = True,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+) -> pd.DataFrame | rd.Dataset:
     """The 100-TB path for embedding near-dup (VERDICT r1 next-round #3's
     "bucketed candidate generation"): SRP-LSH buckets propose candidate
     pairs (ids only through the shuffle), then the generic distributed
@@ -291,25 +292,33 @@ def cosine_pairs_lsh(
         emb_col=emb_col, seed=seed, n_partitions=n_partitions,
     )
 
-    def make_features(df: pd.DataFrame, involved) -> pd.DataFrame:
-        sub = df[df[id_col].isin(involved)]
-        m = _normalize(_stack(sub[emb_col])) if len(sub) else np.zeros((0, 1))
+    def make_features(df: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_stack(df[emb_col])) if len(df) else np.zeros((0, 1))
         return pd.DataFrame(
-            {"__id": sub[id_col].to_numpy(), "__ft": [r.tobytes() for r in m]}
+            {"__id": df[id_col].to_numpy(), "__ft": [r.tobytes() for r in m]}
         )
 
     def score(a: bytes, b: bytes) -> float:
         return float(np.frombuffer(a, dtype=np.float64) @ np.frombuffer(b, dtype=np.float64))
 
     verified = dedup.attach_verify_pairs(
-        ds, cand, make_features, score, "cos_sim", n_partitions=n_partitions
-    ).to_pandas()
-    if "cos_sim" not in verified.columns:  # empty Ray blocks drop the schema
-        verified = pd.DataFrame(
-            {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
-             "cos_sim": pd.Series([], dtype="float64")}
+        ds, cand, make_features, score, "cos_sim",
+        id_col=id_col, n_partitions=n_partitions,
+    )
+    _empty = pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64"),
+         "cos_sim": pd.Series([], dtype="float64")}
+    )
+    if as_dataset:  # scale path: pair Dataset end-to-end, no driver gather
+        return verified.map_batches(
+            lambda df: df[df["cos_sim"] >= threshold]
+            if "cos_sim" in df.columns else _empty.copy(),
+            batch_format="pandas", batch_size=None,
         )
-    out = verified[verified["cos_sim"] >= threshold]
+    out = verified.to_pandas()
+    if "cos_sim" not in out.columns:  # empty Ray blocks drop the schema
+        out = _empty
+    out = out[out["cos_sim"] >= threshold]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 

@@ -1085,17 +1085,11 @@ def sample_hash_orders(sf_dir: str):
 # ================================================== image phash near-dup (A+B)
 
 
-@query("dedup_phash_images")  # perceptual-hash dedup over binary images → rows-only
-def dedup_phash_images(sf_dir: str):
-    """Image near-dup over the input_hint's image(+caption) shape: a
-    deterministic procedural image table (560 png/jpeg payloads; every 10th
-    image re-appears brightness-shifted under image_id+1000000), decoded and
-    phash64-ed in an actor-pool map_batches stage (bytes never on the
-    driver), then banded-Hamming LSH over the 64-bit hashes
-    (dedup.hamming_pairs: 4x16-bit bands, recall GUARANTEED for hamming<=3
-    by pigeonhole, true-hamming verified in-bucket). Output = exactly the
-    pair set {hamming(phash_a, phash_b) <= 3}, asserted against a
-    brute-force oracle in tests/test_multimodal.py."""
+def _phash_image_table() -> rd.Dataset:
+    """Deterministic procedural image table (560 png/jpeg payloads; every
+    10th image re-appears brightness-shifted under image_id+1000000), decoded
+    and phash64-ed in map_batches stages (bytes never on the driver) —
+    shared by dedup_phash_images and image_phash_clusters."""
     from .imaging import decode_image, encode_image, phash64, procedural_image
 
     n = 512
@@ -1129,8 +1123,21 @@ def dedup_phash_images(sf_dir: str):
             {"image_id": batch["image_id"], "phash": pa.array(hs, pa.int64())}
         )
 
-    hashed = imgs.map_batches(hash_stage, batch_format="pyarrow", batch_size=64)
-    return dedup.hamming_pairs(hashed, "phash", "image_id", max_hamming=3, n_bands=4)
+    return imgs.map_batches(hash_stage, batch_format="pyarrow", batch_size=64)
+
+
+@query("dedup_phash_images")  # perceptual-hash dedup over binary images → rows-only
+def dedup_phash_images(sf_dir: str):
+    """Image near-dup over the input_hint's image(+caption) shape: the
+    procedural phash table (see _phash_image_table), then banded-Hamming LSH
+    over the 64-bit hashes (dedup.hamming_pairs: 4x16-bit bands, recall
+    GUARANTEED for hamming<=3 by pigeonhole, true-hamming verified
+    in-bucket). Output = exactly the pair set
+    {hamming(phash_a, phash_b) <= 3}, asserted against a brute-force oracle
+    in tests."""
+    return dedup.hamming_pairs(
+        _phash_image_table(), "phash", "image_id", max_hamming=3, n_bands=4
+    )
 
 
 # ======================================= distinct counting: exact + HLL sketch
@@ -1752,14 +1759,17 @@ def image_phash_clusters(sf_dir: str):
     dedup_phash_images, then distributed connected components
     (dedup.min_label_propagation — explicit hash-shuffle rounds, no driver
     union-find) and a keep-one-representative flag per involved image
-    (cluster = min member id; representative keeps). Planted near-dups
-    (every 10th image re-encoded brightness-shifted as id+1e6) make the
-    expected clusters exactly the (i, i+1e6) pairs plus any true phash
-    collisions, asserted against a brute-force oracle in tests."""
+    (cluster = min member id; representative keeps). The pair table flows
+    Dataset-to-Dataset into the clustering (round-3: no driver pair gather).
+    Planted near-dups (every 10th image re-encoded brightness-shifted as
+    id+1e6) make the expected clusters exactly the (i, i+1e6) pairs plus any
+    true phash collisions, asserted against a brute-force oracle in tests."""
     from . import dedup
 
-    pairs = dedup_phash_images(sf_dir)
-    if not len(pairs):
+    pairs = dedup.hamming_pairs_ds(
+        _phash_image_table(), "phash", "image_id", max_hamming=3, n_bands=4
+    ).materialize()  # consumed twice (count + clustering); pinned off-driver
+    if pairs.count() == 0:
         return pd.DataFrame({"image_id": [], "cluster": [], "keep": []})
     cc = dedup.min_label_propagation(pairs, id_a="id_a", id_b="id_b")
     cc = cc.rename(columns={"id": "image_id"})
