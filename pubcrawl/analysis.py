@@ -274,6 +274,193 @@ def save_wordcloud_svg(freqs: pd.DataFrame, path: str, word_col: str = "word",
     return path
 
 
+def save_stacked_barh_svg(pivot: pd.DataFrame, path: str, title: str = "",
+                          width: int = 900) -> str:
+    """K9 stacked-barh fallback (trends.py:101-125 semantics: row-normalised
+    category shares per topic) — dependency-free SVG."""
+    colors = ["#4477aa", "#ee6677", "#228833", "#ccbb44", "#66ccee", "#aa3377"]
+    norm = pivot.div(pivot.sum(axis=1).replace(0, np.nan), axis=0).fillna(0)
+    bar_h, pad = 18, 4
+    height = 60 + len(norm) * (bar_h + pad)
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}">',
+        f'<text x="10" y="20" font-size="16" font-family="sans-serif">{title}</text>',
+    ]
+    for j, col in enumerate(norm.columns):  # legend
+        parts.append(
+            f'<rect x="{10 + j * 130}" y="30" width="12" height="12" fill="{colors[j % len(colors)]}"/>'
+            f'<text x="{26 + j * 130}" y="40" font-size="11" font-family="sans-serif">{col}</text>'
+        )
+    for i, (label, row) in enumerate(norm.iterrows()):
+        y = 60 + i * (bar_h + pad)
+        parts.append(
+            f'<text x="10" y="{y + 13}" font-size="11" font-family="sans-serif">{label}</text>'
+        )
+        x = 300.0
+        for j, col in enumerate(norm.columns):
+            w = (width - 320) * float(row[col])
+            if w > 0:
+                parts.append(
+                    f'<rect x="{x:.1f}" y="{y}" width="{max(w, 0.5):.1f}" '
+                    f'height="{bar_h}" fill="{colors[j % len(colors)]}"/>'
+                )
+            x += w
+    parts.append("</svg>")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(parts))
+    return path
+
+
+def save_stackplot_svg(pivot: pd.DataFrame, path: str, title: str = "",
+                       width: int = 900, height: int = 420) -> str:
+    """K9 stackplot fallback (trends.py:150-164: year×topic share area chart)
+    — cumulative-sum polygons, dependency-free SVG."""
+    colors = ["#4477aa", "#ee6677", "#228833", "#ccbb44", "#66ccee", "#aa3377"]
+    vals = pivot.to_numpy(dtype=float)
+    cum = np.concatenate([np.zeros((len(vals), 1)), np.cumsum(vals, axis=1)], axis=1)
+    vmax = float(cum[:, -1].max() or 1.0)
+    x0, y0, w, h = 60, 40, width - 80, height - 80
+    n = len(pivot)
+    xs = [x0 + w * i / max(n - 1, 1) for i in range(n)]
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}">',
+        f'<text x="10" y="20" font-size="16" font-family="sans-serif">{title}</text>',
+    ]
+    for j, col in enumerate(pivot.columns):
+        lo = [y0 + h * (1 - cum[i, j] / vmax) for i in range(n)]
+        hi = [y0 + h * (1 - cum[i, j + 1] / vmax) for i in range(n)]
+        pts = [f"{x:.1f},{y:.1f}" for x, y in zip(xs, hi)]
+        pts += [f"{x:.1f},{y:.1f}" for x, y in zip(reversed(xs), reversed(lo))]
+        parts.append(
+            f'<polygon points="{" ".join(pts)}" fill="{colors[j % len(colors)]}" '
+            f'fill-opacity="0.85"><title>{col}</title></polygon>'
+        )
+    for i, label in enumerate(pivot.index):  # x ticks
+        parts.append(
+            f'<text x="{xs[i]:.0f}" y="{height - 12}" font-size="11" '
+            f'font-family="sans-serif" text-anchor="middle">{label}</text>'
+        )
+    parts.append("</svg>")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(parts))
+    return path
+
+
+def _matplotlib():
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        return plt
+    except ImportError:
+        return None
+
+
+def save_barh(df: pd.DataFrame, label_col: str, value_col: str, path: str,
+              title: str = "", top_n: int = 40) -> str:
+    """K9 ranking chart with the REAL backend when available
+    (/root/reference/src/analysis/trends.py:73-92: seaborn/matplotlib barh,
+    height min(30, max(10, n*0.4))); falls back to the dependency-free SVG
+    (path swaps to .svg) when matplotlib is absent (this sandbox)."""
+    plt = _matplotlib()
+    if plt is None:
+        return save_barh_svg(df, label_col, value_col,
+                             os.path.splitext(path)[0] + ".svg", title, top_n)
+    rows = df.dropna(subset=[value_col]).sort_values(value_col, ascending=False).head(top_n)
+    height = min(30, max(10, len(rows) * 0.4))
+    plt.figure(figsize=(16, height))
+    plt.barh(rows[label_col][::-1], rows[value_col][::-1])
+    plt.title(title, fontsize=22, pad=20)
+    plt.xlabel(value_col.replace("_", " ").title(), fontsize=16)
+    plt.tight_layout()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    plt.savefig(path)
+    plt.close()
+    return path
+
+
+def save_stacked_barh(pivot: pd.DataFrame, path: str, title: str = "") -> str:
+    """K9 decision-breakdown chart, real backend when available
+    (trends.py:96-125: row-normalised stacked barh); SVG fallback otherwise."""
+    plt = _matplotlib()
+    if plt is None:
+        return save_stacked_barh_svg(pivot, os.path.splitext(path)[0] + ".svg", title)
+    norm = pivot.div(pivot.sum(axis=1).replace(0, np.nan), axis=0).fillna(0)
+    height = min(30, max(12, len(norm) * 0.5))
+    norm.plot(kind="barh", stacked=True, colormap="viridis", width=0.85,
+              figsize=(20, height))
+    plt.title(title, fontsize=24, pad=40)
+    plt.tight_layout()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    plt.savefig(path)
+    plt.close()
+    return path
+
+
+def save_stackplot(pivot: pd.DataFrame, path: str, title: str = "") -> str:
+    """K9 year×topic share area chart, real backend when available
+    (trends.py:150-164); SVG fallback otherwise."""
+    plt = _matplotlib()
+    if plt is None:
+        return save_stackplot_svg(pivot, os.path.splitext(path)[0] + ".svg", title)
+    plt.figure(figsize=(16, 9))
+    plt.stackplot(pivot.index, *[pivot[c] for c in pivot.columns], labels=list(pivot.columns))
+    plt.legend(loc="upper left", ncol=3)
+    plt.title(title, fontsize=20)
+    plt.tight_layout()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    plt.savefig(path)
+    plt.close()
+    return path
+
+
+def save_wordcloud(freqs: pd.DataFrame, path: str, word_col: str = "word",
+                   n_col: str = "n", width: int = 1200, height: int = 600) -> str:
+    """K8 with the REAL backend when available
+    (/root/reference/src/analysis/analyzer.py:47-78: WordCloud 1200×600 PNG
+    from a frequency dict); the deterministic SVG stand-in otherwise
+    (path swaps to .svg)."""
+    try:
+        from wordcloud import WordCloud  # type: ignore
+    except ImportError:
+        return save_wordcloud_svg(freqs, os.path.splitext(path)[0] + ".svg",
+                                  word_col, n_col)
+    wc = WordCloud(width=width, height=height, background_color="white")
+    wc.generate_from_frequencies(dict(zip(freqs[word_col], freqs[n_col])))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    wc.to_file(path)
+    return path
+
+
+def save_summary_table(df: pd.DataFrame, path_base: str, title: str = "",
+                       bar_cols: tuple[str, ...] = (), pct_cols: tuple[str, ...] = ()) -> tuple[str, str]:
+    """K9's CSV + styled-HTML summary pair
+    (/root/reference/src/analysis/trends.py:127-148: utf-8-sig CSV and a
+    pandas Styler HTML with in-cell bars). The CSS-gradient ``.bar`` styling
+    needs no plotting backend; the colormap ``background_gradient`` (which
+    requires matplotlib) is applied only when available."""
+    os.makedirs(os.path.dirname(path_base) or ".", exist_ok=True)
+    csv_path, html_path = f"{path_base}.csv", f"{path_base}.html"
+    df.to_csv(csv_path, index=False, encoding="utf-8-sig")
+    styler = df.style.set_caption(title)
+    for c in bar_cols:
+        if c in df.columns:
+            styler = styler.bar(subset=[c], color="#6495ED")
+    if pct_cols:
+        styler = styler.format({c: "{:.2%}" for c in pct_cols if c in df.columns})
+    if _matplotlib() is not None and pct_cols:
+        styler = styler.background_gradient(
+            subset=[c for c in pct_cols if c in df.columns], cmap="summer_r"
+        )
+    with open(html_path, "w", encoding="utf-8") as f:
+        f.write(styler.to_html())
+    return csv_path, html_path
+
+
 def save_search_results(df: pd.DataFrame, out_dir: str, query: str) -> str:
     """K10 (/root/reference/src/search/search_service.py:236-256): timestamped
     session markdown of search hits."""
