@@ -193,7 +193,7 @@ def lsh_candidate_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     seed: int = 7,
-    n_partitions: int = 16,
+    n_partitions: int | None = None,
 ) -> rd.Dataset:
     """Hyperplane-LSH (signed-random-projection) candidate generation for
     cosine near-dup: per batch, project onto ``n_tables * n_planes`` seeded
@@ -265,7 +265,7 @@ def cosine_pairs_lsh(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     seed: int = 7,
-    n_partitions: int = 16,
+    n_partitions: int | None = None,
     materialize_input: bool = True,
     as_dataset: bool = False,
 ) -> pd.DataFrame | rd.Dataset:

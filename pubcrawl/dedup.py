@@ -53,7 +53,7 @@ def exact_dedup(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
         out = df.groupby("__h", as_index=False).agg(**{id_col: (id_col, "min"), "dupes": ("__n", "sum")})
         return out[[id_col, "dupes"]]
 
-    return relops.hash_partition_apply(partials, ["__h"], final, n_partitions=8)
+    return relops.hash_partition_apply(partials, ["__h"], final)  # auto width: partials ~ distinct hashes per batch (O(rows) worst case)
 
 
 # ---------------------------------------------------------------- shingling
@@ -210,7 +210,8 @@ def minhash_lsh_pairs_ds(
     # cross-band duplicate pairs are NOT deduped here: they share id_a, so
     # they co-locate at the verify's first co-partition stage, which dedupes
     # them for free (one shuffle wave saved vs a separate distinct)
-    cand = relops.hash_partition_apply(band_rows, ["band", "bh"], bucket_pairs, n_partitions=8)
+    # band_rows is bands x docs rows — auto width, not a static literal
+    cand = relops.hash_partition_apply(band_rows, ["band", "bh"], bucket_pairs)
     verified = verify_pairs_jaccard(ds, cand, text_col, id_col, ngram=ngram)
 
     def thresh(df: pd.DataFrame) -> pd.DataFrame:
@@ -280,7 +281,7 @@ def attach_verify_pairs(
     score_col: str,
     *,
     id_col: str = "id",
-    n_partitions: int = 8,
+    n_partitions: int | None = None,
     broadcast_ids_max: int = 4_000_000,
 ) -> rd.Dataset:
     """Generic distributed attach-and-verify over candidate pairs: fetch each
@@ -412,7 +413,7 @@ def verify_pairs_jaccard(
     id_col: str,
     *,
     ngram: int = 3,
-    n_partitions: int = 8,
+    n_partitions: int | None = None,
 ) -> rd.Dataset:
     """Distributed exact-Jaccard verification of LSH candidate pairs (round-2
     fix for VERDICT What's-wrong — the round-1 verify was a driver-side
@@ -519,7 +520,7 @@ def hamming_pairs_ds(
     *,
     max_hamming: int = 3,
     n_bands: int = 4,
-    n_partitions: int = 8,
+    n_partitions: int | None = None,
 ) -> rd.Dataset:
     """Banded-LSH hamming near-dup over a precomputed 64-bit integer hash
     column (SimHash text signatures, or the image table's ``phash`` — the
@@ -732,7 +733,7 @@ def min_label_propagation(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 25,
-    n_partitions: int = 8,
+    n_partitions: int | None = None,
     as_dataset: bool = False,
 ) -> pd.DataFrame | rd.Dataset:
     """Distributed connected components over a near-dup pair list via

@@ -43,7 +43,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iters: int = 10,
-    n_partitions: int = 16,
+    n_partitions: int | None = None,
 ) -> rd.Dataset:
     """PageRank over an integer-id edge list → Dataset of (id, rank).
 
