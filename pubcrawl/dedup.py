@@ -762,6 +762,14 @@ def min_label_propagation(
             batch_format="pandas", batch_size=None,
         )
 
+    if n_partitions is None:
+        # iterative algorithm: size the shuffle width ONCE from the edge
+        # count instead of re-counting every round's every shuffle
+        edges = edges.materialize()
+        n_partitions = relops.auto_partitions(
+            relops._count_refs(edges.to_arrow_refs())
+        )
+
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
         ids = np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()])
         return pd.DataFrame({"id": ids, "lbl": ids})

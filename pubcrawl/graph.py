@@ -82,6 +82,11 @@ def pagerank(
         batch_format="pandas", batch_size=None,
     ).materialize()  # edges are reused every iteration
 
+    if n_partitions is None:
+        # size ONCE from the (materialized) edge count: per-iteration
+        # auto-counting would add a task wave per shuffle per iteration
+        n_partitions = relops.auto_partitions(relops._count_refs(e.to_arrow_refs()))
+
     for _ in range(iters):
         dangling = _scalar_sum(
             state.map_batches(
@@ -159,7 +164,7 @@ def pagerank(
 
 
 def _init_state(
-    edges: rd.Dataset, src: str, dst: str, n_partitions: int
+    edges: rd.Dataset, src: str, dst: str, n_partitions: int | None
 ) -> rd.Dataset:
     """(id, deg) for every node: out-degree per src, 0 for pure sinks —
     combiner partials per batch, one key-hash shuffle."""
