@@ -655,20 +655,33 @@ def simhash_pairs(
 
 def winnow_fingerprints(text: str, k: int = 5, w: int = 4) -> np.ndarray:
     """Winnowing document fingerprints: k-gram char rolling hashes, min per
-    window of w (rightmost min), unique."""
+    window of w (rightmost min), unique.
+
+    Vectorized (round-3): k-grams hash as one `_xxh64_fixed_len` pass over a
+    sliding byte-window matrix, and the per-window rightmost-min comes from
+    one reversed-argmin over a gram-window view — no per-gram or per-window
+    Python loop. ASCII texts take this path (char slice == byte slice);
+    non-ASCII falls back to the scalar loop so hashes stay identical to
+    xxh64 over utf-8 char slices in both paths."""
     s = re.sub(r"\s+", " ", text.lower()).strip()
     if len(s) < k:
         return np.array([xxh64(s)], dtype=np.uint64) if s else np.array([], dtype=np.uint64)
-    grams = np.fromiter(
-        (xxh64(s[i : i + k]) for i in range(len(s) - k + 1)), dtype=np.uint64
-    )
+    if s.isascii():
+        raw = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+        windows = np.lib.stride_tricks.sliding_window_view(raw, k)
+        from .hashing import _xxh64_fixed_len
+
+        grams = _xxh64_fixed_len(np.ascontiguousarray(windows))
+    else:
+        grams = np.fromiter(
+            (xxh64(s[i : i + k]) for i in range(len(s) - k + 1)), dtype=np.uint64
+        )
     if len(grams) <= w:
         return np.unique(grams[[int(np.argmin(grams))]])
-    idx = []
-    for i in range(len(grams) - w + 1):
-        win = grams[i : i + w]
-        j = int(len(win) - 1 - np.argmin(win[::-1]))  # rightmost min
-        idx.append(i + j)
+    gw = np.lib.stride_tricks.sliding_window_view(grams, w)
+    # rightmost min per window: argmin over the reversed window
+    j = w - 1 - np.argmin(gw[:, ::-1], axis=1)
+    idx = np.arange(len(gw)) + j
     return np.unique(grams[np.unique(idx)])
 
 

@@ -1299,3 +1299,34 @@ def test_ivf_indexed_matches_scan_and_prunes_reads(tmp_path):
     ann.ivf_build(ds, root, n_clusters=16)
     n2 = sum(1 for _ in open(manifest))
     assert n1 == n2
+
+
+def test_winnow_vectorized_matches_scalar_reference():
+    """The sliding-window-vectorized winnowing must be bit-identical to the
+    scalar definition (k-gram xxh64 over char slices, rightmost window min),
+    on ASCII and non-ASCII (fallback path) alike."""
+    import re
+
+    from pubcrawl.dedup import winnow_fingerprints
+    from pubcrawl.hashing import xxh64
+
+    def scalar(text, k=5, w=4):
+        s = re.sub(r"\s+", " ", text.lower()).strip()
+        if len(s) < k:
+            return np.array([xxh64(s)], dtype=np.uint64) if s else np.array([], dtype=np.uint64)
+        grams = np.fromiter((xxh64(s[i:i + k]) for i in range(len(s) - k + 1)), dtype=np.uint64)
+        if len(grams) <= w:
+            return np.unique(grams[[int(np.argmin(grams))]])
+        idx = []
+        for i in range(len(grams) - w + 1):
+            win = grams[i:i + w]
+            idx.append(i + int(len(win) - 1 - np.argmin(win[::-1])))
+        return np.unique(grams[np.unique(idx)])
+
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta", "x", "yy", "zzz", "Ωmega", "naïve"]
+    for _ in range(120):
+        n = int(rng.integers(0, 40))
+        t = " ".join(rng.choice(words, size=n)) if n else ""
+        a, b = winnow_fingerprints(t), scalar(t)
+        assert len(a) == len(b) and (a == b).all(), t
