@@ -871,6 +871,81 @@ def min_label_propagation(
     return out.sort_values("id").reset_index(drop=True)
 
 
+def near_dedup_keep_embeddings(
+    ds: rd.Dataset,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    *,
+    threshold: float = 0.97,
+    driver_cc_threshold: int = 100_000,
+    **lsh_kw,
+) -> rd.Dataset:
+    """End-to-end embedding near-dedup decision table — the embedding
+    analogue of :func:`near_dedup_keep`: SRP-LSH candidate pairs → exact
+    cosine verify (ann.cosine_pairs_lsh, Dataset end-to-end) → connected
+    components → keep the min-id representative per cluster. Returns
+    (id, keep) for every vector; the pair list, label table, and drop set
+    never gather to the driver (same size-adaptive plumbing as
+    near_dedup_keep)."""
+    from . import ann
+
+    pairs = ann.cosine_pairs_lsh(
+        ds, threshold=threshold, id_col=id_col, emb_col=emb_col,
+        as_dataset=True, **lsh_kw,
+    ).materialize()
+    return _keep_from_pairs(ds, pairs, id_col, driver_cc_threshold)
+
+
+def _keep_from_pairs(
+    ds: rd.Dataset, pairs: rd.Dataset, id_col: str, driver_cc_threshold: int
+) -> rd.Dataset:
+    """Shared tail of the near-dedup keep flows: (materialized) verified pair
+    Dataset → size-adaptive clustering → keep flags stamped distributed."""
+    ids = ds.select_columns([id_col])
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ids.map_batches(
+            lambda t: t.append_column("keep", pa.array(np.ones(t.num_rows, dtype=bool))),
+            batch_format="pyarrow", batch_size=None,
+        )
+    if n_pairs <= driver_cc_threshold:
+        cc_ds = rd.from_pandas(connected_components(pairs.to_pandas()))
+    else:
+        cc_ds = min_label_propagation(pairs, as_dataset=True)
+    drop_ds = cc_ds.map_batches(
+        lambda df: df.loc[df["id"] != df["cluster"], ["id"]],
+        batch_format="pandas", batch_size=None,
+    ).materialize()
+    if drop_ds.count() <= 4_000_000:
+        drop_ref = _collect_column_ref(drop_ds, "id")
+
+        def add_keep(batch: pa.Table) -> pa.Table:
+            member = pc.fill_null(
+                pc.is_in(batch[id_col], value_set=ray.get(drop_ref)), False
+            )
+            return pa.table({id_col: batch[id_col], "keep": pc.invert(member)})
+
+        return ids.map_batches(add_keep, batch_format="pyarrow", batch_size=None)
+    drop_named = drop_ds.map_batches(
+        lambda df: df.rename(columns={"id": id_col}),
+        batch_format="pandas", batch_size=None,
+    )
+    kept = relops.semi_join_partitioned(ids, drop_named, on=id_col, anti=True)
+    dropped = relops.semi_join_partitioned(ids, drop_named, on=id_col, anti=False)
+
+    def flag(value: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["keep"] = value
+            return out
+
+        return fn
+
+    return kept.map_batches(flag(True), batch_format="pandas", batch_size=None).union(
+        dropped.map_batches(flag(False), batch_format="pandas", batch_size=None)
+    )
+
+
 def near_dedup_keep(
     ds: rd.Dataset,
     text_col: str,
@@ -902,50 +977,4 @@ def near_dedup_keep(
     pairs = minhash_lsh_pairs_ds(
         ds, text_col, id_col, threshold=threshold, **minhash_kw
     ).materialize()
-    ids = ds.select_columns([id_col])
-    n_pairs = pairs.count()
-    if n_pairs == 0:
-        return ids.map_batches(
-            lambda t: t.append_column("keep", pa.array(np.ones(t.num_rows, dtype=bool))),
-            batch_format="pyarrow", batch_size=None,
-        )
-    if n_pairs <= driver_cc_threshold:
-        cc_ds = rd.from_pandas(connected_components(pairs.to_pandas()))
-    else:
-        cc_ds = min_label_propagation(pairs, as_dataset=True)
-    drop_ds = cc_ds.map_batches(
-        lambda df: df.loc[df["id"] != df["cluster"], ["id"]],
-        batch_format="pandas", batch_size=None,
-    ).materialize()
-    if drop_ds.count() <= 4_000_000:
-        # by-ref broadcast: the drop array is assembled in a task and shipped
-        # via the object store; the driver only passes the ref
-        drop_ref = _collect_column_ref(drop_ds, "id")
-
-        def add_keep(batch: pa.Table) -> pa.Table:
-            member = pc.fill_null(
-                pc.is_in(batch[id_col], value_set=ray.get(drop_ref)), False
-            )
-            return pa.table({id_col: batch[id_col], "keep": pc.invert(member)})
-
-        return ids.map_batches(add_keep, batch_format="pyarrow", batch_size=None)
-    # dup-heavy corpus: drop set ~ O(corpus) — mark membership by one
-    # co-partitioned semi + anti pass (each output row appears in exactly one)
-    drop_named = drop_ds.map_batches(
-        lambda df: df.rename(columns={"id": id_col}),
-        batch_format="pandas", batch_size=None,
-    )
-    kept = relops.semi_join_partitioned(ids, drop_named, on=id_col, anti=True)
-    dropped = relops.semi_join_partitioned(ids, drop_named, on=id_col, anti=False)
-
-    def flag(value: bool):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            out = df.copy()
-            out["keep"] = value
-            return out
-
-        return fn
-
-    return kept.map_batches(flag(True), batch_format="pandas", batch_size=None).union(
-        dropped.map_batches(flag(False), batch_format="pandas", batch_size=None)
-    )
+    return _keep_from_pairs(ds, pairs, id_col, driver_cc_threshold)

@@ -630,6 +630,38 @@ def dedup_embedding_lsh(sf_dir: str):
 
 
 @query(
+    "dedup_embedding_keep",
+    sql=f"WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+    f"FROM {_LSH_VIEW} a, {_LSH_VIEW} b "
+    f"WHERE a.vec_id < b.vec_id AND {_COS_SQL} >= 0.95) "
+    f"SELECT v.vec_id, v.vec_id NOT IN (SELECT id_b FROM p) AS keep "
+    f"FROM {_LSH_VIEW} v",
+)
+def dedup_embedding_keep(sf_dir: str):
+    """End-to-end embedding near-dedup DECISION TABLE (the LLM-pipeline op:
+    which vectors survive dedup): SRP-LSH candidates → distributed exact
+    verify → connected components → keep min-id representative — the pair
+    list, labels, and drop set all stay off the driver
+    (dedup.near_dedup_keep_embeddings). Oracle: the planted copies form pure
+    (i, i+1e6) pairs at this threshold, so keep == "not the greater member
+    of any >=0.95 pair"."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        mask = (np.asarray(t["vec_id"]) % 10) == 0
+        sub = t.filter(pa.array(mask))
+        return sub.set_column(
+            sub.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(sub["vec_id"], 1000000),
+        )
+
+    dup = ds.map_batches(plant, batch_format="pyarrow", batch_size=None)
+    return dedup.near_dedup_keep_embeddings(
+        ds.union(dup), id_col="vec_id", threshold=0.95, n_partitions=8
+    )
+
+
+@query(
     "ann_brute_topk",
     sql="WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), "
     "s AS (SELECT q.qid AS query_id, e.vec_id, "
