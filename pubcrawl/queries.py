@@ -2195,6 +2195,41 @@ def salted_segment_orders(sf_dir: str):
     )
 
 
+@query(
+    "salted_segment_orders_hot",
+    sql="SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_e2 "
+    "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+)
+def salted_segment_orders_hot(sf_dir: str):
+    """The salted join's AT-SCALE calling convention, driver-checked: hot
+    keys passed EXPLICITLY (here the top customers by order count, the thing
+    a 100-TB caller knows or computes once and reuses), skipping the
+    auto-detect Misra-Gries pass that re-reads the left input. Same oracle
+    as salted_segment_orders — result equality with the unsalted join is the
+    salting invariant."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = relops.with_columns(orders, {"price_e2": relops.money_to_units("o_totalprice")})
+    orders = orders.map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"})[["c_custkey", "price_e2"]],
+        batch_format="pandas",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    hot = relops.topk(
+        relops.preagg_group_sum(
+            orders.select_columns(["c_custkey"]), ["c_custkey"], count_as="n"
+        ),
+        [("n", True), ("c_custkey", False)], 8,
+    ).to_pandas()["c_custkey"].tolist()  # "known hot keys" — computed once
+    joined = relops.hash_join_salted(
+        orders, cust, on="c_custkey", left_cols=["price_e2"],
+        right_cols=["c_mktsegment"], n_salts=4, hot_keys=hot,
+    )
+    return relops.preagg_group_sum(
+        joined, ["c_mktsegment"], sum_cols={"price_e2": "price_e2"}, count_as="n"
+    )
+
+
 # =============================================== LEAD + profiling + centroids
 
 
