@@ -878,6 +878,7 @@ def near_dedup_keep_embeddings(
     *,
     threshold: float = 0.97,
     driver_cc_threshold: int = 100_000,
+    broadcast_drop_max: int = 4_000_000,
     **lsh_kw,
 ) -> rd.Dataset:
     """End-to-end embedding near-dedup decision table — the embedding
@@ -893,14 +894,17 @@ def near_dedup_keep_embeddings(
         ds, threshold=threshold, id_col=id_col, emb_col=emb_col,
         as_dataset=True, **lsh_kw,
     ).materialize()
-    return _keep_from_pairs(ds, pairs, id_col, driver_cc_threshold)
+    return _keep_from_pairs(ds, pairs, id_col, driver_cc_threshold, broadcast_drop_max)
 
 
 def _keep_from_pairs(
-    ds: rd.Dataset, pairs: rd.Dataset, id_col: str, driver_cc_threshold: int
+    ds: rd.Dataset, pairs: rd.Dataset, id_col: str, driver_cc_threshold: int,
+    broadcast_drop_max: int = 4_000_000,
 ) -> rd.Dataset:
     """Shared tail of the near-dedup keep flows: (materialized) verified pair
-    Dataset → size-adaptive clustering → keep flags stamped distributed."""
+    Dataset → size-adaptive clustering → keep flags stamped distributed
+    (by-ref broadcast up to ``broadcast_drop_max`` dropped ids, co-partitioned
+    semi/anti marking past it — both branches covered by tests)."""
     ids = ds.select_columns([id_col])
     n_pairs = pairs.count()
     if n_pairs == 0:
@@ -916,7 +920,7 @@ def _keep_from_pairs(
         lambda df: df.loc[df["id"] != df["cluster"], ["id"]],
         batch_format="pandas", batch_size=None,
     ).materialize()
-    if drop_ds.count() <= 4_000_000:
+    if drop_ds.count() <= broadcast_drop_max:
         drop_ref = _collect_column_ref(drop_ds, "id")
 
         def add_keep(batch: pa.Table) -> pa.Table:
@@ -953,6 +957,7 @@ def near_dedup_keep(
     *,
     threshold: float = 0.5,
     driver_cc_threshold: int = 100_000,
+    broadcast_drop_max: int = 4_000_000,
     **minhash_kw,
 ) -> rd.Dataset:
     """End-to-end near-dedup: MinHash+LSH pairs → connected components →
@@ -977,4 +982,4 @@ def near_dedup_keep(
     pairs = minhash_lsh_pairs_ds(
         ds, text_col, id_col, threshold=threshold, **minhash_kw
     ).materialize()
-    return _keep_from_pairs(ds, pairs, id_col, driver_cc_threshold)
+    return _keep_from_pairs(ds, pairs, id_col, driver_cc_threshold, broadcast_drop_max)

@@ -1666,21 +1666,39 @@ def semi_join_partitioned(
     # int64 payload columns to float64, silently corrupting values > 2^53
     import pyarrow as _pa
 
+    def _fill_for(typ):
+        """(fill value, datetime unit) for one column type — the Dataset
+        schema reports pyarrow DataTypes for Arrow blocks but numpy/Python
+        types for pandas blocks; handle both."""
+        if isinstance(typ, _pa.DataType):
+            if _pa.types.is_integer(typ):
+                return np.int64(0), None  # NaN would promote to float64 (lossy > 2^53)
+            if _pa.types.is_boolean(typ):
+                return False, None
+            if _pa.types.is_timestamp(typ):
+                return pd.NaT, typ.unit  # keeps datetime64; resolution restored below
+            return None, None
+        try:
+            dt = np.dtype(typ)
+        except TypeError:
+            return None, None  # Python object column
+        if dt.kind in "iu":
+            return np.int64(0), None
+        if dt.kind == "b":
+            return False, None
+        if dt.kind == "M":
+            return pd.NaT, np.datetime_data(dt)[0]
+        return None, None
+
     schema = left.schema()
     fills: dict = {}
     dt_restore: dict[str, str] = {}
     for name, typ in zip(schema.names, schema.types):
         if name == on:
             continue
-        if _pa.types.is_integer(typ):
-            fills[name] = np.int64(0)  # NaN would promote to float64 (lossy > 2^53)
-        elif _pa.types.is_boolean(typ):
-            fills[name] = False
-        elif _pa.types.is_timestamp(typ):
-            fills[name] = pd.NaT  # keeps datetime64; resolution restored below
-            dt_restore[name] = typ.unit
-        else:
-            fills[name] = None  # float/object columns tolerate NaN losslessly
+        fills[name], unit = _fill_for(typ)
+        if unit is not None:
+            dt_restore[name] = unit
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()

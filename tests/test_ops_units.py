@@ -1330,3 +1330,53 @@ def test_winnow_vectorized_matches_scalar_reference():
         t = " ".join(rng.choice(words, size=n)) if n else ""
         a, b = winnow_fingerprints(t), scalar(t)
         assert len(a) == len(b) and (a == b).all(), t
+
+
+def test_near_dedup_cold_scale_branches_match_broadcast_paths():
+    """The dup-heavy-corpus branches (co-partitioned semi/anti keep stamping;
+    semi-join involved-id prefilter in attach_verify_pairs) must produce the
+    same results as the broadcast fast paths — forced by zeroing the
+    broadcast thresholds."""
+    import ray.data as rd
+    from pubcrawl import dedup
+
+    rng = np.random.default_rng(29)
+    letters = "abcdefghijklmnopqrst"
+    vocab = [f"w{a}{b}" for a in letters for b in letters]
+    texts = [" ".join(rng.choice(vocab, size=25, replace=False)) for _ in range(30)]
+    texts += [t + " extra" for t in texts[:8]]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    ds = rd.from_pandas(df).repartition(4)
+
+    hot = dedup.near_dedup_keep(ds, "text", "doc_id", threshold=0.35).to_pandas()
+    cold = dedup.near_dedup_keep(
+        ds, "text", "doc_id", threshold=0.35,
+        broadcast_drop_max=0, driver_cc_threshold=0,
+    ).to_pandas()
+    h = hot.sort_values("doc_id").reset_index(drop=True)
+    c = cold.sort_values("doc_id").reset_index(drop=True)
+    assert (h["doc_id"].to_numpy() == c["doc_id"].to_numpy()).all()
+    assert (h["keep"].to_numpy() == c["keep"].to_numpy()).all()
+    assert set(h.loc[~h["keep"], "doc_id"]) == set(range(30, 38))
+
+    # attach_verify_pairs: semi-join prefilter branch vs by-ref broadcast
+    cand = rd.from_pandas(pd.DataFrame({"id_a": np.arange(8, dtype=np.int64),
+                                        "id_b": np.arange(30, 38, dtype=np.int64)}))
+
+    def mk(d):
+        return pd.DataFrame(
+            {"__id": d["doc_id"].to_numpy(),
+             "__ft": [dedup.shingle_hashes(t).tobytes() for t in d["text"]]}
+        )
+
+    def score(a, b):
+        return dedup.jaccard(np.frombuffer(a, np.uint64), np.frombuffer(b, np.uint64))
+
+    v_hot = dedup.attach_verify_pairs(
+        ds, cand, mk, score, "jaccard", id_col="doc_id"
+    ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    v_cold = dedup.attach_verify_pairs(
+        ds, cand, mk, score, "jaccard", id_col="doc_id", broadcast_ids_max=0
+    ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(v_hot, v_cold)
+    assert len(v_hot) == 8 and (v_hot["jaccard"] > 0.3).all()
