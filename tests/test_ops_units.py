@@ -1380,3 +1380,94 @@ def test_near_dedup_cold_scale_branches_match_broadcast_paths():
     ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(v_hot, v_cold)
     assert len(v_hot) == 8 and (v_hot["jaccard"] > 0.3).all()
+
+
+def test_join_family_random_frames_vs_duckdb():
+    """Seeded-random cross-check battery for the JOIN family: co-partitioned
+    hash join (inner + left outer), skew-salted join (auto-detect and
+    explicit hot keys), co-partitioned semi/anti, and the as-of join — all
+    vs DuckDB on the same frames, with key skew, keys missing on either
+    side, and timestamp ties."""
+    import duckdb
+
+    import ray.data as rd
+    from pubcrawl import relops
+
+    for seed in (6, 21):
+        rng = np.random.default_rng(seed)
+        nl, nr = 700, 120
+        # skewed keys: key 3 is hot; some keys exist on only one side
+        left = pd.DataFrame({
+            "k": np.where(rng.random(nl) < 0.4, 3, rng.integers(0, 60, nl)).astype(np.int64),
+            "v": rng.integers(-100, 100, nl).astype(np.int64),
+            "id": np.arange(nl, dtype=np.int64),
+        })
+        right = pd.DataFrame({
+            "k": rng.permutation(np.arange(0, 50, dtype=np.int64))[:nr % 50 + 20],
+            "w": rng.integers(0, 9, nr % 50 + 20).astype(np.int64),
+        }).drop_duplicates("k")
+        lds = rd.from_pandas(left).repartition(5)
+        rds = rd.from_pandas(right).repartition(3)
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+
+        def norm(df, cols):
+            return df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+        inner = relops.hash_join(lds, rds, "k", ["v", "id"], ["w"]).to_pandas()
+        exp = con.sql("SELECT l.k, v, id, w FROM l JOIN r ON l.k = r.k").df()
+        pd.testing.assert_frame_equal(norm(inner, ["k", "id", "v", "w"]),
+                                      norm(exp, ["k", "id", "v", "w"]))
+
+        loj = relops.hash_join(lds, rds, "k", ["v", "id"], ["w"], how="left").to_pandas()
+        expl = con.sql("SELECT l.k, v, id, w FROM l LEFT JOIN r ON l.k = r.k").df()
+        a, b = norm(loj, ["k", "id", "v", "w"]), norm(expl, ["k", "id", "v", "w"])
+        assert len(a) == len(b)
+        assert (a["id"].to_numpy() == b["id"].to_numpy()).all()
+        aw, bw = a["w"].to_numpy(dtype=float), b["w"].to_numpy(dtype=float)
+        assert ((aw == bw) | (np.isnan(aw) & np.isnan(bw))).all()
+
+        for hot in (None, [3]):  # auto-detected and explicit hot keys
+            salted = relops.hash_join_salted(
+                lds, rds, "k", ["v", "id"], ["w"], n_salts=3, hot_keys=hot
+            ).to_pandas()
+            pd.testing.assert_frame_equal(norm(salted, ["k", "id", "v", "w"]),
+                                          norm(exp, ["k", "id", "v", "w"]))
+
+        semi = relops.semi_join_partitioned(lds, rds, on="k").to_pandas()
+        exps = con.sql("SELECT * FROM l WHERE k IN (SELECT k FROM r)").df()
+        pd.testing.assert_frame_equal(norm(semi, ["k", "id", "v"]),
+                                      norm(exps, ["k", "id", "v"]))
+        anti = relops.semi_join_partitioned(lds, rds, on="k", anti=True).to_pandas()
+        expa = con.sql("SELECT * FROM l WHERE k NOT IN (SELECT k FROM r)").df()
+        pd.testing.assert_frame_equal(norm(anti, ["k", "id", "v"]),
+                                      norm(expa, ["k", "id", "v"]))
+
+        # as-of join: latest right event at or before each left ts, per key
+        lts = pd.DataFrame({
+            "k": rng.integers(0, 12, 300).astype(np.int64),
+            "ts": rng.integers(0, 50, 300).astype(np.int64),  # heavy ties
+            "id": np.arange(300, dtype=np.int64),
+        })
+        rts = pd.DataFrame({
+            "k": rng.integers(0, 12, 150).astype(np.int64),
+            "ts": rng.integers(0, 50, 150).astype(np.int64),
+            "p": rng.integers(0, 1000, 150).astype(np.int64),
+        }).drop_duplicates(["k", "ts"], keep="last")
+        con.register("lt", lts)
+        con.register("rt", rts)
+        asof = relops.asof_join_partitioned(
+            rd.from_pandas(lts).repartition(4), rd.from_pandas(rts).repartition(3),
+            key="k", on="ts", right_cols=["p"],
+        ).to_pandas()
+        expo = con.sql(
+            "SELECT lt.k, lt.ts, id, rt.p FROM lt ASOF LEFT JOIN rt "
+            "ON lt.k = rt.k AND lt.ts >= rt.ts"
+        ).df()
+        a = norm(asof, ["id"]).reset_index(drop=True)
+        b = norm(expo, ["id"]).reset_index(drop=True)
+        ap = asof.sort_values("id")["p"].to_numpy(dtype=float)
+        bp = expo.sort_values("id")["p"].to_numpy(dtype=float)
+        assert len(ap) == len(bp)
+        assert ((ap == bp) | (np.isnan(ap) & np.isnan(bp))).all()
