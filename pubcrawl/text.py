@@ -76,3 +76,119 @@ def langid_en(
         )
 
     return feats.map_batches(pred, batch_format="pandas")
+
+
+# ------------------------------------------- trained n-gram language ID
+
+
+def _byte_trigram_hashes(text: str) -> tuple[np.ndarray, np.ndarray]:
+    """(unique trigram hashes, counts) of a document — byte trigrams over the
+    utf-8 encoding (language-characteristic for latin AND cjk scripts alike),
+    hashed in one vectorized fixed-length xxh64 pass over a sliding byte
+    window (no per-gram Python loop)."""
+    from .hashing import _xxh64_fixed_len
+
+    raw = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)
+    if len(raw) < 3:
+        return np.array([], dtype=np.uint64), np.array([], dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(raw, 3)
+    h = _xxh64_fixed_len(np.ascontiguousarray(win))
+    uniq, cnt = np.unique(h, return_counts=True)
+    return uniq, cnt.astype(np.int64)
+
+
+def langid_fit_trigrams(
+    ds: rd.Dataset,
+    text_col: str,
+    label_col: str,
+    top_k: int = 300,
+) -> pd.DataFrame:
+    """FIT a per-language byte-trigram profile, distributed: per-batch
+    (label, trigram_hash, count) partials (the combiner — only distinct
+    trigrams per label per batch shuffle, never text), a key-hash grouped
+    sum, per-label top_k selection, then L2 normalization. The returned
+    profile table (|langs| × top_k rows: label, h, w) is the model — tiny by
+    construction, independent of corpus size. The distributed fit-aggregate /
+    broadcast-predict split is the same shape a 100-TB feature pipeline
+    uses for any count-based model."""
+    from . import relops
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for label, g in df.groupby(label_col, sort=False):
+            acc: dict = {}
+            for t in g[text_col]:
+                u, c = _byte_trigram_hashes(t)
+                for hh, cc in zip(u.view(np.int64), c):
+                    acc[hh] = acc.get(hh, 0) + int(cc)
+            if acc:
+                frames.append(pd.DataFrame(
+                    {label_col: label, "h": list(acc), "c": list(acc.values())}
+                ))
+        if not frames:
+            return pd.DataFrame({label_col: pd.Series([], dtype=object),
+                                 "h": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64")})
+        out = pd.concat(frames, ignore_index=True)
+        return out.astype({"h": "int64", "c": "int64"})
+
+    partials = ds.select_columns([text_col, label_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None
+    )
+    summed = relops.preagg_group_sum(
+        partials.map_batches(lambda df: df.rename(columns={"c": "v"}),
+                             batch_format="pandas", batch_size=None),
+        [label_col, "h"], sum_cols={"v": "c"},
+    )
+    top = relops.topk_per_group(
+        summed, [label_col], [("c", True), ("h", False)], top_k
+    ).to_pandas()  # the model: |langs| x top_k rows — driver-small
+    norm = top.groupby(label_col)["c"].transform(lambda s: np.sqrt((s.astype(float) ** 2).sum()))
+    top["w"] = top["c"].astype(float) / norm
+    return top[[label_col, "h", "w"]]
+
+
+def langid_predict_trigrams(
+    ds: rd.Dataset,
+    profiles: pd.DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str = "lang",
+) -> rd.Dataset:
+    """PREDICT with a fitted profile table: the model broadcasts once
+    (ray.put of a sorted hash array + |hashes| × |langs| weight matrix);
+    each batch scores every doc with one searchsorted probe + one matmul —
+    cosine between the doc's trigram counts and each language profile,
+    deterministic argmax (ties → lexicographically first language)."""
+    langs = sorted(profiles[label_col].unique())
+    h_sorted = np.sort(profiles["h"].unique())
+    wmat = np.zeros((len(h_sorted), len(langs)), dtype=np.float64)
+    for j, lang in enumerate(langs):
+        sub = profiles[profiles[label_col] == lang]
+        idx = np.searchsorted(h_sorted, sub["h"].to_numpy())
+        wmat[idx, j] = sub["w"].to_numpy()
+    model_ref = ray.put((h_sorted, wmat, np.asarray(langs, dtype=object)))
+
+    def pred(df: pd.DataFrame) -> pd.DataFrame:
+        hs, wm, lg = ray.get(model_ref)
+        out = []
+        for t in df[text_col]:
+            u, c = _byte_trigram_hashes(t)
+            if not len(u):
+                out.append(0)
+                continue
+            ui = u.view(np.int64)
+            pos = np.searchsorted(hs, ui)
+            pos_c = np.minimum(pos, len(hs) - 1)
+            hit = hs[pos_c] == ui
+            scores = (c[hit].astype(np.float64) @ wm[pos_c[hit]])
+            scores /= np.sqrt(float((c.astype(np.float64) ** 2).sum()))
+            out.append(int(np.argmax(scores)))
+        lg_arr = np.asarray(lg)
+        return pd.DataFrame(
+            {id_col: df[id_col], "pred_lang": lg_arr[np.asarray(out, dtype=np.int64)]}
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        pred, batch_format="pandas", batch_size=None
+    )

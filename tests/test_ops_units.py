@@ -1471,3 +1471,42 @@ def test_join_family_random_frames_vs_duckdb():
         bp = expo.sort_values("id")["p"].to_numpy(dtype=float)
         assert len(ap) == len(bp)
         assert ((ap == bp) | (np.isnan(ap) & np.isnan(bp))).all()
+
+
+def test_langid_trigram_fit_predict_separable_corpus():
+    """Distributed count-model fit/predict (text.langid_fit_trigrams /
+    langid_predict_trigrams): on a corpus whose labels have genuinely
+    distinct character distributions the classifier is near-perfect, and the
+    fitted profile is partitioning-invariant. (The driver's synthetic
+    documents table shares ONE vocabulary across its lang labels — near
+    chance-level separability — so the model is exercised here instead.)"""
+    import ray.data as rd
+    from pubcrawl import text as textmod
+
+    rng = np.random.default_rng(31)
+    vocabs = {
+        "aa": [f"z{c}{d}x" for c in "abcde" for d in "fghij"],
+        "bb": [f"q{c}{d}u" for c in "klmno" for d in "prstv"],
+        "cc": [f"w{c}{d}m" for c in "uvxyz" for d in "abcde"],
+    }
+    rows = []
+    for i in range(240):
+        lab = ["aa", "bb", "cc"][i % 3]
+        rows.append({"doc_id": i, "lang": lab,
+                     "text": " ".join(rng.choice(vocabs[lab], size=30))})
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df).repartition(5)
+
+    prof = textmod.langid_fit_trigrams(ds, "text", "lang", top_k=200)
+    assert sorted(prof["lang"].unique()) == ["aa", "bb", "cc"]
+    # partitioning-invariant fit (combiner aggregation is order-independent)
+    prof2 = textmod.langid_fit_trigrams(rd.from_pandas(df).repartition(2),
+                                        "text", "lang", top_k=200)
+    a = prof.sort_values(["lang", "h"]).reset_index(drop=True)
+    b = prof2.sort_values(["lang", "h"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    pred = textmod.langid_predict_trigrams(ds, prof, "text", "doc_id").to_pandas()
+    m = pred.merge(df[["doc_id", "lang"]], on="doc_id")
+    acc = float((m["pred_lang"] == m["lang"]).mean())
+    assert acc >= 0.99, acc
