@@ -555,10 +555,31 @@ def dedup_exact(sf_dir: str):
     return dedup.exact_dedup(ds, "text", "doc_id")
 
 
-@query("dedup_minhash_pairs")  # not SQL-expressible → rows-only check
+@query(
+    "dedup_minhash_pairs",
+    # exact all-pairs shingle-Jaccard oracle: word 3-grams of [a-z]+ tokens,
+    # integer cross-multiplied threshold (2·inter >= union ⟺ j >= 0.5).
+    # The engine's LSH is probabilistic in THEORY (recall 1-(1-j²)^64 ≥
+    # 1-1e-8 at j=0.5) but empirically exhaustive at these SFs — the driver
+    # gate checks exactly that.
+    sql="WITH s AS (SELECT doc_id, list_distinct(list_transform("
+    "generate_series(1, greatest(len(toks) - 2, 0)), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh "
+    "FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks "
+    "FROM documents)) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+    "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard "
+    "FROM s a, s b WHERE a.doc_id < b.doc_id "
+    "AND len(list_intersect(a.sh, b.sh)) * 2 >= "
+    "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))",
+)
 def dedup_minhash_pairs(sf_dir: str):
-    """MinHash+LSH near-dup candidate pairs verified with true shingle
-    Jaccard (Broder'97 / MMDS ch.3). Deterministic seeds."""
+    """MinHash+LSH near-dup pairs verified with true shingle Jaccard
+    (Broder'97 / MMDS ch.3), deterministic seeds — oracle-backed (round 3):
+    the DuckDB side computes the exact all-pairs jaccard >= 0.5 set over the
+    same word-3-gram shingles, so the driver certifies both the LSH recall
+    (every true pair found) and the exact-verify precision/scores."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return dedup.minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
 
@@ -1041,10 +1062,32 @@ def w3_hopping_windows(sf_dir: str):
     )
 
 
-@query("dedup_near_keep")  # LSH + connected components → rows-only check
+@query(
+    "dedup_near_keep",
+    # recursive-CTE connected components over the exact all-pairs
+    # shingle-Jaccard edge set (same oracle construction as
+    # dedup_minhash_pairs): cluster = min reachable id, keep = representative
+    sql="WITH RECURSIVE s AS (SELECT doc_id, list_distinct(list_transform("
+    "generate_series(1, greatest(len(toks) - 2, 0)), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh "
+    "FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks "
+    "FROM documents)), "
+    "e AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM s a, s b "
+    "WHERE a.doc_id < b.doc_id AND len(list_intersect(a.sh, b.sh)) * 2 >= "
+    "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))), "
+    "ud AS (SELECT ia AS a, ib AS b FROM e UNION ALL SELECT ib, ia FROM e), "
+    "reach AS (SELECT DISTINCT a AS id, a AS r FROM ud "
+    "UNION SELECT reach.id, ud.b FROM reach JOIN ud ON reach.r = ud.a), "
+    "cl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id) "
+    "SELECT d.doc_id, COALESCE(cl.cluster = d.doc_id, TRUE) AS keep "
+    "FROM documents d LEFT JOIN cl ON d.doc_id = cl.id",
+)
 def dedup_near_keep(sf_dir: str):
     """End-to-end near-dedup decision table: MinHash+LSH pairs → connected
-    components → keep min-id representative per cluster."""
+    components → keep min-id representative per cluster — oracle-backed
+    (round 3): DuckDB recomputes the exact jaccard >= 0.5 edge set and its
+    transitive closure, certifying LSH recall, clustering, AND the keep
+    flags in one driver check."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return dedup.near_dedup_keep(ds, "text", "doc_id", threshold=0.5)
 
