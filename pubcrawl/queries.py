@@ -904,6 +904,73 @@ def analysis_topic_report(sf_dir: str):
     return stats
 
 
+@query(
+    "pipeline_clean_corpus",
+    # the whole cleaning pipeline re-derived in SQL: quality gate (token
+    # count), exact dedup (md5 window min), near-dedup (exact shingle-Jaccard
+    # edges + recursive-CTE components, keep min member), per-lang stats
+    sql=r"WITH RECURSIVE q AS (SELECT doc_id, lang, text, "
+    r"len(regexp_extract_all(text, '\w+')) AS n_tokens FROM documents "
+    r"WHERE len(regexp_extract_all(text, '\w+')) >= 20), "
+    "d AS (SELECT q.*, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM q), "
+    "e0 AS (SELECT * FROM d WHERE doc_id = rep), "
+    "s AS (SELECT doc_id, list_distinct(list_transform("
+    "generate_series(1, greatest(len(toks) - 2, 0)), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh "
+    "FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM e0)), "
+    "ed AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM s a, s b "
+    "WHERE a.doc_id < b.doc_id AND len(list_intersect(a.sh, b.sh)) * 2 >= "
+    "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))), "
+    "ud AS (SELECT ia AS a, ib AS b FROM ed UNION ALL SELECT ib, ia FROM ed), "
+    "reach AS (SELECT DISTINCT a AS id, a AS r FROM ud "
+    "UNION SELECT reach.id, ud.b FROM reach JOIN ud ON reach.r = ud.a), "
+    "cl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id), "
+    "kept AS (SELECT e0.* FROM e0 LEFT JOIN cl ON e0.doc_id = cl.id "
+    "WHERE cl.id IS NULL OR cl.cluster = e0.doc_id) "
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM kept GROUP BY lang",
+)
+def pipeline_clean_corpus(sf_dir: str):
+    """The LLM-training-data composition FLAGSHIP (the cleaning pipeline a
+    100-TB corpus runs end-to-end, every stage the scale-path operator):
+
+      quality gate (integer-exact token count ≥ 20, text.quality_features)
+      → exact dedup (md5 hash-partition, keep min id — dedup.exact_dedup)
+      → MinHash+LSH near-dedup with distributed exact-Jaccard verify and
+        connected components (dedup.near_dedup_keep, Dataset end-to-end)
+      → per-language corpus stats (combiner groupby).
+
+    Every hop is a co-partitioned or broadcast-by-ref step; no driver
+    materialization anywhere. Oracle-certified value-for-value across the
+    whole composition."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    feats = text.quality_features(docs, "text", "doc_id", frozenset(EN_STOP))
+    good = feats.map_batches(
+        lambda df: df.loc[df["n_tokens"] >= 20, ["doc_id", "n_tokens"]],
+        batch_format="pandas", batch_size=None,
+    )
+    # attach n_tokens and drop gated docs in one co-partitioned join
+    qdocs = relops.hash_join(
+        docs, good, on="doc_id", left_cols=["text", "lang"], right_cols=["n_tokens"]
+    ).materialize()  # consumed by exact-dedup ids, near-dup corpus, and final
+    reps = dedup.exact_dedup(qdocs, "text", "doc_id")  # (min doc_id, dupes)
+    e0 = relops.semi_join_partitioned(
+        qdocs, reps.select_columns(["doc_id"]), on="doc_id"
+    ).materialize()
+    keep = dedup.near_dedup_keep(e0, "text", "doc_id", threshold=0.5)
+    kept_ids = keep.map_batches(
+        lambda df: df.loc[df["keep"], ["doc_id"]],
+        batch_format="pandas", batch_size=None,
+    )
+    kept = relops.semi_join_partitioned(e0, kept_ids, on="doc_id")
+    return relops.preagg_group_sum(
+        kept, ["lang"], sum_cols={"n_tokens": "n_tokens"}, count_as="n_docs"
+    ).map_batches(
+        lambda df: df[["lang", "n_docs", "n_tokens"]],
+        batch_format="pandas", batch_size=None,
+    )
+
+
 # ======================================================= streaming-shaped ops
 
 
