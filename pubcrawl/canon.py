@@ -58,6 +58,15 @@ def url_hash(url: str) -> int:
     return xxh64(canonical_url(url))
 
 
+def host_hash_of(host: str):
+    """uint32 host hash — the same derivation canonicalize_batch uses (low
+    32 bits of xxh64 over the host string), for callers that need to route a
+    bare host to its politeness/seen shard."""
+    import numpy as np
+
+    return np.uint32(xxh64(host) & 0xFFFFFFFF)
+
+
 # already-canonical fast path: lowercase scheme://host/path with no port,
 # query, fragment, uppercase, duplicate slash, or dot-segment
 # (named host group so ONE pc.extract_regex pass yields both the

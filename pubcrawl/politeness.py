@@ -37,6 +37,15 @@ class _TokenBucketShardImpl:
         self.burst = burst
         self.next_free: dict[str, float] = {}
         self.credits: dict[str, int] = {}
+        self.host_interval: dict[str, float] = {}  # robots Crawl-delay overrides
+
+    def set_host_intervals(self, intervals: dict[str, float]) -> int:
+        """Per-host request-interval overrides (e.g. robots.txt Crawl-delay,
+        which outranks the engine's default rate when LONGER — never used to
+        speed up beyond the configured budget)."""
+        for h, iv in intervals.items():
+            self.host_interval[h] = max(float(iv), self.interval)
+        return len(self.host_interval)
 
     def reserve(self, hosts: list[str], now: float) -> np.ndarray:
         """→ per-request absolute start times (same clock as ``now``).
@@ -57,7 +66,7 @@ class _TokenBucketShardImpl:
                 self.next_free[h] = max(nf, now)
                 out[i] = min(start, now)
             else:
-                self.next_free[h] = start + self.interval
+                self.next_free[h] = start + self.host_interval.get(h, self.interval)
                 out[i] = start
         return out
 
@@ -89,6 +98,20 @@ class Politeness:
 
     def shard_of(self, host_hash: np.ndarray) -> np.ndarray:
         return (host_hash.astype(np.uint64) % np.uint64(self.num_shards)).astype(np.int64)
+
+    def apply_crawl_delays(self, delays: dict[str, float]) -> None:
+        """Install per-host Crawl-delay intervals on each host's OWNING shard
+        (host → shard by the same hash the grant path uses). One RPC per
+        shard carrying only its hosts' entries."""
+        from .canon import host_hash_of
+
+        by_shard: dict[int, dict[str, float]] = {}
+        for h, d in delays.items():
+            s = int(host_hash_of(h) % np.uint64(self.num_shards))
+            by_shard.setdefault(s, {})[h] = float(d)
+        ray.get([
+            self.shards[s].set_host_intervals.remote(m) for s, m in by_shard.items()
+        ])
 
     def reserve_batch(self, hosts: list[str], host_hash: np.ndarray) -> np.ndarray:
         now = time.monotonic()
@@ -133,6 +156,22 @@ class RobotsCache:
                 rp.parse([])  # permissive default
             self._cache[scheme_host] = rp
         return rp
+
+    def crawl_delays_http(self, scheme_hosts: list[str]) -> dict[str, float]:
+        """robots.txt ``Crawl-delay`` per host (hosts without one omitted):
+        {netloc: seconds}. Feed the result to
+        :meth:`Politeness.apply_crawl_delays` so each host's token bucket
+        honors the site's own pacing request when it is SLOWER than the
+        engine default."""
+        from urllib.parse import urlsplit
+
+        out: dict[str, float] = {}
+        for sh in scheme_hosts:
+            rp = self._parser_for(sh)
+            d = rp.crawl_delay(self._ua)
+            if d is not None:
+                out[urlsplit(sh).netloc] = float(d)
+        return out
 
     def allowed_many_http(self, urls: list[str]) -> np.ndarray:
         from urllib.parse import urlsplit

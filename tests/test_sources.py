@@ -317,6 +317,7 @@ def test_runner_pmlr_source(tmp_path):
 
 
 ROBOTS_TXT = b"""User-agent: *
+Crawl-delay: 2
 Disallow: /secret/
 Allow: /
 """
@@ -474,3 +475,42 @@ def test_run_pipeline_modes_and_pdf_downloads(tmp_path):
     res2 = runner.run_pipeline(cfg, FakeTransport, out_dir, mode="analyze",
                                taxonomy={"stream": ["stream"]})
     assert res2["analyzed"]["ICLR"] == 3
+
+
+def test_robots_crawl_delay_overrides_host_rate():
+    """robots.txt Crawl-delay flows into the owning token-bucket shard: the
+    declaring host's grants space >= the delay (when longer than the engine
+    default), other hosts keep the default rate."""
+    import numpy as np
+    import time
+
+    from pubcrawl.canon import host_hash_of
+    from pubcrawl.politeness import Politeness, RobotsCache
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), _RobotsHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        host = f"127.0.0.1:{port}"
+        cache = RobotsCache(transport=HttpTransport(total_retries=1, backoff=0.01))
+        delays = cache.crawl_delays_http([f"http://{host}"])
+        assert delays == {host: 2.0}
+
+        pol = Politeness(num_shards=2, per_host_rate=100.0, burst=1)
+        pol.apply_crawl_delays(delays)
+        hh = np.full(4, int(host_hash_of(host)), dtype=np.uint32)
+        grants = np.sort(pol.reserve_batch([host] * 4, hh))
+        diffs = np.diff(grants[1:])  # after the single burst credit
+        assert np.all(diffs >= 1.99), diffs  # Crawl-delay: 2 honored
+        # a host WITHOUT a crawl delay keeps the 10ms default interval
+        g2 = np.sort(pol.reserve_batch(["other"] * 4,
+                                       np.full(4, int(host_hash_of("other")), np.uint32)))
+        assert np.all(np.diff(g2[1:]) < 0.5)
+        # the override never SPEEDS UP below the engine budget
+        pol2 = Politeness(num_shards=1, per_host_rate=1.0, burst=1)
+        pol2.apply_crawl_delays({"slowhost": 0.001})
+        g3 = np.sort(pol2.reserve_batch(["slowhost"] * 3,
+                                        np.zeros(3, dtype=np.uint32)))
+        assert np.all(np.diff(g3[1:]) >= 0.99)
+    finally:
+        srv.shutdown()
