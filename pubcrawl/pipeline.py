@@ -405,6 +405,7 @@ class CrawlPipeline:
         fetch_threads: int = 8,
         politeness_clock: str = "local",  # "shard" on multi-node clusters
         transport_factory=None,  # zero-arg → transport; default synthetic web
+        crawl_delays: dict[str, float] | None = None,  # robots Crawl-delay per host
     ):
         self.cfg = cfg
         self.store = open_store(store_root)
@@ -412,6 +413,10 @@ class CrawlPipeline:
         self.max_depth = max_depth
         self.seen = SeenSet(seen_shards)
         self.politeness = Politeness(politeness_shards, per_host_rate, burst)
+        if crawl_delays:
+            # robots Crawl-delay overrides (RobotsCache.crawl_delays_http):
+            # installed on the owning shards before any fetch is granted
+            self.politeness.apply_crawl_delays(crawl_delays)
         self.fetch_concurrency = fetch_concurrency
         # persistent fetch+parse+decode workers, reused across BFS rounds;
         # num_cpus=0.75 leaves scheduling room for the commit shuffle tasks
