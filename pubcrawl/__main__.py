@@ -5,6 +5,7 @@ never calls ray.init).
   images       show stored image_caption metadata (canonical order)
   checkpoints  show the checkpoint/lineage table of a store
   tasks        run a reference-style task config (collect/analyze modes)
+  serve        HTTP search API over a parquet corpus (stdlib JSON server)
 """
 
 from __future__ import annotations
@@ -62,6 +63,14 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--mode", default="collect_and_analyze",
                    choices=["collect", "analyze", "collect_and_analyze"])
     t.add_argument("--num-cpus", type=int, default=8)
+
+    v = sub.add_parser("serve", help="serve the search API over a parquet corpus")
+    v.add_argument("--docs", required=True, help="parquet path with id/text columns")
+    v.add_argument("--id-col", default="doc_id")
+    v.add_argument("--text-col", default="text")
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8080)
+    v.add_argument("--num-cpus", type=int, default=4)
 
     args = p.parse_args(argv)
 
@@ -125,6 +134,28 @@ def main(argv: list[str] | None = None) -> int:
         res = run_pipeline(config, HttpTransport, args.out, mode=args.mode)
         print(json.dumps(res))
         ray.shutdown()
+    elif args.cmd == "serve":
+        # reference counterpart: the FastAPI/uvicorn server entrypoint
+        # (/root/reference/src/api/main.py) — stdlib server here, same routes
+        ray = _init_ray(args.num_cpus)
+        import ray.data as rd
+
+        from pubcrawl import api
+        from pubcrawl.service import SearchSession
+
+        docs = rd.read_parquet(args.docs)
+        session = SearchSession(docs, id_col=args.id_col, text_col=args.text_col)
+        srv = api.make_server(session, host=args.host, port=args.port)
+        print(json.dumps({"serving": f"http://{args.host}:{srv.server_address[1]}",
+                          "routes": sorted(f"{m} {p}" for m, p in api.Routes.TABLE)}),
+              flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.shutdown()
+            ray.shutdown()
     return 0
 
 
