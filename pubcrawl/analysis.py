@@ -31,6 +31,13 @@ from . import relops
 LEAD_COLS = ["title", "authors", "abstract", "pdf_url", "keywords", "source_url"]
 
 
+def _xml(s_: object) -> str:
+    """Escape text interpolated into SVG/XML (labels can hold & < >)."""
+    from xml.sax.saxutils import escape
+
+    return escape(str(s_))
+
+
 def classify_topics(
     ds: rd.Dataset, text_cols: list[str], taxonomy: dict[str, list[str]],
     out_col: str = "topics",
@@ -231,16 +238,16 @@ def save_barh_svg(df: pd.DataFrame, label_col: str, value_col: str, path: str,
     height = 40 + len(rows) * (bar_h + pad)
     parts = [
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}">',
-        f'<text x="10" y="20" font-size="16" font-family="sans-serif">{title}</text>',
+        f'<text x="10" y="20" font-size="16" font-family="sans-serif">{_xml(title)}</text>',
     ]
     for i, row in enumerate(rows.itertuples(index=False)):
         d = row._asdict()
         y = 40 + i * (bar_h + pad)
         w = int((width - 320) * float(d[value_col]) / vmax)
         parts.append(
-            f'<text x="10" y="{y + 13}" font-size="11" font-family="sans-serif">{d[label_col]}</text>'
+            f'<text x="10" y="{y + 13}" font-size="11" font-family="sans-serif">{_xml(d[label_col])}</text>'
             f'<rect x="300" y="{y}" width="{max(w,1)}" height="{bar_h}" fill="#4477aa"/>'
-            f'<text x="{305 + w}" y="{y + 13}" font-size="11" font-family="sans-serif">{d[value_col]}</text>'
+            f'<text x="{305 + w}" y="{y + 13}" font-size="11" font-family="sans-serif">{_xml(d[value_col])}</text>'
         )
     parts.append("</svg>")
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -265,7 +272,7 @@ def save_wordcloud_svg(freqs: pd.DataFrame, path: str, word_col: str = "word",
         x = (i % cols) * cw + 10
         y = (i // cols) * ch + ch // 2
         parts.append(
-            f'<text x="{x}" y="{y}" font-size="{size}" font-family="sans-serif">{d[word_col]}</text>'
+            f'<text x="{x}" y="{y}" font-size="{size}" font-family="sans-serif">{_xml(d[word_col])}</text>'
         )
     parts.append("</svg>")
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -284,17 +291,17 @@ def save_stacked_barh_svg(pivot: pd.DataFrame, path: str, title: str = "",
     height = 60 + len(norm) * (bar_h + pad)
     parts = [
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}">',
-        f'<text x="10" y="20" font-size="16" font-family="sans-serif">{title}</text>',
+        f'<text x="10" y="20" font-size="16" font-family="sans-serif">{_xml(title)}</text>',
     ]
     for j, col in enumerate(norm.columns):  # legend
         parts.append(
             f'<rect x="{10 + j * 130}" y="30" width="12" height="12" fill="{colors[j % len(colors)]}"/>'
-            f'<text x="{26 + j * 130}" y="40" font-size="11" font-family="sans-serif">{col}</text>'
+            f'<text x="{26 + j * 130}" y="40" font-size="11" font-family="sans-serif">{_xml(col)}</text>'
         )
     for i, (label, row) in enumerate(norm.iterrows()):
         y = 60 + i * (bar_h + pad)
         parts.append(
-            f'<text x="10" y="{y + 13}" font-size="11" font-family="sans-serif">{label}</text>'
+            f'<text x="10" y="{y + 13}" font-size="11" font-family="sans-serif">{_xml(label)}</text>'
         )
         x = 300.0
         for j, col in enumerate(norm.columns):
@@ -325,7 +332,7 @@ def save_stackplot_svg(pivot: pd.DataFrame, path: str, title: str = "",
     xs = [x0 + w * i / max(n - 1, 1) for i in range(n)]
     parts = [
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}">',
-        f'<text x="10" y="20" font-size="16" font-family="sans-serif">{title}</text>',
+        f'<text x="10" y="20" font-size="16" font-family="sans-serif">{_xml(title)}</text>',
     ]
     for j, col in enumerate(pivot.columns):
         lo = [y0 + h * (1 - cum[i, j] / vmax) for i in range(n)]
@@ -334,12 +341,12 @@ def save_stackplot_svg(pivot: pd.DataFrame, path: str, title: str = "",
         pts += [f"{x:.1f},{y:.1f}" for x, y in zip(reversed(xs), reversed(lo))]
         parts.append(
             f'<polygon points="{" ".join(pts)}" fill="{colors[j % len(colors)]}" '
-            f'fill-opacity="0.85"><title>{col}</title></polygon>'
+            f'fill-opacity="0.85"><title>{_xml(col)}</title></polygon>'
         )
     for i, label in enumerate(pivot.index):  # x ticks
         parts.append(
             f'<text x="{xs[i]:.0f}" y="{height - 12}" font-size="11" '
-            f'font-family="sans-serif" text-anchor="middle">{label}</text>'
+            f'font-family="sans-serif" text-anchor="middle">{_xml(label)}</text>'
         )
     parts.append("</svg>")
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

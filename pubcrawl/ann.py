@@ -368,7 +368,7 @@ def ivf_build(
         )
     else:
         sample = _stack(ds.limit(sample_limit).to_pandas()[emb_col])
-        cents = _normalize(kmeans_fit(_normalize(sample), n_clusters))
+        cents = _normalize(kmeans_fit(_normalize(sample), n_clusters, seed=seed))
         store.commit(
             pa.table({"cluster": pa.array(range(len(cents)), pa.int64()),
                       "centroid": pa.array([list(c) for c in cents])}),

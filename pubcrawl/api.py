@@ -55,14 +55,20 @@ class Routes:
         self.chat_fn = chat_fn
         self._lock = threading.Lock()  # session mutates state per search
 
+    @staticmethod
+    def _int(payload: dict, key: str, default: int) -> int:
+        try:
+            return int(payload.get(key, default))
+        except (TypeError, ValueError) as e:
+            raise _BadRequest(f"{key} must be an integer") from e
+
     def search(self, payload: dict) -> tuple[int, dict]:
         query = str(payload.get("query", "")).strip()
-        top_n = int(payload.get("top_n", 20))
+        top_n = self._int(payload, "top_n", 20)
         if not (1 <= top_n <= 100):
             return 400, {"detail": "top_n must be in [1, 100]"}
-        if query.lower().startswith("sem:") and not query[4:].strip():
-            return 400, {"detail": "semantic query is empty"}
         try:
+            # empty sem: queries 400 via the session's own ValueError
             with self._lock:
                 out = self.session.search(query, top_n=top_n)
         except ValueError as e:
@@ -81,10 +87,10 @@ class Routes:
             return 200, stats_summary(self.session.filtered)
 
     def page(self, payload: dict) -> tuple[int, dict]:
+        page = self._int(payload, "page", 1)
+        per_page = self._int(payload, "per_page", 10)
         with self._lock:
-            rows, info = self.session.page(
-                int(payload.get("page", 1)), int(payload.get("per_page", 10))
-            )
+            rows, info = self.session.page(page, per_page)
         return 200, {"results": _results_payload(rows), **info}
 
     def chat(self, payload: dict) -> tuple[int, dict]:
@@ -111,7 +117,14 @@ class Routes:
         name = self.TABLE.get((method, path))
         if name is None:
             return 404, {"detail": f"no route {method} {path}"}
-        return getattr(self, name)(payload)
+        try:
+            return getattr(self, name)(payload)
+        except _BadRequest as e:  # client input errors are 400s, never 500s
+            return 400, {"detail": str(e)}
+
+
+class _BadRequest(ValueError):
+    """Raised by route handlers for malformed client input → HTTP 400."""
 
 
 def make_server(session, host: str = "127.0.0.1", port: int = 0,

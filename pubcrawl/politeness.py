@@ -61,7 +61,11 @@ class _TokenBucketShardImpl:
             nf = self.next_free.get(h, now)
             cred = self.credits.get(h, self.burst)
             start = max(now, nf)
-            if cred > 0:  # burst credit: admit immediately
+            # hosts with a robots Crawl-delay override get NO burst credits:
+            # a site that asked for N-second spacing must not receive a
+            # burst of simultaneous requests (review finding: the credit
+            # branch used to bypass the installed delay entirely)
+            if cred > 0 and h not in self.host_interval:
                 self.credits[h] = cred - 1
                 self.next_free[h] = max(nf, now)
                 out[i] = min(start, now)

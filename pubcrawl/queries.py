@@ -561,7 +561,10 @@ def dedup_exact(sf_dir: str):
     # integer cross-multiplied threshold (2·inter >= union ⟺ j >= 0.5).
     # The engine's LSH is probabilistic in THEORY (recall 1-(1-j²)^64 ≥
     # 1-1e-8 at j=0.5) but empirically exhaustive at these SFs — the driver
-    # gate checks exactly that.
+    # gate checks exactly that. DOMAIN precondition (pinned by
+    # test_documents_have_enough_tokens_for_shingle_oracles): every doc has
+    # >= 3 alpha tokens — below that the engine's mixed-hash fallback
+    # shingle and SQL's empty list diverge (0>=0 degenerate pairs).
     sql="WITH s AS (SELECT doc_id, list_distinct(list_transform("
     "generate_series(1, greatest(len(toks) - 2, 0)), "
     "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh "
@@ -652,20 +655,28 @@ def dedup_embedding_lsh(sf_dir: str):
 
 @query(
     "dedup_embedding_keep",
-    sql=f"WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+    # recursive transitive closure over the >=0.95 cosine edge set — exact
+    # connected-components semantics, no pair-shaped-graph assumption
+    # (review finding: a NOT IN (id_b) oracle breaks on chain components)
+    sql=f"WITH RECURSIVE p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
     f"FROM {_LSH_VIEW} a, {_LSH_VIEW} b "
-    f"WHERE a.vec_id < b.vec_id AND {_COS_SQL} >= 0.95) "
-    f"SELECT v.vec_id, v.vec_id NOT IN (SELECT id_b FROM p) AS keep "
-    f"FROM {_LSH_VIEW} v",
+    f"WHERE a.vec_id < b.vec_id AND {_COS_SQL} >= 0.95), "
+    "ud AS (SELECT id_a AS a, id_b AS b FROM p "
+    "UNION ALL SELECT id_b, id_a FROM p), "
+    "reach AS (SELECT DISTINCT a AS id, a AS r FROM ud "
+    "UNION SELECT reach.id, ud.b FROM reach JOIN ud ON reach.r = ud.a), "
+    "cl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id) "
+    f"SELECT v.vec_id, COALESCE(cl.cluster = v.vec_id, TRUE) AS keep "
+    f"FROM {_LSH_VIEW} v LEFT JOIN cl ON v.vec_id = cl.id",
 )
 def dedup_embedding_keep(sf_dir: str):
     """End-to-end embedding near-dedup DECISION TABLE (the LLM-pipeline op:
     which vectors survive dedup): SRP-LSH candidates → distributed exact
     verify → connected components → keep min-id representative — the pair
     list, labels, and drop set all stay off the driver
-    (dedup.near_dedup_keep_embeddings). Oracle: the planted copies form pure
-    (i, i+1e6) pairs at this threshold, so keep == "not the greater member
-    of any >=0.95 pair"."""
+    (dedup.near_dedup_keep_embeddings). Oracle: recursive-CTE transitive
+    closure over the exact >=0.95 cosine edge set — component-exact for any
+    graph shape, keep = min member id."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def plant(t: pa.Table) -> pa.Table:

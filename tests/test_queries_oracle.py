@@ -70,3 +70,20 @@ def test_query_matches_oracle(name, con):
 def test_rows_only_queries_run(name):
     df = to_pandas(QUERIES[name](SF_DIR))
     assert df is not None and len(df) >= 0
+
+
+def test_documents_have_enough_tokens_for_shingle_oracles():
+    """The shingle-Jaccard SQL oracles (dedup_minhash_pairs, dedup_near_keep,
+    pipeline_clean_corpus) are engine-equivalent only for docs with >= 3
+    alphabetic tokens (below that the engine's <n-word mixed-hash shingle and
+    SQL's empty 3-gram list diverge). Pin the generator precondition at every
+    SF the driver touches so a future data change trips HERE, not at the
+    gate."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = duckdb.sql(
+            "SELECT MIN(len(regexp_extract_all(lower(text), '[a-z]+'))) "
+            f"FROM read_parquet('/root/testdata/{sf}/documents.parquet')"
+        ).fetchone()[0]
+        assert n >= 3, (sf, n)

@@ -496,12 +496,14 @@ def test_robots_crawl_delay_overrides_host_rate():
         delays = cache.crawl_delays_http([f"http://{host}"])
         assert delays == {host: 2.0}
 
-        pol = Politeness(num_shards=2, per_host_rate=100.0, burst=1)
+        # burst > 1 on purpose: a crawl-delayed host must get NO burst —
+        # every grant after the first spaced by the full delay
+        pol = Politeness(num_shards=2, per_host_rate=100.0, burst=8)
         pol.apply_crawl_delays(delays)
         hh = np.full(4, int(host_hash_of(host)), dtype=np.uint32)
         grants = np.sort(pol.reserve_batch([host] * 4, hh))
-        diffs = np.diff(grants[1:])  # after the single burst credit
-        assert np.all(diffs >= 1.99), diffs  # Crawl-delay: 2 honored
+        diffs = np.diff(grants)
+        assert np.all(diffs >= 1.99), diffs  # Crawl-delay: 2 honored from grant 2
         # a host WITHOUT a crawl delay keeps the 10ms default interval
         g2 = np.sort(pol.reserve_batch(["other"] * 4,
                                        np.full(4, int(host_hash_of("other")), np.uint32)))
