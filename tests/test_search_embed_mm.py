@@ -577,3 +577,36 @@ class TestPlotBackends:
         df = pd.DataFrame({"t": ["a", "b"], "n": [3, 1]})
         p = analysis.save_barh(df, "t", "n", str(tmp_path / "r.png"), "rank")
         assert p.endswith(".png")
+
+
+def test_api_bad_int_params_are_400(tmp_path):
+    """Client input errors (non-integer top_n/page) are 400s, never 500s."""
+    from pubcrawl import api, service
+
+    docs = rd.from_items([{"doc_id": 0, "text": "alpha beta"}])
+    srv, port = api.serve_background(service.SearchSession(docs))
+    try:
+        call = TestApi._call
+        st, body = call(port, "POST", "/search", {"query": "x", "top_n": "abc"})
+        assert st == 400 and "top_n" in body["detail"]
+        st, body = call(port, "POST", "/page", {"page": [], "per_page": 2})
+        assert st == 400 and "page" in body["detail"]
+    finally:
+        srv.shutdown()
+
+
+def test_svg_sinks_escape_xml_labels(tmp_path):
+    """Labels holding & < > must yield well-formed SVG in every writer."""
+    import xml.etree.ElementTree as ET
+
+    df = pd.DataFrame({"t": ["R&D <x>", "b"], "n": [3, 1]})
+    p1 = analysis.save_barh_svg(df, "t", "n", str(tmp_path / "a.svg"), title="a&b")
+    pv = pd.DataFrame({"O&r<al": [1, 2], "Rej": [3, 4]}, index=["t&1", "t<2"])
+    p2 = analysis.save_stacked_barh_svg(pv, str(tmp_path / "b.svg"), "d&e")
+    p3 = analysis.save_stackplot_svg(
+        pd.DataFrame({"c&v": [1.0, 2.0]}, index=[2023, 2024]), str(tmp_path / "c.svg")
+    )
+    freqs = pd.DataFrame({"word": ["a&b", "c<d"], "n": [2, 1]})
+    p4 = analysis.save_wordcloud_svg(freqs, str(tmp_path / "d.svg"))
+    for p in (p1, p2, p3, p4):
+        ET.parse(p)  # raises on ill-formed XML
