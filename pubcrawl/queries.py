@@ -982,6 +982,47 @@ def pipeline_clean_corpus(sf_dir: str):
     )
 
 
+_PII = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+_PLANT_SQL = (
+    "text || ' contact doc' || doc_id || '@example.com from 10.0.' || "
+    "(doc_id % 256) || '.7'"
+)
+
+
+@query(
+    "redact_pii_docs",
+    # same sequential replay in SQL: email redacted first, ip counted on the
+    # email-redacted text (matching the engine's in-order subn chain)
+    sql=f"WITH p AS (SELECT doc_id, {_PLANT_SQL} AS t FROM documents), "
+    f"s1 AS (SELECT doc_id, t, regexp_replace(t, '{_PII['email']}', "
+    "'[EMAIL]', 'g') AS t1 FROM p) "
+    f"SELECT doc_id, regexp_replace(t1, '{_PII['ip']}', '[IP]', 'g') AS clean_text, "
+    f"CAST(len(regexp_extract_all(t, '{_PII['email']}')) AS BIGINT) AS n_email, "
+    f"CAST(len(regexp_extract_all(t1, '{_PII['ip']}')) AS BIGINT) AS n_ip FROM s1",
+)
+def redact_pii_docs(sf_dir: str):
+    """PII scrubbing — the redaction stage of a training-data pipeline
+    (text.redact_patterns): deterministic planted PII (an email and an IP
+    derived from doc_id, so the redaction provably fires on every row), then
+    RE2-compatible pattern replacement + per-doc audit counts. Oracle replays
+    the identical regexes through DuckDB regexp_replace byte-for-byte."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        planted = (
+            df["text"].fillna("") + " contact doc" + ids.astype(str)
+            + "@example.com from 10.0." + (ids % 256).astype(str) + ".7"
+        )
+        return pd.DataFrame({"doc_id": ids, "text": planted})
+
+    planted = ds.map_batches(plant, batch_format="pandas", batch_size=None)
+    return text.redact_patterns(planted, "text", "doc_id", _PII)
+
+
 # ======================================================= streaming-shaped ops
 
 

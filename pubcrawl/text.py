@@ -192,3 +192,43 @@ def langid_predict_trigrams(
     return ds.select_columns([id_col, text_col]).map_batches(
         pred, batch_format="pandas", batch_size=None
     )
+
+
+# ------------------------------------------------- PII / pattern redaction
+
+
+def redact_patterns(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    patterns: dict[str, str],
+    out_col: str = "clean_text",
+) -> rd.Dataset:
+    """Pattern redaction — the PII-scrubbing stage of a training-data
+    pipeline: each named pattern's matches are replaced by ``[NAME]`` and
+    counted. Embarrassingly parallel (pure per-batch map, regexes compiled
+    once per task closure); patterns are RE2-compatible so the SQL oracle
+    (DuckDB regexp_replace) replays them byte-for-byte.
+
+    Output: (id, out_col, n_<name> per pattern) — the counts give the audit
+    table (how much PII per doc) without a second pass."""
+    compiled = [(name, re.compile(p), f"[{name.upper()}]") for name, p in patterns.items()]
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({id_col: df[id_col]})
+        texts = df[text_col].fillna("")
+        counts = {name: np.zeros(len(df), dtype=np.int64) for name, _, _ in compiled}
+        cleaned = []
+        for i, t in enumerate(texts):
+            for name, rx, repl in compiled:
+                t, n = rx.subn(repl, t)
+                counts[name][i] = n
+            cleaned.append(t)
+        out[out_col] = cleaned
+        for name, _, _ in compiled:
+            out[f"n_{name}"] = counts[name]
+        return out
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pandas", batch_size=None
+    )
