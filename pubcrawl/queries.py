@@ -982,6 +982,21 @@ def pipeline_clean_corpus(sf_dir: str):
     )
 
 
+@query(
+    "split_train_val_test",
+    sql="SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'c' THEN 'train' "
+    "WHEN md5(CAST(doc_id AS VARCHAR)) < 'e' THEN 'val' ELSE 'test' END AS split, "
+    "lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2",
+)
+def split_train_val_test(sf_dir: str):
+    """Deterministic train/val/test assignment (relops.split_assign — md5
+    boundary buckets, ~75/12.5/12.5), audited as per-(split, lang) counts:
+    reproducible across engines/partitionings, unlike seeded RNG splits."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    tagged = relops.split_assign(ds, "doc_id", {"train": "c", "val": "e", "test": ""})
+    return relops.preagg_group_sum(tagged, ["split", "lang"], count_as="n")
+
+
 _PII = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",

@@ -693,6 +693,40 @@ def sample_by_hash(ds: rd.Dataset, col: str, max_prefix: str) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def split_assign(
+    ds: rd.Dataset,
+    col: str,
+    boundaries: dict[str, str],
+    out_col: str = "split",
+) -> rd.Dataset:
+    """Deterministic dataset split assignment (train/val/test — the
+    reproducible-split primitive of a training-data pipeline): each row's
+    split = first label whose hex boundary exceeds ``md5(str(col))``'s
+    prefix; rows past the last boundary get the final label. Same digest
+    convention as :func:`sample_by_hash`, so the assignment is reproducible
+    across engines, runs, and partitionings (DuckDB oracle: CASE WHEN
+    md5(CAST(col AS VARCHAR)) < 'c' THEN 'train' ...).
+
+    ``boundaries`` is an ORDERED {label: upper_hex_prefix} map for all but
+    the last label; e.g. {"train": "c", "val": "e", "test": ""} gives
+    ~75/12.5/12.5 ("" marks the catch-all last label)."""
+    items = list(boundaries.items())
+    assert items and items[-1][1] == "", "last label must be the '' catch-all"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_pylist()
+        out = []
+        for v in vals:
+            h = hashlib.md5(str(v).encode()).hexdigest()
+            for label, bound in items:
+                if bound == "" or h[: len(bound)] < bound:
+                    out.append(label)
+                    break
+        return batch.append_column(out_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def range_join_agg(
     points: rd.Dataset,
     intervals: rd.Dataset,
