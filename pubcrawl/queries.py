@@ -997,6 +997,34 @@ def split_train_val_test(sf_dir: str):
     return relops.preagg_group_sum(tagged, ["split", "lang"], count_as="n")
 
 
+@query(
+    "normalize_text_docs",
+    # planted DECOMPOSED accents (e+U+0301, i+U+0308) + tab + trailing runs,
+    # so NFC composition, whitespace collapse, and trim all provably fire
+    sql="SELECT doc_id, trim(regexp_replace(nfc_normalize("
+    "text || ' caf' || chr(101) || chr(769) || chr(9) || ' nai' || chr(105) "
+    "|| chr(776) || 've  x '), '[ \t\n\r\f]+', ' ', 'g')) AS norm_text "
+    "FROM documents",
+)
+def normalize_text_docs(sf_dir: str):
+    """Unicode/whitespace canonicalization (text.normalize_text): NFC
+    composition + explicit-ASCII-whitespace collapse + trim, byte-exact
+    against DuckDB nfc_normalize/regexp_replace on planted decomposed
+    accents and whitespace runs."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # explicit escapes: DECOMPOSED e+U+0301 / i+U+0308 (a literal char
+    # could be silently NFC-composed by an editor and break the oracle)
+    suffix = " caf" + "e\u0301" + "\t nai" + "i\u0308" + "ve  x "
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "text": df["text"].fillna("") + suffix}
+        )
+
+    planted = ds.map_batches(plant, batch_format="pandas", batch_size=None)
+    return text.normalize_text(planted, "text", "doc_id")
+
+
 _PII = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",

@@ -232,3 +232,33 @@ def redact_patterns(
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pandas", batch_size=None
     )
+
+
+def normalize_text(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    out_col: str = "norm_text",
+    lowercase: bool = False,
+) -> rd.Dataset:
+    """Unicode + whitespace normalization — the canonicalization stage of a
+    text-cleaning pipeline: NFC composition (decomposed accents fold to
+    single codepoints), ASCII-whitespace-run collapse to single spaces, and
+    strip (optional lowercase). The whitespace class is the explicit
+    [ \\t\\n\\r\\f]+ so Python re and RE2 (the DuckDB oracle) agree — Python's
+    \\s would also eat unicode spaces that RE2's does not."""
+    import unicodedata
+
+    ws = re.compile(r"[ \t\n\r\f]+")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for t in df[text_col].fillna(""):
+            t = unicodedata.normalize("NFC", t)
+            t = ws.sub(" ", t).strip()
+            out.append(t.lower() if lowercase else t)
+        return pd.DataFrame({id_col: df[id_col], out_col: out})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pandas", batch_size=None
+    )
