@@ -366,3 +366,18 @@ def test_http_transport_full_pipeline_matches_oracle(http_mirror, tmp_path):
     assert list(imgs.image_id) == list(golden.image_id)
     assert list(imgs.phash) == list(golden.phash)
     assert list(imgs.caption) == list(golden.caption)
+
+
+def test_crawl_delays_pace_without_changing_results(tmp_path):
+    """A robots Crawl-delay override paces the delayed host's fetches but
+    never changes WHAT is crawled: seen set and discovery order stay
+    bit-identical to the oracle (politeness affects timing only)."""
+    cfg = WebConfig(seed=9, n_hosts=4, pages_per_host=2, links_per_page=5,
+                    images_per_page=1, details_per_host=8)
+    root = str(tmp_path / "store")
+    crawl(cfg, root, fetch_concurrency=2, seen_shards=2, politeness_shards=2,
+          per_host_rate=200.0, crawl_delays={"host-00001": 0.05})
+    o = crawl_oracle(cfg)
+    pages = load_pages(root).to_pandas().sort_values("seq")
+    assert set(int(x) for x in pages.url_hash) == o.seen_hashes
+    assert list(pages.url) == [u for u, _, _ in o.order]
