@@ -116,15 +116,21 @@ def langid_fit_trigrams(
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for label, g in df.groupby(label_col, sort=False):
-            acc: dict = {}
-            for t in g[text_col]:
-                u, c = _byte_trigram_hashes(t)
-                for hh, cc in zip(u.view(np.int64), c):
-                    acc[hh] = acc.get(hh, 0) + int(cc)
-            if acc:
-                frames.append(pd.DataFrame(
-                    {label_col: label, "h": list(acc), "c": list(acc.values())}
-                ))
+            # vectorized label-level aggregation: concat every doc's (hash,
+            # count) pairs, then one np.unique + add.at pass — no per-trigram
+            # Python loop (the fit stage's hot path at corpus scale)
+            per_doc = [_byte_trigram_hashes(t) for t in g[text_col]]
+            hs = [u for u, _ in per_doc if len(u)]
+            if not hs:
+                continue
+            all_h = np.concatenate(hs)
+            all_c = np.concatenate([c for _, c in per_doc if len(c)])
+            uniq, inv = np.unique(all_h, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(sums, inv, all_c)
+            frames.append(pd.DataFrame(
+                {label_col: label, "h": uniq.view(np.int64), "c": sums}
+            ))
         if not frames:
             return pd.DataFrame({label_col: pd.Series([], dtype=object),
                                  "h": pd.Series([], dtype="int64"),
