@@ -34,14 +34,16 @@ def quality_features(
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             texts = df[text_col].fillna("")
-            n_tokens = np.fromiter((len(_TOKEN.findall(t)) for t in texts), np.int64, len(df))
-            alpha = [_ALPHA.findall(t.lower()) for t in texts]
+            # token/alpha/punct counts as vectorized pandas str.count passes
+            # (same regexes → identical counts to the findall loops)
+            n_tokens = texts.str.count(_TOKEN.pattern).to_numpy(dtype=np.int64)
+            alpha = [_ALPHA.findall(t) for t in texts.str.lower()]
             n_alpha = np.fromiter((len(a) for a in alpha), np.int64, len(df))
             stop = self.stop
             n_stop = np.fromiter(
                 (sum(1 for w in a if w in stop) for a in alpha), np.int64, len(df)
             )
-            n_punct = np.fromiter((len(_PUNCT.findall(t)) for t in texts), np.int64, len(df))
+            n_punct = texts.str.count(_PUNCT.pattern).to_numpy(dtype=np.int64)
             return pd.DataFrame(
                 {
                     id_col: df[id_col],
@@ -177,22 +179,26 @@ def langid_predict_trigrams(
 
     def pred(df: pd.DataFrame) -> pd.DataFrame:
         hs, wm, lg = ray.get(model_ref)
-        out = []
-        for t in df[text_col]:
-            u, c = _byte_trigram_hashes(t)
-            if not len(u):
-                out.append(0)
-                continue
-            ui = u.view(np.int64)
-            pos = np.searchsorted(hs, ui)
+        per_doc = [_byte_trigram_hashes(t) for t in df[text_col]]
+        lens = np.array([len(u) for u, _ in per_doc], dtype=np.int64)
+        out = np.zeros(len(df), dtype=np.int64)
+        nonempty = np.flatnonzero(lens > 0)
+        if len(nonempty):
+            # ONE searchsorted + matmul over all docs' trigrams, per-doc
+            # scores via reduceat segment sums (no per-doc numpy calls)
+            all_u = np.concatenate([per_doc[i][0] for i in nonempty]).view(np.int64)
+            all_c = np.concatenate([per_doc[i][1] for i in nonempty]).astype(np.float64)
+            pos = np.searchsorted(hs, all_u)
             pos_c = np.minimum(pos, len(hs) - 1)
-            hit = hs[pos_c] == ui
-            scores = (c[hit].astype(np.float64) @ wm[pos_c[hit]])
-            scores /= np.sqrt(float((c.astype(np.float64) ** 2).sum()))
-            out.append(int(np.argmax(scores)))
+            hit = hs[pos_c] == all_u
+            contrib = np.zeros((len(all_u), wm.shape[1]), dtype=np.float64)
+            contrib[hit] = all_c[hit, None] * wm[pos_c[hit]]
+            bounds = np.concatenate([[0], np.cumsum(lens[nonempty])])[:-1]
+            scores = np.add.reduceat(contrib, bounds, axis=0)
+            out[nonempty] = np.argmax(scores, axis=1)
         lg_arr = np.asarray(lg)
         return pd.DataFrame(
-            {id_col: df[id_col], "pred_lang": lg_arr[np.asarray(out, dtype=np.int64)]}
+            {id_col: df[id_col], "pred_lang": lg_arr[out]}
         )
 
     return ds.select_columns([id_col, text_col]).map_batches(
