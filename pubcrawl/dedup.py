@@ -39,6 +39,9 @@ def exact_dedup(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
     pre-combined per batch, never the text."""
 
     def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
+        # hexdigest, not raw bytes: _stable_bucket stringifies key columns
+        # (bytes keys would double shuffle volume vs digests but raw bytes
+        # are not utf-8 — hex keeps the shared bucketing path)
         h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df[text_col]]
         return pd.DataFrame({"__h": h, id_col: df[id_col], "__n": 1})
 
