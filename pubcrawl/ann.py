@@ -358,7 +358,18 @@ def ivf_build(
     from .store import ParquetFragmentStore
 
     store = ParquetFragmentStore(index_root)
+    lineage = f"n_clusters={n_clusters};seed={seed}"
     if store.is_committed("ivf_centroids"):
+        # resume guard: a committed index built with DIFFERENT parameters
+        # must not be silently reused (stale centroids + already-committed
+        # cells would mix two index generations)
+        stored = store.committed()["ivf_centroids"].get("lineage", "")
+        if stored != lineage:
+            raise ValueError(
+                f"index_root {index_root!r} holds an IVF index with lineage "
+                f"{stored!r}, incompatible with requested {lineage!r}; "
+                "rebuild under a new root"
+            )
         import pyarrow.parquet as pq
 
         cents = np.stack(
@@ -372,7 +383,7 @@ def ivf_build(
         store.commit(
             pa.table({"cluster": pa.array(range(len(cents)), pa.int64()),
                       "centroid": pa.array([list(c) for c in cents])}),
-            "ivf_centroids", lineage=f"n_clusters={n_clusters};seed={seed}",
+            "ivf_centroids", lineage=lineage,
         )
     cref = ray.put(cents)
 

@@ -19,6 +19,7 @@ unset — an external LLM client is out of engine scope)."""
 from __future__ import annotations
 
 import json
+import math
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Callable
@@ -31,9 +32,13 @@ def _jsonable(v):
     if isinstance(v, (np.integer,)):
         return int(v)
     if isinstance(v, (np.floating,)):
-        return float(v)
+        v = float(v)
+    if isinstance(v, float):
+        # NaN/Inf would serialize as bare `NaN` tokens — invalid JSON for
+        # strict clients; reachable via all-NA cells from the left-join attach
+        return v if math.isfinite(v) else None
     if isinstance(v, np.ndarray):
-        return v.tolist()
+        return [_jsonable(x) for x in v.tolist()]
     if isinstance(v, (list, tuple)):
         return [_jsonable(x) for x in v]
     return v
@@ -89,6 +94,10 @@ class Routes:
     def page(self, payload: dict) -> tuple[int, dict]:
         page = self._int(payload, "page", 1)
         per_page = self._int(payload, "per_page", 10)
+        if not (1 <= per_page <= 100):
+            return 400, {"detail": "per_page must be in [1, 100]"}
+        if page < 1:
+            return 400, {"detail": "page must be >= 1"}
         with self._lock:
             rows, info = self.session.page(page, per_page)
         return 200, {"results": _results_payload(rows), **info}

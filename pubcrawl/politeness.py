@@ -174,7 +174,14 @@ class RobotsCache:
             rp = self._parser_for(sh)
             d = rp.crawl_delay(self._ua)
             if d is not None:
-                out[urlsplit(sh).netloc] = float(d)
+                # key by the CANONICAL host form (lowercase, default port
+                # stripped — canon.host_of): the crawl's host strings and
+                # host_hash_of shard routing use it, and a raw netloc key
+                # would route the delay to the wrong shard and never be
+                # honored
+                from .canon import host_of
+
+                out[host_of(sh if "://" in sh else f"http://{sh}")] = float(d)
         return out
 
     def allowed_many_http(self, urls: list[str]) -> np.ndarray:

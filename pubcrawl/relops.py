@@ -268,12 +268,15 @@ def preagg_group_sum(
 
 def distinct(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
     """G10: distinct rows of ``cols`` — partial per-batch dedup then global
-    groupby-first, so the shuffle moves unique rows per batch only."""
+    groupby-first, so the shuffle moves unique rows per batch only. Merge
+    width auto-sizes with the partials (``n_partitions=None``): on a
+    high-cardinality domain the partials ≈ all unique rows, and a static
+    width would pin 1/width of the domain per merge task at scale."""
     sub = ds.select_columns(cols)
     deduped = sub.map_batches(
         lambda df: df.drop_duplicates(), batch_format="pandas", batch_size=None
     )
-    return hash_partition_apply(deduped, cols, lambda df: df.drop_duplicates(), n_partitions=8)
+    return hash_partition_apply(deduped, cols, lambda df: df.drop_duplicates())
 
 
 def topk(ds: rd.Dataset, keys: list[tuple[str, bool]], k: int) -> rd.Dataset:

@@ -1300,6 +1300,11 @@ def test_ivf_indexed_matches_scan_and_prunes_reads(tmp_path):
     n2 = sum(1 for _ in open(manifest))
     assert n1 == n2
 
+    # parameter-mismatch guard: rebuilding the same root with different
+    # n_clusters/seed must raise, never silently reuse stale centroids
+    with pytest.raises(ValueError, match="lineage"):
+        ann.ivf_build(ds, root, n_clusters=8)
+
 
 def test_winnow_vectorized_matches_scalar_reference():
     """The sliding-window-vectorized winnowing must be bit-identical to the

@@ -87,3 +87,19 @@ def test_documents_have_enough_tokens_for_shingle_oracles():
             f"FROM read_parquet('/root/testdata/{sf}/documents.parquet')"
         ).fetchone()[0]
         assert n >= 3, (sf, n)
+
+
+def test_documents_text_is_ascii():
+    """pipeline_clean_corpus's quality-gate oracle equates Python re \\w+
+    (unicode-aware) with DuckDB/RE2 \\w+ (ASCII) — valid only while the
+    documents text is pure ASCII at every SF the driver touches. Pin that
+    precondition here so a corpus change trips this test, not the gate."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = duckdb.sql(
+            "SELECT COUNT(*) FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet') "
+            "WHERE octet_length(encode(text)) != length(text)"
+        ).fetchone()[0]
+        assert n == 0, (sf, n)

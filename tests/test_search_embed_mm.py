@@ -472,6 +472,14 @@ class TestApi:
         assert st == 400
         st, body = self._call(api, "POST", "/search", {"query": "x", "top_n": 0})
         assert st == 400
+        # per_page/page bounds: malformed client input is a 400, never a 500
+        # (per_page=0 used to reach paginate and ZeroDivisionError)
+        st, body = self._call(api, "POST", "/page", {"page": 1, "per_page": 0})
+        assert st == 400
+        st, body = self._call(api, "POST", "/page", {"page": 0, "per_page": 5})
+        assert st == 400
+        st, body = self._call(api, "POST", "/page", {"page": 1, "per_page": 101})
+        assert st == 400
         st, body = self._call(api, "POST", "/chat",
                               {"current_message": "hi", "search_results_context": [{"title": "t"}]})
         assert st == 503  # no AI backend configured (reference parity)

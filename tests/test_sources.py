@@ -491,9 +491,13 @@ def test_robots_crawl_delay_overrides_host_rate():
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     try:
         port = srv.server_address[1]
-        host = f"127.0.0.1:{port}"
+        # the delay is keyed by the CANONICAL host (lowercase, portless —
+        # canon.host_of), matching the crawl's host column and the
+        # host_hash_of shard routing; a raw netloc key (with port / case)
+        # would land on the wrong shard and silently never be honored
+        host = "127.0.0.1"
         cache = RobotsCache(transport=HttpTransport(total_retries=1, backoff=0.01))
-        delays = cache.crawl_delays_http([f"http://{host}"])
+        delays = cache.crawl_delays_http([f"http://127.0.0.1:{port}"])
         assert delays == {host: 2.0}
 
         # burst > 1 on purpose: a crawl-delayed host must get NO burst —
