@@ -406,12 +406,13 @@ class CrawlPipeline:
         politeness_clock: str = "local",  # "shard" on multi-node clusters
         transport_factory=None,  # zero-arg → transport; default synthetic web
         crawl_delays: dict[str, float] | None = None,  # robots Crawl-delay per host
+        seen_spill_threshold: int | None = None,  # max in-RAM entries per seen shard
     ):
         self.cfg = cfg
         self.store = open_store(store_root)
         self.store_root = store_root
         self.max_depth = max_depth
-        self.seen = SeenSet(seen_shards)
+        self.seen = SeenSet(seen_shards, spill_threshold=seen_spill_threshold)
         self.politeness = Politeness(politeness_shards, per_host_rate, burst)
         if crawl_delays:
             # robots Crawl-delay overrides (RobotsCache.crawl_delays_http):

@@ -10,10 +10,13 @@ Design (SURVEY.md §7.3 hard-part #1): a cuckoo filter (Fan et al., "Cuckoo
 Filter: Practically Better Than Bloom", CoNEXT 2014) answers definite-no
 cheaply and memory-bounded; any filter hit is confirmed against the exact
 per-shard set before a URL may be dropped, so reproduction stays bit-for-bit
-— a false positive costs one exact lookup, never a lost URL. At 10^10 scale
-the exact set is the part that spills (host-sharding bounds each shard's
-slice); at test scale it is in-RAM, so the hot path is the plain set and the
-filter is maintained as the spill-ready structure.
+— a false positive costs one exact lookup, never a lost URL. Past
+``spill_threshold`` entries the exact set SPILLS: the in-RAM sorted array
+freezes as immutable sorted uint64 runs on local disk (mmap + searchsorted
+probes), the cuckoo filter becomes the consulted fast negative path, and the
+shard's RAM stays bounded at the threshold — the 10^10-URL regime
+(host-sharding bounds each shard's slice). Below the threshold (every
+test/bench-scale crawl) the hot path is one in-RAM searchsorted, unchanged.
 
 Implementation note: the filter table is a flat ``array('H')`` driven by
 pure-int Python arithmetic — per-item numpy scalar ops cost ~100x more than
@@ -130,10 +133,40 @@ class CuckooFilter:
         return placed
 
 
+DEFAULT_SPILL_THRESHOLD = 1 << 26  # 67M entries = 512 MB of sorted uint64/shard
+
+
 class _SeenShardImpl:
-    """Exact membership = ONE SORTED uint64 array probed with vectorized
-    searchsorted; the cuckoo filter stays in sync as the memory-bounded
-    negative-path structure for the spill regime.
+    """Exact membership = ONE SORTED in-RAM uint64 array plus, past
+    ``spill_threshold`` entries, immutable SPILLED SORTED RUNS on local disk
+    (the north_rule's 10^10-URL regime: a shard's RAM stays bounded while its
+    exact set grows on the store).
+
+    Two regimes, switched automatically:
+
+    - **in-RAM** (below the threshold — every test/bench-scale crawl): probes
+      are one vectorized searchsorted over the sorted array; the cuckoo
+      filter syncs LAZILY (folding it is 64 MB of random writes per shard —
+      16 shards doing that concurrently saturate LLC/memory bandwidth for
+      bookkeeping this regime never reads).
+    - **spilled** (≥ threshold): the in-RAM array is written out as one
+      sorted uint64 run (mmap-probed thereafter) and reset; from then on the
+      EAGERLY-maintained cuckoo filter is the consulted fast negative path —
+      a filter miss proves a URL unseen without touching any run, and only
+      the ~1e-3 false-positive candidates pay one searchsorted per run
+      (O(log n) pages via mmap). A filter overflow rebuilds it at 2× from
+      the runs; if even that fails the shard degrades to probe-everything,
+      so membership stays EXACT in every regime — the filter can only cost
+      an extra lookup, never lose or duplicate a URL.
+
+    ``_register`` merges new (sorted) values into the sorted array with one
+    O(N+k) ``np.insert`` pass — not a full re-sort per round (round-4 fix
+    for VERDICT What's-wrong #4).
+
+    Run files live under actor-local scratch (or ``spill_dir``): they are
+    actor-lifetime state, NOT checkpoints — resume rebuilds seen sets from
+    the committed frontier fragments (pipeline._reseed_from_checkpoint), so
+    a lost node loses nothing durable.
 
     Round-2 change: this used to be a Python ``set`` with per-item
     ``h in new`` probes — measured 13x slower under 16 concurrent shard
@@ -143,37 +176,124 @@ class _SeenShardImpl:
     per-item Python objects, sequential memory traffic, and the same
     bit-for-bit first-wins semantics (tested against the oracle)."""
 
-    def __init__(self, capacity_hint: int = 1 << 16):
+    def __init__(
+        self,
+        capacity_hint: int = 1 << 16,
+        spill_threshold: int | None = None,
+        spill_dir: str | None = None,
+    ):
         self.filter = CuckooFilter(capacity_hint)
         self._seen = np.empty(0, dtype=np.uint64)  # sorted, unique
-        # filter sync is LAZY: new hashes queue here and fold into the cuckoo
-        # table only when the filter is actually consulted (spill regime /
-        # diagnostics). The fold is 64 MB of random-access writes per shard —
-        # on the hot expand path, 16 shards doing it concurrently saturate
-        # LLC/memory bandwidth for pure bookkeeping the round never reads.
-        self._filter_pending: list[np.ndarray] = []
+        self._filter_pending: list[np.ndarray] = []  # lazy sync (in-RAM regime)
+        self._filter_degraded = False  # True → filter lost adds; probe runs always
+        self._spill_threshold = (
+            DEFAULT_SPILL_THRESHOLD if spill_threshold is None else int(spill_threshold)
+        )
+        self._spill_dir = spill_dir
+        self._runs: list[np.memmap] = []  # immutable sorted uint64 runs, disjoint
 
-    def _membership(self, cand: np.ndarray) -> np.ndarray:
-        """Boolean mask: cand[i] already registered. cand need not be sorted."""
-        s = self._seen
+    # ------------------------------------------------------------- structures
+
+    @staticmethod
+    def _probe_sorted(s: np.ndarray, cand: np.ndarray) -> np.ndarray:
         if len(s) == 0:
             return np.zeros(len(cand), dtype=bool)
         pos = np.searchsorted(s, cand)
         pos[pos == len(s)] = len(s) - 1
         return s[pos] == cand
 
+    def _membership(self, cand: np.ndarray) -> np.ndarray:
+        """Boolean mask: cand[i] already registered. cand need not be sorted.
+        EXACT in both regimes (filter negatives are proven; positives are
+        confirmed against the exact runs)."""
+        if not self._runs:
+            return self._probe_sorted(self._seen, cand)
+        c = cand.astype(np.uint64, copy=False)
+        if self._filter_degraded:
+            idx = np.arange(len(c))
+        else:
+            idx = np.flatnonzero(self.filter.contains_many(c))  # fast negatives out
+        out = np.zeros(len(cand), dtype=bool)
+        if len(idx) == 0:
+            return out
+        q = c[idx]
+        hit = self._probe_sorted(self._seen, q)
+        for run in self._runs:
+            miss = np.flatnonzero(~hit)
+            if len(miss) == 0:
+                break
+            hit[miss] = self._probe_sorted(run, q[miss])
+        out[idx] = hit
+        return out
+
     def _register(self, new: np.ndarray) -> None:
-        """Merge new (unique, any order) into the sorted seen array."""
+        """Merge new (unique vs all registered, any order) into the sorted
+        in-RAM array: sort the k new values, ONE linear np.insert merge."""
         if len(new) == 0:
             return
-        merged = np.concatenate([self._seen, new])
-        merged.sort(kind="stable")
-        self._seen = merged
-        self._filter_pending.append(new)
+        new = np.sort(new.astype(np.uint64, copy=False))
+        if len(self._seen) == 0:
+            self._seen = new.copy()
+        else:
+            self._seen = np.insert(self._seen, np.searchsorted(self._seen, new), new)
+        if self._runs:
+            self._filter_add_eager(new)
+        else:
+            self._filter_pending.append(new)
+        if len(self._seen) >= self._spill_threshold:
+            self._spill()
+
+    def _spill(self) -> None:
+        """Freeze the in-RAM array as one immutable sorted run on disk and
+        reset. From the first spill on, the cuckoo filter is the consulted
+        negative path, so sync it eagerly before the exact values leave RAM."""
+        import os
+        import tempfile
+
+        if self._spill_dir is None:
+            self._spill_dir = tempfile.mkdtemp(prefix="pubcrawl_seen_")
+        os.makedirs(self._spill_dir, exist_ok=True)
+        self._flush_filter()
+        path = os.path.join(self._spill_dir, f"run_{len(self._runs):05d}.u64")
+        self._seen.tofile(path)
+        self._runs.append(np.memmap(path, dtype=np.uint64, mode="r"))
+        self._seen = np.empty(0, dtype=np.uint64)
+
+    def _filter_add_eager(self, arr: np.ndarray) -> None:
+        if self._filter_degraded:
+            return
+        if self.filter.add_many(arr) < len(arr):
+            self._rebuild_filter()
+
+    def _rebuild_filter(self) -> None:
+        """Filter overflow: rebuild at 2× capacity from the exact structures
+        (runs + in-RAM), chunked so temp memory stays bounded. Two growth
+        attempts, then degrade to probe-everything (exactness unaffected)."""
+        total = len(self._seen) + sum(len(r) for r in self._runs)
+        cap = max(self.filter.n_buckets * CuckooFilter.SLOTS, 1 << 12)
+        for _ in range(2):
+            cap *= 2
+            f = CuckooFilter(max(cap, int(total * 1.3)))
+            ok = True
+            for src in [*self._runs, self._seen]:
+                for lo in range(0, len(src), 1 << 22):
+                    chunk = np.asarray(src[lo : lo + (1 << 22)], dtype=np.uint64)
+                    if f.add_many(chunk) < len(chunk):
+                        ok = False
+                        break
+                if not ok:
+                    break
+            if ok:
+                self.filter = f
+                self._filter_degraded = False
+                return
+        self._filter_degraded = True
 
     def _flush_filter(self) -> None:
         for arr in self._filter_pending:
-            self.filter.add_many(arr)
+            if not self._filter_degraded and self.filter.add_many(arr) < len(arr):
+                self._rebuild_filter()
+                break  # rebuild folded everything registered, pending included
         self._filter_pending.clear()
 
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
@@ -241,13 +361,29 @@ class _SeenShardImpl:
         uniq = np.unique(hashes.astype(np.uint64, copy=False))
         present = self._membership(uniq)
         self._register(uniq[~present])
-        return len(self._seen)
+        return self.count()
 
     def snapshot(self) -> np.ndarray:
-        return self._seen.copy()
+        """Full exact set (in-RAM ∪ spilled runs), sorted. Runs are disjoint
+        (each value registers exactly once), so one merge-sort pass."""
+        if not self._runs:
+            return self._seen.copy()
+        full = np.concatenate([np.asarray(r) for r in self._runs] + [self._seen])
+        full.sort()
+        return full
 
     def count(self) -> int:
-        return len(self._seen)
+        return len(self._seen) + sum(len(r) for r in self._runs)
+
+    def spill_stats(self) -> dict:
+        """Diagnostic: {runs, spilled, in_ram, filter_size, degraded}."""
+        return {
+            "runs": len(self._runs),
+            "spilled": int(sum(len(r) for r in self._runs)),
+            "in_ram": int(len(self._seen)),
+            "filter_size": int(self.filter.size),
+            "degraded": self._filter_degraded,
+        }
 
     def filter_fp_rate(self, probes: np.ndarray) -> float:
         """Diagnostic: false-positive rate of the filter on given non-member
@@ -263,9 +399,22 @@ SeenShard = ray.remote(_SeenShardImpl)
 class SeenSet:
     """Driver-side handle over ``num_shards`` SeenShard actors."""
 
-    def __init__(self, num_shards: int = 8, capacity_hint: int = 1 << 16):
+    def __init__(
+        self,
+        num_shards: int = 8,
+        capacity_hint: int = 1 << 16,
+        spill_threshold: int | None = None,
+        spill_dir: str | None = None,
+    ):
         self.num_shards = num_shards
-        self.shards = [SeenShard.remote(capacity_hint) for _ in range(num_shards)]
+        self.shards = [
+            SeenShard.remote(
+                capacity_hint,
+                spill_threshold,
+                f"{spill_dir}/shard_{i:03d}" if spill_dir else None,
+            )
+            for i in range(num_shards)
+        ]
 
     def shard_of(self, host_hash: np.ndarray) -> np.ndarray:
         return (host_hash.astype(np.uint64) % np.uint64(self.num_shards)).astype(np.int64)

@@ -131,6 +131,79 @@ def test_seen_shards_match_python_set():
     assert seen.snapshot() == oracle_set
 
 
+def test_seen_shard_spill_matches_python_set(tmp_path):
+    """Forced spill regime (tiny in-RAM cap + tiny starting filter): exact
+    first-wins membership must be bit-for-bit the plain-set semantics while
+    the shard spills sorted runs to disk, consults the cuckoo filter as the
+    fast negative path, and rebuilds the filter on overflow."""
+    from pubcrawl.seen import _SeenShardImpl
+
+    shard = _SeenShardImpl(
+        capacity_hint=64,  # overflows fast → exercises the 2× rebuild
+        spill_threshold=256,
+        spill_dir=str(tmp_path / "spill"),
+    )
+    rng = np.random.default_rng(11)
+    universe = rng.integers(0, 2**63, size=4000, dtype=np.uint64)
+    oracle_set: set[int] = set()
+    for lo in range(0, 12000, 200):
+        batch = rng.choice(universe, size=200)  # heavy cross-batch duplication
+        mask = shard.check_and_add(batch)
+        firsts = set()
+        for h, m in zip(batch, mask):
+            expected = int(h) not in oracle_set and int(h) not in firsts
+            assert bool(m) == expected
+            firsts.add(int(h))
+        oracle_set.update(int(h) for h in batch)
+    stats = shard.spill_stats()
+    assert stats["runs"] >= 2, stats  # the spill path really ran
+    assert stats["in_ram"] < 256
+    assert not stats["degraded"], stats  # rebuild kept the filter authoritative
+    assert stats["spilled"] + stats["in_ram"] == len(oracle_set) == shard.count()
+    snap = shard.snapshot()
+    assert set(int(x) for x in snap) == oracle_set
+    assert (np.diff(snap.astype(np.int64)) > 0).all()  # sorted unique
+    # filter is the real negative path: non-members rarely reach the runs
+    probes = rng.integers(2**63, 2**64 - 1, size=2000, dtype=np.uint64)
+    probes = probes[~np.isin(probes, universe)]
+    assert shard.filter_fp_rate(probes) < 0.05
+
+
+def test_seen_shard_spill_fused_dedup_matches_plain(tmp_path):
+    """dedup_check_and_add (the crawl's fused within-round dedup + seen path)
+    under forced spill == the same calls against a no-spill shard."""
+    from pubcrawl.seen import _SeenShardImpl
+
+    a = _SeenShardImpl(capacity_hint=64, spill_threshold=128,
+                       spill_dir=str(tmp_path / "s"))
+    b = _SeenShardImpl()  # in-RAM reference
+    rng = np.random.default_rng(5)
+    for rnd in range(6):
+        h = rng.integers(0, 500, size=400, dtype=np.uint64)
+        ords = rng.permutation(400).astype(np.int64)
+        ka = a.dedup_check_and_add(h, ords)
+        kb = b.dedup_check_and_add(h, ords)
+        assert (ka == kb).all()
+    assert a.spill_stats()["runs"] >= 1
+    assert (a.snapshot() == b.snapshot()).all()
+
+
+def test_crawl_with_forced_spill_matches_oracle(tmp_path):
+    """The full crawl with a tiny per-shard in-RAM cap (every round spills)
+    reproduces the oracle's seen set and discovery order bit-for-bit — the
+    spill regime is semantics-invisible."""
+    cfg = WebConfig(seed=7, n_hosts=8, pages_per_host=3, links_per_page=6,
+                    images_per_page=2, details_per_host=40, fail_percent=5)
+    oracle = crawl_oracle(cfg)
+    root = str(tmp_path / "store")
+    crawl(cfg, root, fetch_concurrency=2, bucket_size=64, seen_shards=4,
+          seen_spill_threshold=16)
+    pages = load_pages(root).to_pandas()
+    assert set(int(x) for x in pages.url_hash) == oracle.seen_hashes
+    assert list(pages.sort_values("seq").url) == [u for u, _, _ in oracle.order]
+    assert list(pages.sort_values("seq").seq) == [s for _, _, s in oracle.order]
+
+
 def test_hot_host_skew_crawl_matches_oracle(tmp_path):
     """Skew: most links target one hot host; the crawl must still match the
     oracle bit-for-bit (hot host split across seq buckets, rate enforced by
