@@ -33,19 +33,49 @@ _M61 = np.uint64(0xFFFFFFFFFFFFFFFF)  # multiply-shift over 2^64 (a odd)
 # ---------------------------------------------------------------- exact dedup
 
 
-def exact_dedup(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
-    """Exact content dedup: md5(text) partition key → keep min id + group
+def exact_dedup(
+    ds: rd.Dataset, text_col: str, id_col: str, hash_fn: str = "xxh64"
+) -> rd.Dataset:
+    """Exact content dedup: hash(text) partition key → keep min id + group
     size. Hash computed per batch; the shuffle moves (hash, id, 1) triples
-    pre-combined per batch, never the text."""
+    pre-combined per batch, never the text.
 
-    def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
-        # hexdigest, not raw bytes: _stable_bucket stringifies key columns
-        # (bytes keys would double shuffle volume vs digests but raw bytes
-        # are not utf-8 — hex keeps the shared bucketing path)
-        h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df[text_col]]
-        return pd.DataFrame({"__h": h, id_col: df[id_col], "__n": 1})
+    ``hash_fn="xxh64"`` (default, the scale path) hashes the text column in
+    ONE vectorized Arrow pass (hashing.xxh64_arrow — no per-row Python loop,
+    and the uint64 key takes the integer fast path of the downstream
+    shuffle); it is the same 64-bit identity space the engine already uses
+    for shingles/URLs. ``hash_fn="md5"`` keeps the SQL-md5()-parity digest
+    for oracle-checked paths (and a 128-bit space where collision odds must
+    be negligible beyond ~10^9 docs)."""
+    if hash_fn == "xxh64":
+        from .hashing import xxh64_arrow
 
-    hashed = ds.map_batches(hash_batch, batch_format="pandas", batch_size=None)
+        def hash_batch_arrow(tbl: pa.Table) -> pa.Table:
+            col = tbl[text_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            h = xxh64_arrow(pc.cast(col, pa.string()))
+            return pa.table(
+                {
+                    "__h": pa.array(h, pa.uint64()),
+                    id_col: tbl[id_col],
+                    "__n": pa.array(np.ones(tbl.num_rows, dtype=np.int64)),
+                }
+            )
+
+        hashed = ds.map_batches(hash_batch_arrow, batch_format="pyarrow", batch_size=None)
+    elif hash_fn == "md5":
+
+        def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
+            # hexdigest, not raw bytes: the shuffle bucketer stringifies
+            # non-integer key columns (raw bytes are not utf-8 — hex keeps
+            # the shared bucketing path)
+            h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df[text_col]]
+            return pd.DataFrame({"__h": h, id_col: df[id_col], "__n": 1})
+
+        hashed = ds.map_batches(hash_batch, batch_format="pandas", batch_size=None)
+    else:
+        raise ValueError(f"hash_fn must be 'xxh64' or 'md5', got {hash_fn!r}")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("__h", as_index=False).agg(**{id_col: (id_col, "min"), "__n": ("__n", "sum")})

@@ -552,7 +552,7 @@ def dedup_exact(sf_dir: str):
     """Exact content dedup: hash-partition + per-group first (training-data
     op; generalizes /root/reference/src/search/embedder_chroma.py:56-76)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return dedup.exact_dedup(ds, "text", "doc_id")
+    return dedup.exact_dedup(ds, "text", "doc_id", hash_fn="md5")  # oracle pins md5
 
 
 @query(
@@ -964,7 +964,7 @@ def pipeline_clean_corpus(sf_dir: str):
     qdocs = relops.hash_join(
         docs, good, on="doc_id", left_cols=["text", "lang"], right_cols=["n_tokens"]
     ).materialize()  # consumed by exact-dedup ids, near-dup corpus, and final
-    reps = dedup.exact_dedup(qdocs, "text", "doc_id")  # (min doc_id, dupes)
+    reps = dedup.exact_dedup(qdocs, "text", "doc_id", hash_fn="md5")  # oracle pins md5
     e0 = relops.semi_join_partitioned(
         qdocs, reps.select_columns(["doc_id"]), on="doc_id"
     ).materialize()
