@@ -103,3 +103,36 @@ def test_documents_text_is_ascii():
             "WHERE octet_length(encode(text)) != length(text)"
         ).fetchone()[0]
         assert n == 0, (sf, n)
+
+
+def test_doc_ids_below_planted_copy_offset():
+    """dedup_simhash_pairs' planted-copy oracle filters recovered pairs to
+    id_b - id_a == 1000000, which identifies EXACTLY the planted (doc, copy)
+    pairs only while every natural doc_id is < 1000000 (two natural docs a
+    million ids apart would alias a planted pair). Pin that precondition at
+    every SF the driver touches."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        mx = duckdb.sql(
+            f"SELECT MAX(doc_id) FROM read_parquet('/root/testdata/{sf}/documents.parquet')"
+        ).fetchone()[0]
+        assert mx < 1000000, (sf, mx)
+
+
+def test_documents_lang_domain_is_static():
+    """analysis_topic_report's oracle pivots langs with a STATIC column list
+    (SQL can't emit dynamic pivot columns with the cat_ naming); the pandas
+    side emits a cat_<lang> column per lang present among topic-matched docs.
+    Both sides agree only while every SF's lang domain is exactly
+    {de,en,es,fr,zh} AND each lang appears in every topic's matched docs.
+    Pin the domain here; per-topic presence is implied at these corpus sizes
+    and checked by the oracle equality test itself at sf0.001."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        langs = duckdb.sql(
+            "SELECT DISTINCT lang FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet') ORDER BY lang"
+        ).df()["lang"].tolist()
+        assert langs == ["de", "en", "es", "fr", "zh"], (sf, langs)
