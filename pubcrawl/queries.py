@@ -761,15 +761,33 @@ def ann_brute_topk(sf_dir: str):
     return ann.brute_topk(ds, qmat, q["vec_id"].to_numpy(), k=10)
 
 
-@query("ann_ivf_topk")  # approximate (recall < 1) → rows-only check
+@query(
+    "ann_ivf_topk",
+    # planted self-search oracle: every 10th vector re-appears as a QUERY
+    # (id+1000000, NOT in the index). An identical vector normalizes to the
+    # same unit vector, so it lands in the same argmax centroid cell — which
+    # any nprobe >= 1 probes — and scores cos 1.0, strictly above the
+    # corpus's natural max pairwise cosine (0.60, pinned at the gate by the
+    # dedup_embedding_lsh oracle): the top-1 hit is provable. Full-k
+    # approximate behavior stays covered by ann_ivf_indexed (bit-equal to
+    # this scan form in tests) and ann_recall_eval.
+    sql="SELECT vec_id + 1000000 AS query_id, vec_id, 1.0 AS cos_sim "
+    "FROM embeddings WHERE vec_id % 10 = 0",
+)
 def ann_ivf_topk(sf_dir: str):
-    """IVF-bucketed approximate top-k — the 100TB-scale ANN path."""
+    """IVF-bucketed approximate top-k, scan form — the one-shot-query ANN
+    path — oracle-checked by planted self-queries whose top-1 recall through
+    the sample→kmeans→probe→score chain is provable (see sql comment)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = ds.map_batches(
-        lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
-    ).to_pandas()
+
+    def planted(t: pa.Table) -> pa.Table:
+        mask = (np.asarray(t["vec_id"]) % 10) == 0  # no pc.mod in this pyarrow
+        return t.filter(pa.array(mask))
+
+    q = ds.map_batches(planted, batch_format="pyarrow").to_pandas()
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in q["embedding"]])
-    return ann.ivf_topk(ds, qmat, q["vec_id"].to_numpy(), k=10, n_clusters=16, nprobe=4)
+    qids = q["vec_id"].to_numpy() + 1000000
+    return ann.ivf_topk(ds, qmat, qids, k=1, n_clusters=16, nprobe=4)
 
 
 @query("ann_ivf_indexed")  # approximate (recall < 1) → rows-only check
