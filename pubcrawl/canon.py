@@ -87,7 +87,9 @@ def _canon_host(u: str) -> tuple[str, str]:
     return c, host_of(c)
 
 
-def canonicalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+def canonicalize_batch(
+    batch: pa.Table, url_col: str = "url", dict_host: bool = False
+) -> pa.Table:
     """map_batches UDF: canonicalize url column, add host / url_hash / host_hash.
 
     Hot path is fully vectorized: an Arrow-regex mask detects
@@ -139,7 +141,13 @@ def canonicalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
     hh = dict_hashes[hd.indices.to_numpy(zero_copy_only=False)]
     cols = {name: batch[name] for name in batch.column_names}
     cols[url_col] = canon_arr
-    cols["host"] = hosts_arr
+    # dict_host=True keeps the host column DICTIONARY-encoded (hd already
+    # exists for the host-hash derivation, so this is free): hosts repeat
+    # heavily, and the expand chain moves each block through the object
+    # store and a survivor filter before anything reads host strings —
+    # indices move instead of ~20 B/row of repeated text. Callers cast the
+    # (much smaller) survivor set back to plain string.
+    cols["host"] = hd if dict_host else hosts_arr
     cols["url_hash"] = pa.array(uh, type=pa.uint64())
     cols["host_hash"] = pa.array(hh, type=pa.uint32())
     return pa.table(cols)

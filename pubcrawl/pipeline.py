@@ -77,6 +77,19 @@ def _robots_filter(batch: pa.Table, _cache=RobotsCache()) -> pa.Table:
     return batch.filter(_cache.allowed_mask_arrow(batch["url"]))
 
 
+def _robots_mask(batch: pa.Table, _cache=RobotsCache()) -> pa.Table:
+    """Deferred-filter form of :func:`_robots_filter`: append the allowed
+    mask as a column instead of physically filtering. The expand chain ANDs
+    it into the dedup keep-mask (``_split_keys`` excludes disallowed rows
+    from the seen-shard key pieces, so they never register as seen — same
+    semantics as filtering first), which saves one full-table copy of the
+    url/host string columns per round: the only physical filter left is the
+    survivor filter in ``_apply_keep_seq``."""
+    if batch.num_rows == 0:
+        return batch
+    return batch.append_column("rob_ok", _cache.allowed_mask_arrow(batch["url"]))
+
+
 def _add_ord(batch: pa.Table) -> pa.Table:
     ordv = pc.add(
         pc.multiply(batch["parent_seq"], pa.scalar(_ORD_SHIFT, pa.int64())),
@@ -103,6 +116,11 @@ def _split_keys_task(n_shards: int):
         ords = tbl["ord"].to_numpy(zero_copy_only=False)
         hh = tbl["host_hash"].to_numpy(zero_copy_only=False)
         sid = hh.astype(np.uint64) % np.uint64(n_shards)
+        if "rob_ok" in tbl.column_names:
+            # deferred robots filter: disallowed rows get no key piece, so
+            # they neither register as seen nor survive the keep-mask
+            rob = tbl["rob_ok"].to_numpy(zero_copy_only=False).astype(bool)
+            sid = np.where(rob, sid, np.uint64(n_shards))  # route nowhere
         outs = []
         for s in range(n_shards):
             sel = np.flatnonzero(sid == s).astype(np.int32)
@@ -135,6 +153,13 @@ def _apply_keep_seq(
     if not keep.any():
         return pa.table({})
     out = tbl.filter(pa.array(keep))
+    if "rob_ok" in out.column_names:  # deferred robots mask: spent, drop it
+        out = out.remove_column(out.schema.get_field_index("rob_ok"))
+    if pa.types.is_dictionary(out.schema.field("host").type):
+        out = out.set_column(
+            out.schema.get_field_index("host"), "host",
+            pc.cast(out["host"], pa.string()),
+        )
     blk_ords = out["ord"].to_numpy(zero_copy_only=False)
     # probe with SORTED queries: consecutive binary searches then walk nearly
     # identical tree paths (upper levels stay cached), ~3x faster than
@@ -281,8 +306,16 @@ def expand_frontier(raw: rd.Dataset, seen: SeenSet, seq_base: int, gather: bool 
     # batch_size=None → one batch per block: keeps the block structure intact
     # (the 1024-row default would fragment a 2M-row round into ~2000 blocks,
     # slowing the sorts and multiplying seen-shard RPCs)
-    ds = raw.map_batches(canonicalize_batch, batch_format="pyarrow", batch_size=None)
-    ds = ds.map_batches(_robots_filter, batch_format="pyarrow", batch_size=None)
+    # bytes-per-row diet (round 4): host stays dictionary-encoded and robots
+    # becomes a mask column, so the fused map task does ZERO full-table
+    # string copies — the only physical filter is the survivor filter in
+    # _apply_keep_seq, which also casts the (small) survivor host column
+    # back to plain string for downstream consumers.
+    ds = raw.map_batches(
+        lambda t: canonicalize_batch(t, dict_host=True),
+        batch_format="pyarrow", batch_size=None,
+    )
+    ds = ds.map_batches(_robots_mask, batch_format="pyarrow", batch_size=None)
     ds = ds.map_batches(_add_ord, batch_format="pyarrow", batch_size=None)
     refs = ds.to_arrow_refs()
     out_refs = _dedup_rank_assign(refs, seen, seq_base)
