@@ -909,7 +909,33 @@ def g8_vector_mean(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-@query("bm25_keyword_search")  # BM25 scoring → rows-only check (deterministic)
+@query(
+    "bm25_keyword_search",
+    # the whole BM25 ranking re-derived in SQL, bit-exact: identical token
+    # grammar ([a-z0-9]+ over lower), identical float EVALUATION ORDER per
+    # term (ln(1+(N-df+0.5)/(df+0.5)) on the same exact-int inputs; the
+    # (1.2 + 1) literal reproduces Python's k1+1 double, which differs from
+    # the literal 2.2 by one ulp), and round_even matches numpy's banker's
+    # rounding. Ranking/limit happen on the UNROUNDED score like the engine.
+    sql="WITH d AS (SELECT doc_id, lang, "
+    "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
+    "st AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl, "
+    "SUM(CASE WHEN list_contains(toks,'batch') THEN 1 ELSE 0 END) AS df_b, "
+    "SUM(CASE WHEN list_contains(toks,'window') THEN 1 ELSE 0 END) AS df_w FROM d), "
+    "sc AS (SELECT doc_id, "
+    "CAST(len(list_filter(toks, x -> x = 'batch')) AS DOUBLE) AS tf_b, "
+    "CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf_w, "
+    "CAST(len(toks) AS DOUBLE) AS dl, lang FROM d), "
+    "s2 AS (SELECT doc_id, "
+    "ln(1 + (n - df_b + 0.5)/(df_b + 0.5)) * tf_b * (1.2 + 1) / "
+    "(tf_b + 1.2*(1 - 0.75 + 0.75*dl/avgdl)) "
+    "+ ln(1 + (n - df_w + 0.5)/(df_w + 0.5)) * tf_w * (1.2 + 1) / "
+    "(tf_w + 1.2*(1 - 0.75 + 0.75*dl/avgdl)) AS raw "
+    "FROM sc, st WHERE lang = 'en' AND tf_b > 0 AND tf_w > 0) "
+    "SELECT doc_id, round_even(raw, 6) AS score, "
+    "CAST(row_number() OVER (ORDER BY raw DESC, doc_id) AS BIGINT) AS rank "
+    "FROM s2 ORDER BY raw DESC, doc_id LIMIT 20",
+)
 def bm25_keyword_search(sf_dir: str):
     """T2/K6 — BM25-ranked conjunctive search with the M14 grammar
     (field:value filters + phrases) over documents."""
@@ -2625,7 +2651,22 @@ def profile_documents(sf_dir: str):
     return relops.profile_table(ds, ["doc_id", "n_chars"], ["text"])
 
 
-@query("label_centroids")  # float centroid vectors → rows-only
+@query(
+    "label_centroids",
+    # per-dim AVG via generate_subscripts/unnest, then the L2 norm — float
+    # summation ORDER differs between the engine's block partials and SQL,
+    # but the ~1e-15 relative drift is 9 orders of magnitude below the e6
+    # quantization step, so the rounded integers agree (verified bit-exact
+    # at sf0.001/0.01/0.1); round_even matches Python round()'s banker mode
+    sql="WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS dim, "
+    "unnest(embedding) AS v FROM embeddings), "
+    "m AS (SELECT label, dim, AVG(v) AS mv FROM e GROUP BY label, dim), "
+    "nrm AS (SELECT label, sqrt(SUM(mv*mv)) AS nr FROM m GROUP BY label), "
+    "cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label) "
+    "SELECT CAST(cnt.label AS BIGINT) AS label, cnt.n, "
+    "CAST(round_even(nrm.nr * 1000000, 0) AS BIGINT) AS norm_e6 "
+    "FROM cnt JOIN nrm ON cnt.label = nrm.label",
+)
 def label_centroids(sf_dir: str):
     """Per-label embedding centroids (relops.group_vector_mean — one vector
     per (label, block) through the shuffle; the k-means-update combiner).
