@@ -575,6 +575,24 @@ def dedup_exact(sf_dir: str):
     return dedup.exact_dedup(ds, "text", "doc_id", hash_fn="md5")  # oracle pins md5
 
 
+# exact all-pairs word-3-gram Jaccard >= 0.5 over documents — shared by the
+# MinHash+LSH query (certifies LSH recall + verify precision) and the exact
+# set-similarity join (certifies the inverted-index plan's exactness)
+_JACCARD_PAIRS_SQL = (
+    "WITH s AS (SELECT doc_id, list_distinct(list_transform("
+    "generate_series(1, greatest(len(toks) - 2, 0)), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh "
+    "FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks "
+    "FROM documents)) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+    "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard "
+    "FROM s a, s b WHERE a.doc_id < b.doc_id "
+    "AND len(list_intersect(a.sh, b.sh)) * 2 >= "
+    "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+)
+
+
 @query(
     "dedup_minhash_pairs",
     # exact all-pairs shingle-Jaccard oracle: word 3-grams of [a-z]+ tokens,
@@ -585,17 +603,7 @@ def dedup_exact(sf_dir: str):
     # test_documents_have_enough_tokens_for_shingle_oracles): every doc has
     # >= 3 alpha tokens — below that the engine's mixed-hash fallback
     # shingle and SQL's empty list diverge (0>=0 degenerate pairs).
-    sql="WITH s AS (SELECT doc_id, list_distinct(list_transform("
-    "generate_series(1, greatest(len(toks) - 2, 0)), "
-    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh "
-    "FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks "
-    "FROM documents)) "
-    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
-    "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
-    "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard "
-    "FROM s a, s b WHERE a.doc_id < b.doc_id "
-    "AND len(list_intersect(a.sh, b.sh)) * 2 >= "
-    "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))",
+    sql=_JACCARD_PAIRS_SQL,
 )
 def dedup_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup pairs verified with true shingle Jaccard
@@ -605,6 +613,27 @@ def dedup_minhash_pairs(sf_dir: str):
     (every true pair found) and the exact-verify precision/scores."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return dedup.minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
+
+
+@query(
+    "dedup_jaccard_ngram",
+    # same exact all-pairs oracle as dedup_minhash_pairs — here the ENGINE
+    # side is exact too (inverted-index set-similarity join, no sketch), so
+    # the driver certifies the full plan: posting-list pair generation,
+    # partial co-count combiner, per-pair intersection sum, integer-exact
+    # threshold. Identical answers from two independent plans (LSH-verify vs
+    # index-join) plus SQL is a three-way pin on the Jaccard semantics.
+    sql=_JACCARD_PAIRS_SQL,
+)
+def dedup_jaccard_ngram(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs (dedup.jaccard_ngram_pairs_ds):
+    the no-sketch set-similarity join — explode to shingle postings, one
+    shuffle by shingle (global df per group), pair + combine, one shuffle by
+    pair for the intersection sum. The LLM-pipeline dedup mode for when
+    exactness is required and shingle df is bounded (cap ubiquitous shingles
+    with max_shingle_df at scale)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.jaccard_ngram_pairs(ds, "text", "doc_id", threshold=0.5)
 
 
 @query(
@@ -2314,6 +2343,82 @@ def pagerank_synth_links(sf_dir: str):
     ), [("rank_e12", True), ("id", False)], 20)
     return top.map_batches(lambda df: df[["id", "rank_e12"]],
                            batch_format="pandas", batch_size=None)
+
+
+def _pagerank_copurchase_sql(iters: int = 8) -> str:
+    """Unrolled power iteration as chained CTEs — the full PageRank update
+    re-derived in SQL. The co-purchase graph is symmetric by construction
+    (both directions of every within-order part pair), so no node is
+    dangling and the base term is exactly 0.15/N each iteration. e9
+    quantization: rank values sit ~1/N (1e-4..1e-2 at these SFs) while the
+    engine-vs-SQL float drift from differing summation order is ~1e-15
+    relative — 9+ orders below the quantum (verified bit-exact vs a dense
+    numpy power iteration AND the distributed engine at all three SFs)."""
+    cte = [
+        "e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a "
+        "JOIN lineitem b ON a.l_orderkey=b.l_orderkey AND a.l_partkey<>b.l_partkey "
+        "WHERE year(a.l_shipdate)=1995 AND year(b.l_shipdate)=1995)",
+        "deg AS (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)",
+        "r0 AS (SELECT id, 1.0/nn.n AS rank FROM deg, nn)",
+    ]
+    prev = "r0"
+    for k in range(1, iters + 1):
+        cte.append(
+            f"r{k} AS (SELECT e.dst AS id, "
+            f"0.15/nn.n + 0.85*SUM({prev}.rank/deg.deg) AS rank "
+            f"FROM e JOIN {prev} ON e.src={prev}.id JOIN deg ON e.src=deg.id, nn "
+            f"GROUP BY e.dst, nn.n)"
+        )
+        prev = f"r{k}"
+    return (
+        "WITH " + ", ".join(cte) +
+        f" SELECT id AS part_key, CAST(round_even(rank*1000000000, 0) AS BIGINT)"
+        f" AS rank_e9 FROM r{iters}"
+    )
+
+
+@query("pagerank_copurchase", sql=_pagerank_copurchase_sql(8))
+def pagerank_copurchase(sf_dir: str):
+    """PageRank with a FULL SQL oracle (pagerank_synth_links' graph lives in
+    the synthetic link generator, which the oracle views can't reach — this
+    variant derives its graph from the parquet tables so every hop is
+    SQL-checkable): nodes = parts, multigraph edges = ordered part pairs
+    co-purchased in the same 1995-shipped order. Edge build is a large-large
+    self-join (relops.hash_join on l_orderkey); ranking is graph.pagerank's
+    co-partitioned message passing, 8 iterations."""
+    from . import graph
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_shipdate"])
+
+    def y95(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(pc.year(t["l_shipdate"]), 1995))
+        return keep.select(["l_orderkey", "l_partkey"])
+
+    lp = li.map_batches(y95, batch_format="pyarrow")
+    a = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "src"]),
+                       batch_format="pyarrow")
+    b = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "dst"]),
+                       batch_format="pyarrow")
+    edges = relops.hash_join(a, b, on="l_orderkey",
+                             left_cols=["src"], right_cols=["dst"])
+    edges = edges.map_batches(
+        lambda df: df.loc[df["src"] != df["dst"], ["src", "dst"]],
+        batch_format="pandas", batch_size=None,
+    )
+    # n_partitions sized to the graph (10k-node scale at these SFs — message
+    # volume per iteration is tiny, fewer merge waves beats parallelism);
+    # dangling=False: the symmetric edge list provably has no sinks, so the
+    # per-iteration dangling-mass gather wave is skipped (sum is exactly 0)
+    ranks = graph.pagerank(edges, damping=0.85, iters=8, n_partitions=4,
+                           dangling=False)
+    return ranks.map_batches(
+        lambda df: pd.DataFrame(
+            {"part_key": df["id"].astype("int64"),
+             "rank_e9": np.round(df["rank"] * 1e9).astype("int64")}
+        ),
+        batch_format="pandas", batch_size=None,
+    )
 
 
 # =========================================== Misra-Gries exact heavy hitters

@@ -131,6 +131,31 @@ class TestDedup:
         b = np.array([2, 3, 4], dtype=np.uint64)
         assert dedup.jaccard(a, b) == 0.5
 
+    def test_jaccard_ngram_exact_join_matches_lsh_verify(self, docs_ds):
+        """Two independent plans — MinHash-LSH + exact verify vs the no-sketch
+        inverted-index join — must produce the identical pair table."""
+        exact = dedup.jaccard_ngram_pairs(docs_ds, "text", "doc_id", threshold=0.35)
+        lsh = dedup.minhash_lsh_pairs(docs_ds, "text", "doc_id", threshold=0.35)
+        pd.testing.assert_frame_equal(
+            exact.astype({"id_a": "int64", "id_b": "int64"}),
+            lsh.astype({"id_a": "int64", "id_b": "int64"}),
+        )
+        assert (1, 2) in set(zip(exact.id_a, exact.id_b))  # non-vacuous
+
+    def test_jaccard_ngram_df_cap_prunes_hot_shingles(self):
+        """max_shingle_df drops postings lists longer than the cap — the
+        quadratic-blowup guard for ubiquitous boilerplate shingles. Docs share
+        ONLY one hot 3-gram; capping below its (global) df kills every pair."""
+        docs = rd.from_items(
+            [{"doc_id": i, "text": f"common header phrase unique{i} tail{i} end{i}"}
+             for i in range(5)]
+        )
+        full = dedup.jaccard_ngram_pairs(docs, "text", "doc_id", threshold=0.01)
+        assert len(full) == 10  # all C(5,2) pairs share the hot shingle
+        capped = dedup.jaccard_ngram_pairs(docs, "text", "doc_id",
+                                           threshold=0.01, max_shingle_df=3)
+        assert len(capped) == 0
+
     def test_winnow_deterministic_and_shift_robust(self):
         f1 = dedup.winnow_fingerprints("the quick brown fox jumps over the dog")
         f2 = dedup.winnow_fingerprints("the quick brown fox jumps over the dog")
@@ -871,6 +896,28 @@ def test_pagerank_matches_dense_oracle():
             assert np.allclose(got["rank"], e["rank"], rtol=1e-9, atol=1e-12)
         # ranks form a probability distribution
         assert abs(exp["rank"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_skip_is_exact_on_symmetric_graph():
+    """dangling=False (skip the per-iteration mass-gather wave) is bit-
+    identical to the default on a graph with no sinks — here a symmetric
+    edge list, where every endpoint has out-degree >= 1."""
+    import ray.data as rd
+    from pubcrawl import graph
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 40, 300, dtype=np.int64)
+    b = rng.integers(0, 40, 300, dtype=np.int64)
+    keep = a != b
+    edges = pd.DataFrame({"src": np.concatenate([a[keep], b[keep]]),
+                          "dst": np.concatenate([b[keep], a[keep]])})
+    base = graph.pagerank(rd.from_pandas(edges), iters=6, n_partitions=4
+                          ).to_pandas().sort_values("id").reset_index(drop=True)
+    fast = graph.pagerank(rd.from_pandas(edges), iters=6, n_partitions=4,
+                          dangling=False
+                          ).to_pandas().sort_values("id").reset_index(drop=True)
+    assert (base["id"].to_numpy() == fast["id"].to_numpy()).all()
+    assert (base["rank"].to_numpy() == fast["rank"].to_numpy()).all()  # bit-equal
 
 
 def test_mg_topk_exact_under_heavy_compression():
