@@ -115,7 +115,16 @@ class Routes:
         except Exception as e:
             return 500, {"detail": str(e)}
 
+    def index(self, _payload: dict) -> tuple[int, str]:
+        """GET / — the single-file HTML dashboard (ui.DASHBOARD_HTML), the
+        rendering counterpart of the reference's Streamlit search page. A
+        str body tells the frontends to reply text/html instead of JSON."""
+        from .ui import DASHBOARD_HTML
+
+        return 200, DASHBOARD_HTML
+
     TABLE: dict[tuple[str, str], str] = {
+        ("GET", "/"): "index",
         ("POST", "/search"): "search",
         ("GET", "/stats"): "stats",
         ("POST", "/page"): "page",
@@ -144,10 +153,13 @@ def make_server(session, host: str = "127.0.0.1", port: int = 0,
     routes = Routes(session, chat_fn)
 
     class Handler(BaseHTTPRequestHandler):
-        def _reply(self, status: int, body: dict) -> None:
-            data = json.dumps(body).encode("utf-8")
+        def _reply(self, status: int, body) -> None:
+            if isinstance(body, str):  # HTML routes (the dashboard)
+                data, ctype = body.encode("utf-8"), "text/html; charset=utf-8"
+            else:
+                data, ctype = json.dumps(body).encode("utf-8"), "application/json"
             self.send_response(status)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)
@@ -189,7 +201,7 @@ def make_fastapi_app(session, chat_fn: Callable | None = None) -> Any:
     the identical routes)."""
     try:
         from fastapi import FastAPI, Request  # type: ignore
-        from fastapi.responses import JSONResponse  # type: ignore
+        from fastapi.responses import HTMLResponse, JSONResponse  # type: ignore
     except ImportError as e:
         raise ImportError(
             "make_fastapi_app needs fastapi (pip install fastapi); "
@@ -208,6 +220,8 @@ def make_fastapi_app(session, chat_fn: Callable | None = None) -> Any:
                 except Exception:
                     payload = {}
             status, body = routes.dispatch(method, path, payload)
+            if isinstance(body, str):  # HTML routes (the dashboard)
+                return HTMLResponse(body, status_code=status)
             return JSONResponse(body, status_code=status)
 
         if method == "GET":

@@ -467,6 +467,19 @@ class TestApi:
         st, body = self._call(api, "POST", "/page", {"page": 99, "per_page": 2})
         assert st == 200 and body["page"] == 2 and len(body["results"]) == 1
 
+    def test_dashboard_html_served_at_root(self, api):
+        """GET / serves the single-file dashboard as text/html; its JS drives
+        the SAME JSON routes this class already exercises end-to-end."""
+        import urllib.request
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{api}/", timeout=30) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/html")
+            html = resp.read().decode("utf-8")
+        assert "<!DOCTYPE html>" in html
+        for endpoint in ("/search", "/stats", "/page", "/chat"):
+            assert endpoint in html  # the page is a client of every route
+
     def test_error_routes(self, api):
         st, body = self._call(api, "POST", "/search", {"query": "sem:  ", "top_n": 5})
         assert st == 400
