@@ -53,12 +53,21 @@ class ParquetFragmentStore:
         if sig == self._cache_sig:
             return self._cache
         out: dict[str, dict] = {}
-        with open(self.manifest_path) as f:
+        with open(self.manifest_path, "rb") as f:
             for line in f:
                 line = line.strip()
                 if not line:
                     continue
-                rec = json.loads(line)
+                try:
+                    rec = json.loads(line)
+                except (json.JSONDecodeError, UnicodeDecodeError):
+                    # Torn read: a concurrent appender's line was partially
+                    # visible (Linux buffered reads don't serialize against
+                    # in-flight O_APPEND writes). The record isn't durable
+                    # yet, so treating it as uncommitted is correct — commit
+                    # is idempotent by partition_id and the line parses on
+                    # the next read once the writer's fsync completes.
+                    continue
                 out[rec["partition_id"]] = rec  # last write wins
         self._cache_sig, self._cache = sig, out
         return out
@@ -111,10 +120,18 @@ class ParquetFragmentStore:
             "lineage": lineage,
             "committed_at": datetime.now(timezone.utc).isoformat(),
         }
-        with open(self.manifest_path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
+        # Single os.write on an O_APPEND fd: one syscall per record, so
+        # concurrent committers can't interleave mid-line (Python's buffered
+        # text writer would split lines > ~8 KiB across multiple write()s).
+        payload = (json.dumps(rec) + "\n").encode()
+        fd = os.open(self.manifest_path, os.O_WRONLY | os.O_CREAT | os.O_APPEND, 0o644)
+        try:
+            view = memoryview(payload)
+            while view:  # partial writes only on signals/ENOSPC; finish the line
+                view = view[os.write(fd, view):]
+            os.fsync(fd)
+        finally:
+            os.close(fd)
         return rec
 
     # ------------------------------------------------------------ read

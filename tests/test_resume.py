@@ -85,6 +85,64 @@ def test_resume_after_mid_crawl_kill(tmp_path):
     assert committed_before <= set(pids)
 
 
+def test_manifest_torn_line_skipped(tmp_path):
+    """A reader racing a concurrent append can see a partially-written final
+    line (Linux buffered reads don't serialize against in-flight O_APPEND
+    writes — this crashed a real 128k-URL bench run). The torn record is an
+    in-flight commit, so committed() must treat it as not-yet-committed
+    rather than raise; once the writer finishes, the full line parses."""
+    store = ParquetFragmentStore(str(tmp_path / "s"))
+    t = pa.table({"url_hash": pa.array([5], pa.uint64()), "x": [1]})
+    store.commit(t, "p0")
+    full_line = (
+        json.dumps({"partition_id": "p1", "url_lo": 0, "url_hi": 0, "rows": 1,
+                    "bytes": 8, "fetch_errors": 0, "wall_ms": 0, "lineage": "",
+                    "committed_at": "2026-08-18T00:00:00+00:00"}) + "\n"
+    )
+    with open(store.manifest_path, "a") as f:  # torn: first 40 bytes only
+        f.write(full_line[:40])
+    assert set(store.committed()) == {"p0"}
+    assert not store.is_committed("p1")
+    # writer finishes the append → the record becomes visible
+    with open(store.manifest_path, "a") as f:
+        f.write(full_line[40:])
+    assert set(store.committed()) == {"p0", "p1"}
+
+
+def test_manifest_concurrent_commits_parse(tmp_path):
+    """Many processes appending commit records concurrently must leave a
+    fully parsable manifest (single-syscall O_APPEND writes, no mid-line
+    interleaving) with every partition present exactly once."""
+    import multiprocessing as mp
+
+    root = str(tmp_path / "s")
+    ParquetFragmentStore(root)  # create dirs
+
+    ctx = mp.get_context("spawn")
+    procs = [ctx.Process(target=_commit_many, args=(root, w)) for w in range(4)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+        assert p.exitcode == 0
+    store = ParquetFragmentStore(root)
+    recs = store.committed()
+    assert set(recs) == {f"w{w}_p{i}" for w in range(4) for i in range(25)}
+    with open(store.manifest_path) as f:
+        for line in f:
+            json.loads(line)  # every line intact
+
+
+def _commit_many(root: str, worker: int):
+    store = ParquetFragmentStore(root)
+    # long lineage forces >8 KiB manifest lines — the case a buffered text
+    # writer would split across multiple write() syscalls
+    lineage = f"w={worker};" + "x" * 9000
+    for i in range(25):
+        t = pa.table({"url_hash": pa.array([i], pa.uint64()), "x": [i]})
+        store.commit(t, f"w{worker}_p{i}", lineage=lineage)
+
+
 def test_checkpoint_table_schema(tmp_path):
     from pubcrawl.schemas import CHECKPOINT
     from pubcrawl.store import checkpoint_table
