@@ -263,6 +263,10 @@ def main() -> None:
             num_cpus=NUM_CPUS,
             include_dashboard=False,
             logging_level="ERROR",
+            # keep stdout to exactly one JSON line: raylet/worker warnings
+            # (e.g. "129 PYTHON worker processes...") otherwise stream into
+            # the driver's stdout and pollute the bench contract
+            log_to_driver=False,
         )
     from ray.data import DataContext
 

@@ -819,25 +819,39 @@ def ann_ivf_topk(sf_dir: str):
     return ann.ivf_topk(ds, qmat, qids, k=1, n_clusters=16, nprobe=4)
 
 
-@query("ann_ivf_indexed")  # approximate (recall < 1) → rows-only check
+@query(
+    "ann_ivf_indexed",
+    # same planted self-search oracle as ann_ivf_topk (see its sql comment):
+    # an identical query vector lands in its own argmax centroid cell, which
+    # the indexed search always probes, and scores cos 1.0 — strictly above
+    # the corpus's pinned natural max pairwise cosine. Full-k approximate
+    # behavior stays covered by the bit-equal-to-scan pytest + ann_recall_eval.
+    sql="SELECT vec_id + 1000000 AS query_id, vec_id, 1.0 AS cos_sim "
+    "FROM embeddings WHERE vec_id % 10 = 0",
+)
 def ann_ivf_indexed(sf_dir: str):
     """IVF top-k over a CLUSTER-PARTITIONED on-disk index (ann.ivf_build →
     ann.ivf_topk_indexed): assignment happens once at build, search reads
     only the nprobe probed cells' fragments — I/O is nprobe/n_clusters of
     the corpus instead of the per-query full scan of ann_ivf_topk. Results
-    bit-identical to ann_ivf_topk at equal centroids (asserted in tests)."""
+    bit-identical to ann_ivf_topk at equal centroids (asserted in tests);
+    oracle-checked by planted self-queries (provable top-1)."""
     import shutil
     import tempfile
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = ds.map_batches(
-        lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
-    ).to_pandas()
+
+    def planted(t: pa.Table) -> pa.Table:
+        mask = (np.asarray(t["vec_id"]) % 10) == 0  # no pc.mod in this pyarrow
+        return t.filter(pa.array(mask))
+
+    q = ds.map_batches(planted, batch_format="pyarrow").to_pandas()
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in q["embedding"]])
+    qids = q["vec_id"].to_numpy() + 1000000
     root = tempfile.mkdtemp(prefix="pubcrawl_ivf_") + "/index"
     try:
         ann.ivf_build(ds, root, n_clusters=16)
-        return ann.ivf_topk_indexed(root, qmat, q["vec_id"].to_numpy(), k=10, nprobe=4)
+        return ann.ivf_topk_indexed(root, qmat, qids, k=1, nprobe=4)
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
 
