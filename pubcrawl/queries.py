@@ -873,6 +873,62 @@ def text_quality(sf_dir: str):
 
 
 @query(
+    "quality_repetition",
+    sql="WITH wl AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS words FROM documents), "
+    "w AS (SELECT doc_id, unnest(words) AS word FROM wl), "
+    "c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2), "
+    "s AS (SELECT doc_id, sum(cnt) AS n_words, count(*) AS n_uniq_words, "
+    "max(cnt) AS top_word_n, sum(cnt * length(word)) AS sum_word_len FROM c GROUP BY 1), "
+    "b AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS bg "
+    "FROM wl, unnest(range(1, greatest(len(words), 1))) AS t(i)), "
+    "bc AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY 1, 2), "
+    "bs AS (SELECT doc_id, max(cnt) AS top_bigram_n FROM bc GROUP BY 1) "
+    "SELECT s.doc_id, CAST(n_words AS BIGINT) AS n_words, "
+    "CAST(n_uniq_words AS BIGINT) AS n_uniq_words, "
+    "CAST(top_word_n AS BIGINT) AS top_word_n, "
+    "CAST(COALESCE(bs.top_bigram_n, 0) AS BIGINT) AS top_bigram_n, "
+    "CAST(sum_word_len AS BIGINT) AS sum_word_len "
+    "FROM s LEFT JOIN bs ON s.doc_id = bs.doc_id",
+)
+def quality_repetition(sf_dir: str):
+    """Gopher/C4-style repetition gates: per-doc top-word / top-bigram /
+    duplicate-word statistics as exact integers (text.repetition_features) —
+    the repetition-quality filter family of an LLM cleaning pipeline."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.repetition_features(ds, "text", "doc_id")
+
+
+@query(
+    "contamination_ngrams",
+    # benchmark corpus = doc_id < 20 of the same table (deterministic,
+    # self-contained); gram size 4 keeps the result non-trivial at every SF
+    # (bench self-hits + genuine 4-gram collisions, ~50 of 500 docs > 0)
+    sql="WITH wl AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS words FROM documents), "
+    "g AS (SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS gram "
+    "FROM wl, unnest(range(1, greatest(len(words) - 2, 1))) AS t(i)), "
+    "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20), "
+    "s AS (SELECT doc_id, count(DISTINCT gram) AS n_shared FROM g "
+    "WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id) "
+    "SELECT d.doc_id, CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared "
+    "FROM documents d LEFT JOIN s USING (doc_id)",
+)
+def contamination_ngrams(sf_dir: str):
+    """Benchmark decontamination: distinct word 4-grams each document shares
+    with a broadcast benchmark set (text.contamination_counts) — the eval-set
+    overlap pass of a training-data pipeline. Benchmark = doc_id < 20."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = (
+        ds.map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], 20)), batch_format="pyarrow"
+        )
+        .to_pandas()
+        .sort_values("doc_id")["text"]
+        .tolist()
+    )
+    return text.contamination_counts(ds, bench, "text", "doc_id", n=4)
+
+
+@query(
     "langid_confusion",
     sql="SELECT lang, pred_lang, COUNT(*) AS n FROM ("
     "SELECT lang, CASE WHEN "

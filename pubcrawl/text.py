@@ -274,3 +274,161 @@ def normalize_text(
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pandas", batch_size=None
     )
+
+
+# ------------------------------------- repetition quality + contamination
+
+
+def _split_words(tbl, text_col: str):
+    """Whitespace-split an Arrow string column → (flat word StringArray,
+    doc_idx int64 per flat word, word lengths int64), empty tokens dropped —
+    identical token stream to regexp_extract_all(text, '\\S+') in the SQL
+    oracle. One Arrow kernel pass; no per-row Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    col = pc.fill_null(tbl[text_col], "")
+    la = pc.utf8_split_whitespace(col)
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    counts = pc.list_value_length(la).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(la)
+    doc_idx = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), counts)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = lens > 0  # split artifacts at string edges / double spaces
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        doc_idx, lens = doc_idx[keep], lens[keep]
+    return flat, doc_idx, lens
+
+
+def _run_lengths(keys: np.ndarray, docs: np.ndarray):
+    """Group the (doc, key) stream: → (run_doc, run_len) for each distinct
+    (doc, key), via lexsort + boundary scan (exact, fully vectorized)."""
+    if len(keys) == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    order = np.lexsort((keys, docs))
+    sd, sk = docs[order], keys[order]
+    new = np.ones(len(sd), dtype=bool)
+    new[1:] = (sd[1:] != sd[:-1]) | (sk[1:] != sk[:-1])
+    run_id = np.cumsum(new) - 1
+    return sd[new], np.bincount(run_id).astype(np.int64)
+
+
+def repetition_features(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
+    """Gopher/C4-style repetition statistics, integer-exact per document:
+    n_words, n_uniq_words, top_word_n (count of the most frequent word),
+    top_bigram_n (count of the most frequent adjacent word pair),
+    sum_word_len (Σ word lengths — mean word length as an exact integer
+    numerator). The repetition gates of a 100-TB cleaning pipeline
+    (duplicate-word / top-n-gram fraction filters, Rae et al. 2021 "Scaling
+    Language Models" §A1.1) compare these integers against thresholds by
+    cross-multiplication, never floats. Pure per-batch map — embarrassingly
+    parallel, no shuffle. Documents with zero words are dropped (mirrors the
+    SQL oracle, whose word-unnest loses them)."""
+    import pyarrow as pa
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        flat, doc_idx, lens = _split_words(tbl, text_col)
+        words = flat.to_numpy(zero_copy_only=False)
+        codes = pd.factorize(words)[0] if len(words) else np.array([], dtype=np.int64)
+        n_words = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        sum_len = np.bincount(doc_idx, weights=lens, minlength=n).astype(np.int64)
+        run_doc, run_len = _run_lengths(codes, doc_idx)
+        n_uniq = np.bincount(run_doc, minlength=n).astype(np.int64)
+        top_word = np.zeros(n, dtype=np.int64)
+        if len(run_doc):
+            np.maximum.at(top_word, run_doc, run_len)
+        # adjacent bigrams: pairs that don't cross a document boundary
+        top_bigram = np.zeros(n, dtype=np.int64)
+        if len(codes) > 1:
+            adj = doc_idx[1:] == doc_idx[:-1]
+            v = np.int64(codes.max()) + 1
+            bkey = codes[:-1][adj] * v + codes[1:][adj]
+            bdoc, blen = _run_lengths(bkey, doc_idx[1:][adj])
+            if len(bdoc):
+                np.maximum.at(top_bigram, bdoc, blen)
+        nz = n_words > 0
+        return pa.table(
+            {
+                id_col: tbl[id_col].combine_chunks().filter(pa.array(nz))
+                if isinstance(tbl[id_col], pa.ChunkedArray)
+                else tbl[id_col].filter(pa.array(nz)),
+                "n_words": pa.array(n_words[nz]),
+                "n_uniq_words": pa.array(n_uniq[nz]),
+                "top_word_n": pa.array(top_word[nz]),
+                "top_bigram_n": pa.array(top_bigram[nz]),
+                "sum_word_len": pa.array(sum_len[nz]),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def contamination_counts(
+    ds: rd.Dataset,
+    bench_texts: list[str],
+    text_col: str,
+    id_col: str,
+    n: int = 4,
+) -> rd.Dataset:
+    """Benchmark-contamination check: per document, the number of DISTINCT
+    word n-grams it shares with a (driver-small) benchmark corpus — the
+    decontamination pass a training pipeline runs against its eval sets
+    (word-level n-gram overlap, as in GPT-3 appendix C / PaLM §7). The
+    benchmark text list is broadcast once via ray.put; each batch factorizes
+    its words TOGETHER with the benchmark's so n-gram keys live in one dense
+    code space (re-densified per combine step — no vocab-size overflow), then
+    counts distinct doc-grams hitting the benchmark key set with one
+    sorted-array isin. No shuffle; scales as a pure map stage."""
+    import pyarrow as pa
+
+    bench_ref = ray.put(list(bench_texts))
+
+    class Contam:
+        def __init__(self):
+            bt = ray.get(bench_ref)
+            self._bench_words = [t.split() for t in bt]
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            nrows = tbl.num_rows
+            flat, doc_idx, _ = _split_words(tbl, text_col)
+            words = flat.to_numpy(zero_copy_only=False)
+            # append benchmark docs as pseudo-docs nrows..nrows+B-1
+            bw = self._bench_words
+            all_words = np.concatenate(
+                [words] + [np.asarray(w, dtype=object) for w in bw]
+            ) if bw else words
+            all_docs = np.concatenate(
+                [doc_idx]
+                + [np.full(len(w), nrows + j, dtype=np.int64) for j, w in enumerate(bw)]
+            ) if bw else doc_idx
+            shared = np.zeros(nrows, dtype=np.int64)
+            if len(all_words) >= n:
+                codes = pd.factorize(all_words)[0]
+                key = codes.astype(np.int64)
+                docs = all_docs
+                for _ in range(n - 1):
+                    ok = docs[1:] == docs[:-1]
+                    pair = np.stack([key[:-1][ok], codes[1:][ok]])
+                    # re-densify so key values never overflow int64
+                    _, key = np.unique(pair, axis=1, return_inverse=True)
+                    docs = docs[1:][ok]
+                    codes = codes[1:][ok]
+                    if len(key) == 0:
+                        break
+                if len(key):
+                    bench_keys = np.unique(key[docs >= nrows])
+                    doc_mask = docs < nrows
+                    hit = np.isin(key[doc_mask], bench_keys)
+                    run_doc, _ = _run_lengths(key[doc_mask][hit], docs[doc_mask][hit])
+                    if len(run_doc):
+                        np.add.at(shared, run_doc, 1)
+            return pa.table({id_col: tbl[id_col], "n_shared": pa.array(shared)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        Contam, batch_format="pyarrow", concurrency=(1, 8)
+    )

@@ -180,6 +180,69 @@ class TestText:
         m = dict(zip(out.doc_id, out.pred_lang))
         assert m[1] == "en" and m[5] == "other"
 
+    def test_repetition_features_exact(self):
+        import ray.data as rd
+
+        ds = rd.from_items(
+            [
+                {"doc_id": 0, "text": "a b a b a c"},   # top word a×3, bigram "a b"×2
+                {"doc_id": 1, "text": "  xx  "},          # whitespace edges, 1 word
+                {"doc_id": 2, "text": ""},                # zero words → dropped
+                {"doc_id": 3, "text": "w w w w"},         # bigram "w w"×3
+            ]
+        )
+        out = (
+            text.repetition_features(ds, "text", "doc_id")
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert sorted(out.index) == [0, 1, 3]  # empty doc dropped (oracle parity)
+        r0 = out.loc[0]
+        assert (r0.n_words, r0.n_uniq_words, r0.top_word_n, r0.top_bigram_n) == (6, 3, 3, 2)
+        assert r0.sum_word_len == 6
+        r1 = out.loc[1]
+        assert (r1.n_words, r1.n_uniq_words, r1.top_word_n, r1.top_bigram_n) == (1, 1, 1, 0)
+        assert r1.sum_word_len == 2
+        r3 = out.loc[3]
+        assert (r3.n_words, r3.top_bigram_n) == (4, 3)
+        # bigrams never cross document boundaries: doc0 ends "... a c",
+        # doc3 starts "w w" — a cross-doc "c w" pair would change nothing
+        # visible here, but repartitioning must not change any count
+        per_row = (
+            text.repetition_features(ds.repartition(4), "text", "doc_id")
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        pd.testing.assert_frame_equal(out.sort_index(), per_row)
+
+    def test_contamination_counts_exact(self):
+        import ray.data as rd
+
+        bench = ["p q r s t", "m n o p q"]
+        ds = rd.from_items(
+            [
+                {"doc_id": 0, "text": "z p q r s t z"},  # shares "p q r s"+"q r s t"
+                {"doc_id": 1, "text": "p q r x s t"},    # no full 4-gram shared
+                {"doc_id": 2, "text": "m n o p q r s"},  # "m n o p"+"n o p q"+"p q r s"
+                {"doc_id": 3, "text": "a b"},             # shorter than n
+            ]
+        )
+        out = (
+            text.contamination_counts(ds, bench, "text", "doc_id", n=4)
+            .to_pandas()
+            .set_index("doc_id")["n_shared"]
+        )
+        assert out.loc[0] == 2 and out.loc[1] == 0
+        assert out.loc[2] == 3 and out.loc[3] == 0
+        # partitioning-invariant (each batch refactorizes with the benchmark)
+        out2 = (
+            text.contamination_counts(ds.repartition(4), bench, "text", "doc_id", n=4)
+            .to_pandas()
+            .set_index("doc_id")["n_shared"]
+        )
+        assert out.sort_index().equals(out2.sort_index())
+
 
 class TestAnn:
     def _vec_ds(self):
