@@ -1906,6 +1906,72 @@ def loj_customer_2001_orders(sf_dir: str):
     return joined.map_batches(fin, batch_format="pandas", batch_size=None)
 
 
+@query(
+    "foj_user_activity",
+    # custkeys 10..60 vs event user_ids: unmatched rows survive on BOTH
+    # sides (users below 10 have events but no kept orders; custkeys above
+    # the event-user range have orders but no events) — the full-outer path
+    # is genuinely exercised at every SF
+    sql="WITH r AS (SELECT o_custkey AS uid, "
+    "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_e2, "
+    "COUNT(*) AS n_orders FROM orders WHERE o_custkey BETWEEN 10 AND 60 GROUP BY 1), "
+    "e AS (SELECT user_id AS uid, COUNT(*) AS n_events FROM events GROUP BY 1) "
+    "SELECT COALESCE(r.uid, e.uid) AS uid, COALESCE(rev_e2, -1) AS rev_e2, "
+    "COALESCE(n_orders, -1) AS n_orders, COALESCE(n_events, -1) AS n_events "
+    "FROM r FULL OUTER JOIN e ON r.uid = e.uid",
+)
+def foj_user_activity(sf_dir: str):
+    """FULL OUTER large-large join: per-customer order revenue (custkeys
+    10..60) ⊌ per-user event counts — both sides pre-aggregated with the
+    combiner groupby, then one co-partitioned shuffle (relops.hash_join
+    how='outer'; an unmatched key surfaces in the one partition its hash
+    owns, so the partition-local pandas outer merge is globally correct).
+    Sentinel -1 fill keeps int64 dtypes for oracle hash parity."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_custkey"], pa.scalar(10, pa.int64())),
+                pc.less_equal(t["o_custkey"], pa.scalar(60, pa.int64())),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    orders = relops.with_columns(orders, {"rev_e2": relops.money_to_units("o_totalprice")})
+    rev = relops.preagg_group_sum(
+        orders.map_batches(
+            lambda df: df.rename(columns={"o_custkey": "uid"})[["uid", "rev_e2"]],
+            batch_format="pandas",
+        ),
+        ["uid"],
+        {"rev_e2": "rev_e2"},
+        count_as="n_orders",
+    )
+    ev = relops.preagg_group_sum(
+        _read(sf_dir, "events", ["user_id"]).map_batches(
+            lambda df: df.rename(columns={"user_id": "uid"}), batch_format="pandas"
+        ),
+        ["uid"],
+        count_as="n_events",
+    )
+    joined = relops.hash_join(
+        rev, ev, on="uid", left_cols=["rev_e2", "n_orders"], right_cols=["n_events"],
+        how="outer",
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "uid": df["uid"].astype("int64"),
+                "rev_e2": df["rev_e2"].fillna(-1).astype("int64"),
+                "n_orders": df["n_orders"].fillna(-1).astype("int64"),
+                "n_events": df["n_events"].fillna(-1).astype("int64"),
+            }
+        )
+
+    return joined.map_batches(fin, batch_format="pandas", batch_size=None)
+
+
 # ================================================ PIVOT (long → wide) with SUM
 
 
