@@ -449,23 +449,29 @@ def tokenize_column(
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         stop = ray.get(ref)
-        toks = (
+        e = (
             df[col]
             .fillna("")
             .str.lower()
             .str.replace(clean, " ", regex=True)
             .str.split()
+            .explode()  # index = source row position; NaN for empty docs
         )
-        words = [
-            [w for w in ws if len(w) >= min_len and w.isalpha() and w not in stop]
-            for ws in toks
-        ]
+        mask = (
+            e.notna()
+            & (e.str.len() >= min_len)
+            & e.str.isalpha()
+            & ~e.isin(stop)
+        )
+        e = e[mask]
+        out = df.loc[e.index, [c for c in df.columns if c != col]].copy()
         if stemmer is not None:
-            words = [[_stem_memo(w, stemmer) for w in ws] for ws in words]
-        rep = np.repeat(np.arange(len(df)), [len(ws) for ws in words])
-        out = df.iloc[rep][[c for c in df.columns if c != col]].copy()
-        out[out_col] = [w for ws in words for w in ws]
-        return out
+            # memoize per distinct word (corpus vocabularies repeat heavily),
+            # then one vectorized map over the exploded column
+            uniq = pd.unique(e.to_numpy())
+            e = e.map({w: _stem_memo(w, stemmer) for w in uniq})
+        out[out_col] = e.to_numpy()
+        return out.reset_index(drop=True)
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=None)
 
