@@ -37,12 +37,14 @@ def quality_features(
             # token/alpha/punct counts as vectorized pandas str.count passes
             # (same regexes → identical counts to the findall loops)
             n_tokens = texts.str.count(_TOKEN.pattern).to_numpy(dtype=np.int64)
-            alpha = [_ALPHA.findall(t) for t in texts.str.lower()]
-            n_alpha = np.fromiter((len(a) for a in alpha), np.int64, len(df))
-            stop = self.stop
-            n_stop = np.fromiter(
-                (sum(1 for w in a if w in stop) for a in alpha), np.int64, len(df)
-            )
+            # alpha runs exploded once: per-doc counts and stopword hits are
+            # bincounts over the run→row index (no per-word Python loop)
+            runs = texts.str.lower().str.findall(_ALPHA.pattern).explode()
+            valid = runs.notna()
+            idx = runs.index.to_numpy()[valid.to_numpy()]
+            n_alpha = np.bincount(idx, minlength=len(df)).astype(np.int64)
+            hits = runs[valid].isin(self.stop).to_numpy(dtype=np.float64)
+            n_stop = np.bincount(idx, weights=hits, minlength=len(df)).astype(np.int64)
             n_punct = texts.str.count(_PUNCT.pattern).to_numpy(dtype=np.int64)
             return pd.DataFrame(
                 {
