@@ -948,9 +948,12 @@ def langid_confusion(sf_dir: str):
     stop = frozenset(EN_STOP)
 
     def fused(df: pd.DataFrame) -> pd.DataFrame:
-        alpha = [alpha_rx.findall(t.lower()) for t in df["text"].fillna("")]
-        n_alpha = np.fromiter((len(a) for a in alpha), np.int64, len(df))
-        n_stop = np.fromiter((sum(1 for w in a if w in stop) for a in alpha), np.int64, len(df))
+        runs = df["text"].fillna("").str.lower().str.findall(alpha_rx.pattern).explode()
+        valid = runs.notna()
+        idx = runs.index.to_numpy()[valid.to_numpy()]
+        n_alpha = np.bincount(idx, minlength=len(df)).astype(np.int64)
+        hits = runs[valid].isin(stop).to_numpy(dtype=np.float64)
+        n_stop = np.bincount(idx, weights=hits, minlength=len(df)).astype(np.int64)
         pred = np.where(n_stop * 1000 > n_alpha * 80, "en", "other")
         return pd.DataFrame({"lang": df["lang"], "pred_lang": pred})
 
