@@ -929,6 +929,27 @@ def contamination_ngrams(sf_dir: str):
 
 
 @query(
+    "chunk_documents",
+    # k=32-word windows every 24 words (8-word overlap); zero-word docs emit
+    # no chunks on either side
+    sql="WITH wl AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS words "
+    "FROM documents), "
+    "c AS (SELECT doc_id, CAST((i - 1) / 24 AS BIGINT) AS chunk_id, "
+    "array_to_string(list_slice(words, i, least(i + 31, len(words))), ' ') AS chunk_text, "
+    "CAST(least(i + 31, len(words)) - i + 1 AS BIGINT) AS n_chunk_words "
+    "FROM wl, unnest(range(1, len(words) + 1, 24)) AS t(i) "
+    "WHERE len(words) > 0) "
+    "SELECT * FROM c",
+)
+def chunk_documents(sf_dir: str):
+    """Sequence packing: fixed word-window chunking with stride/overlap
+    (text.chunk_documents — Arrow take + binary_join, no per-chunk Python),
+    the context-preparation pass of a fixed-window training pipeline."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.chunk_documents(ds, "text", "doc_id", chunk_words=32, stride=24)
+
+
+@query(
     "langid_confusion",
     sql="SELECT lang, pred_lang, COUNT(*) AS n FROM ("
     "SELECT lang, CASE WHEN "

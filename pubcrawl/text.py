@@ -434,3 +434,55 @@ def contamination_counts(
     return ds.select_columns([id_col, text_col]).map_batches(
         Contam, batch_format="pyarrow", concurrency=(1, 8)
     )
+
+
+def chunk_documents(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    chunk_words: int = 32,
+    stride: int = 24,
+) -> rd.Dataset:
+    """Sequence packing / context chunking: split each document into word
+    windows of ``chunk_words`` starting every ``stride`` words (overlap =
+    chunk_words - stride), the chunking pass that prepares a corpus for
+    fixed-context training. Fully vectorized — word offsets and per-chunk
+    take-indices are numpy arithmetic over the Arrow split, and the chunk
+    strings come from one pc.binary_join over a rebuilt ListArray (no
+    per-chunk Python join). Pure map stage; documents with zero words emit
+    no chunks."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if stride <= 0 or chunk_words <= 0:
+        raise ValueError("chunk_words and stride must be positive")
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        flat, doc_idx, _ = _split_words(tbl, text_col)
+        counts = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        base = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        n_chunks = np.where(counts > 0, (np.maximum(counts - 1, 0) // stride) + 1, 0)
+        cdoc = np.repeat(np.arange(n), n_chunks)
+        chunk_base = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        cid = np.arange(len(cdoc), dtype=np.int64) - np.repeat(chunk_base, n_chunks)
+        starts = base[cdoc] + cid * stride
+        ends = np.minimum(starts + chunk_words, base[cdoc] + counts[cdoc])
+        lens = ends - starts
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        take = np.arange(int(offs[-1]), dtype=np.int64) - np.repeat(offs[:-1], lens) + np.repeat(starts, lens)
+        words = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        la = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), words.take(pa.array(take))
+        )
+        ids = tbl[id_col].combine_chunks() if isinstance(tbl[id_col], pa.ChunkedArray) else tbl[id_col]
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(cdoc)),
+                "chunk_id": pa.array(cid),
+                "chunk_text": pc.binary_join(la, pa.scalar(" ")),
+                "n_chunk_words": pa.array(lens),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(fn, batch_format="pyarrow")

@@ -216,6 +216,41 @@ class TestText:
         )
         pd.testing.assert_frame_equal(out.sort_index(), per_row)
 
+    def test_chunk_documents_exact(self):
+        import ray.data as rd
+
+        ds = rd.from_items(
+            [
+                {"doc_id": 0, "text": "a b c d e f g"},  # 7 words, k=3 s=2
+                {"doc_id": 1, "text": "x"},
+                {"doc_id": 2, "text": ""},               # no chunks
+                {"doc_id": 3, "text": "p q r s"},         # n == k+1 with s=2
+            ]
+        )
+        out = (
+            text.chunk_documents(ds, "text", "doc_id", chunk_words=3, stride=2)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        got = list(zip(out.doc_id, out.chunk_id, out.chunk_text, out.n_chunk_words))
+        assert got == [
+            (0, 0, "a b c", 3),
+            (0, 1, "c d e", 3),
+            (0, 2, "e f g", 3),
+            (0, 3, "g", 1),       # tail window starts at 6 < 7
+            (1, 0, "x", 1),
+            (3, 0, "p q r", 3),
+            (3, 1, "r s", 2),
+        ]
+        out2 = (
+            text.chunk_documents(ds.repartition(4), "text", "doc_id", chunk_words=3, stride=2)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, out2)
+
     def test_contamination_counts_exact(self):
         import ray.data as rd
 
