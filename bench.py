@@ -346,11 +346,27 @@ def scaling() -> None:
     shows 3x noisy-neighbor swings BETWEEN windows — unpaired best-of-k can
     compare a quiet @N against a stolen @4N and report nonsense in either
     direction.) Both levels run the identical input and physical plan. A
-    host-capacity probe runs before each rep and is recorded alongside it."""
+    host-capacity probe runs before each rep and is recorded alongside it.
+
+    GRAFT_PROBE_GATE=<eff> (e.g. 0.85) makes the campaign probe-GATED: a rep
+    launches only inside a window whose capacity probe clears the gate, so a
+    contended window is skipped instead of burning a rep on numbers the noise
+    makes unusable. GRAFT_PROBE_WAIT_S bounds the total wait (default 1200 s);
+    if no window ever clears, remaining reps run ungated (recorded as such)."""
     REPS = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    gate = float(os.environ.get("GRAFT_PROBE_GATE", "0"))
+    wait_budget = float(os.environ.get("GRAFT_PROBE_WAIT_S", "1200"))
     pairs = []
     for _ in range(REPS):
-        rep = {"probe": host_capacity_probe()}
+        probe = host_capacity_probe()
+        skipped = 0
+        while gate and probe["parallel_efficiency"] < gate and wait_budget > 0:
+            skipped += 1
+            time.sleep(30)
+            wait_budget -= 30
+            probe = host_capacity_probe()
+        rep = {"probe": probe, "windows_skipped": skipped,
+               "gated": bool(gate and probe["parallel_efficiency"] >= gate)}
         for ncpu in (4, 16):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING="1",
                        GRAFT_EXPAND_ROWS=str(EXPAND_ROWS_SCALING),
@@ -391,7 +407,8 @@ def scaling() -> None:
                     {"eff_fetch": p["eff_fetch"], "eff_expand": p["eff_expand"],
                      "crawl_sec": [p[4]["crawl"]["crawl_sec"], p[16]["crawl"]["crawl_sec"]],
                      "expand_sec": [p[4]["expand"]["expand_sec"], p[16]["expand"]["expand_sec"]],
-                     "host_probe": p["probe"]}
+                     "host_probe": p["probe"], "gated": p["gated"],
+                     "windows_skipped": p["windows_skipped"]}
                     for p in pairs
                 ],
                 "config": {**BENCH_WEB, "expand_rows": EXPAND_ROWS_SCALING, "expand_hosts": EXPAND_HOSTS},
