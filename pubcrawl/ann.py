@@ -336,6 +336,89 @@ def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10, seed: int =
     return cents
 
 
+def kmeans_lloyd_ds(
+    ds: rd.Dataset,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed Lloyd's k-means over the FULL Dataset (the scale sibling
+    of :func:`kmeans_fit`, which fits on a driver-side sample): each
+    iteration broadcasts the k×d centroid matrix (ray.put — driver-small by
+    definition of k), one ``map_batches`` pass assigns every vector and
+    emits per-(cluster, block) PARTIAL (sum-vector, count) rows — the
+    reduction moves k rows per block, never points — and the driver folds
+    k·n_blocks partials into the next centroids. ``iters`` full passes over
+    the corpus is the honest cost of exact Lloyd's; callers who can accept
+    a sampled fit should keep using kmeans_fit (that is what ivf_build does).
+
+    Exact-replay protocol (what makes the SQL oracle bit-exact): centroids
+    are quantized to 1e-6 between iterations (both engines then start every
+    iteration from the SAME float64 values), assignment minimizes the
+    e6-QUANTIZED euclidean distance with lowest-cluster-id tie-break
+    (np.round == SQL round_even, banker's), and means are e6-quantized
+    after each update. Engine-vs-SQL float drift (~1e-15 relative, from
+    differing summation order) sits ~9 orders below every quantum.
+
+    Init is deterministic and SQL-replicable: the k vectors with the
+    smallest ids. Empty clusters keep their previous centroid. Returns
+    (centroids (k,d) float64 — exact multiples of 1e-6 — and per-cluster
+    counts from the final assignment)."""
+    # seed ids via topk over the id column ALONE (vector payloads must not
+    # ride through the generic row shuffle), then fetch exactly those k rows
+    seed_ids = set(
+        relops.topk(ds.select_columns([id_col]), [(id_col, False)], k)
+        .to_pandas()[id_col].tolist()
+    )
+    seed_rows = (
+        ds.map_batches(
+            lambda df: df[df[id_col].isin(seed_ids)][[id_col, emb_col]],
+            batch_format="pandas", batch_size=None,
+        )
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    cents = np.round(_stack(seed_rows[emb_col]) * 1e6) / 1e6
+    counts = np.zeros(k, dtype=np.int64)
+    dim = cents.shape[1]
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"cluster": pd.Series([], dtype="int64"),
+                 "vsum": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+            if len(df) == 0 or emb_col not in df.columns:
+                return empty
+            c = ray.get(_ref)
+            m = _stack(df[emb_col])
+            d = np.sqrt(((m[:, None, :] - c[None, :, :]) ** 2).sum(-1))
+            dq = np.round(d * 1e6).astype(np.int64)
+            assign = dq.argmin(1)  # first min == lowest cluster id tie-break
+            rows = []
+            for cid in np.unique(assign):
+                sel = assign == cid
+                rows.append((int(cid), m[sel].sum(axis=0).tobytes(), int(sel.sum())))
+            return pd.DataFrame(rows, columns=["cluster", "vsum", "n"])
+
+        partials = ds.map_batches(
+            partial, batch_format="pandas", batch_size=None
+        ).to_pandas()  # k rows per block — driver-small by construction
+        new = cents.copy()
+        counts = np.zeros(k, dtype=np.int64)
+        for cid, g in partials.groupby("cluster"):
+            s = np.sum([np.frombuffer(b, dtype=np.float64) for b in g["vsum"]], axis=0)
+            n = int(g["n"].sum())
+            new[int(cid)] = s.reshape(dim) / n
+            counts[int(cid)] = n
+        cents = np.round(new * 1e6) / 1e6
+    return cents, counts
+
+
 def ivf_build(
     ds: rd.Dataset,
     index_root: str,

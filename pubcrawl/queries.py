@@ -2951,6 +2951,66 @@ def label_centroids(sf_dir: str):
     )
 
 
+def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
+    """Unrolled Lloyd's iterations as chained CTEs — assignment (e6-quantized
+    list_distance, lowest-cluster tie-break via ROW_NUMBER), per-dim AVG
+    update, e6 centroid re-quantization, empty-cluster carry-over — the
+    exact-replay protocol kmeans_lloyd_ds implements (see its docstring for
+    why the quantization makes engine-vs-SQL drift unobservable)."""
+    cte = [
+        "pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"seed AS (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT {k})",
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, "
+        "list_transform(v, x -> round_even(x*1e6, 0)/1e6) AS cent, "
+        "CAST(0 AS BIGINT) AS n FROM seed)",
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        cte.append(
+            f"a{t} AS (SELECT vec_id, cid FROM ("
+            f"SELECT p.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY p.vec_id "
+            f"ORDER BY round_even(list_distance(p.v, c.cent)*1e6, 0), c.cid) AS rn "
+            f"FROM pts p CROSS JOIN {prev} c) WHERE rn = 1)"
+        )
+        cte.append(
+            f"u{t} AS (SELECT cid, list(m ORDER BY dim) AS cent, any_value(npts) AS n FROM ("
+            f"SELECT cid, dim, round_even(AVG(val)*1e6, 0)/1e6 AS m, COUNT(*) AS npts "
+            f"FROM (SELECT a.cid, generate_subscripts(p.v, 1) AS dim, unnest(p.v) AS val "
+            f"FROM a{t} a JOIN pts p USING (vec_id)) GROUP BY cid, dim) GROUP BY cid)"
+        )
+        cte.append(
+            f"c{t} AS (SELECT c.cid, COALESCE(u.cent, c.cent) AS cent, "
+            f"CAST(COALESCE(u.n, 0) AS BIGINT) AS n FROM {prev} c LEFT JOIN u{t} u USING (cid))"
+        )
+        prev = f"c{t}"
+    return (
+        "WITH " + ", ".join(cte) +
+        f" SELECT cid AS cluster, CAST(generate_subscripts(cent, 1) AS BIGINT) AS dim, "
+        f"CAST(round_even(unnest(cent)*1e6, 0) AS BIGINT) AS centroid_e6, n FROM {prev}"
+    )
+
+
+@query("kmeans_embeddings", sql=_kmeans_sql(8, 3))
+def kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means over the full embeddings table
+    (ann.kmeans_lloyd_ds): per-iteration broadcast centroids + per-block
+    (cluster, sum-vector, count) combiner partials — k rows per block move,
+    never points. The whole 3-iteration fit is re-derived bit-exactly by the
+    unrolled SQL power-iteration-style CTE chain (pagerank_copurchase's
+    oracle pattern applied to clustering)."""
+    from . import ann
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents, counts = ann.kmeans_lloyd_ds(ds, k=8, iters=3)
+    k, d = cents.shape
+    return pd.DataFrame({
+        "cluster": np.repeat(np.arange(k, dtype=np.int64), d),
+        "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), k),
+        "centroid_e6": np.round(cents * 1e6).astype(np.int64).ravel(),
+        "n": np.repeat(counts, d),
+    })
+
+
 # ============================= co-partitioned anti join (no key broadcast)
 
 

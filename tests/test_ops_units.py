@@ -311,6 +311,49 @@ class TestAnn:
         out = ann.ivf_topk(ds, base[:1], np.array([0]), k=1, n_clusters=2, nprobe=2)
         assert list(out.vec_id) == [1]  # the planted near-dup
 
+    def test_kmeans_lloyd_recovers_separated_blobs(self):
+        # three well-separated blobs: the distributed fit must place one
+        # centroid per blob within a few Lloyd steps from worst-case seeds
+        # (all k=3 seed ids land in blob 0 — ids are blob-ordered)
+        rng = np.random.default_rng(1)
+        centers = np.array([[0.0] * 8, [50.0] * 8, [-50.0] * 8])
+        pts = np.concatenate([c + rng.standard_normal((30, 8)) for c in centers])
+        ds = rd.from_items(
+            [{"vec_id": i, "embedding": pts[i].tolist()} for i in range(len(pts))]
+        )
+        cents, counts = ann.kmeans_lloyd_ds(ds, k=3, iters=8)
+        # each true center has one fitted centroid within blob radius
+        d = np.sqrt(((cents[:, None, :] - centers[None]) ** 2).sum(-1))
+        assert sorted(d.argmin(1)) == [0, 1, 2]
+        assert d.min(0).max() < 2.0
+        assert counts.sum() == len(pts) and (np.sort(counts) == 30).all()
+
+    def test_kmeans_lloyd_partitioning_invariant(self):
+        ds, base = self._vec_ds()
+        c1, n1 = ann.kmeans_lloyd_ds(ds, k=4, iters=3)
+        c2, n2 = ann.kmeans_lloyd_ds(
+            rd.from_items(
+                [{"vec_id": i, "embedding": base[i].tolist()} for i in range(20)]
+            ).repartition(7),
+            k=4, iters=3,
+        )
+        np.testing.assert_array_equal(c1, c2)  # e6 quantization: bit-equal
+        np.testing.assert_array_equal(n1, n2)
+
+    def test_kmeans_lloyd_empty_cluster_keeps_seed(self):
+        # seed 1 duplicates seed 0 exactly and both blobs sit AT their seeds,
+        # so the lowest-cluster-id tie-break starves cluster 1 every
+        # iteration: its centroid must carry over unchanged with n=0
+        pts = [[0.0, 0.0], [0.0, 0.0], [100.0, 100.0]]
+        pts += [[0.0, 0.0]] * 4 + [[100.0, 100.0]] * 4
+        ds = rd.from_items(
+            [{"vec_id": i, "embedding": p} for i, p in enumerate(pts)]
+        )
+        cents, counts = ann.kmeans_lloyd_ds(ds, k=3, iters=4)
+        assert counts[1] == 0 and list(cents[1]) == [0.0, 0.0]
+        assert counts.sum() == len(pts)
+        assert counts[0] == 6 and counts[2] == 5
+
     def test_srp_recall_formula(self):
         # identical vectors collide in every table
         assert ann.srp_recall(1.0, 16, 1) == 1.0
