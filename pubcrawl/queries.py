@@ -3170,6 +3170,33 @@ def tok_bpe_counts(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas", batch_size=None)
 
 
+# ============================================ TF-IDF top terms per document
+
+
+@query(
+    "tfidf_top_terms",
+    # ln() is libm double log in both engines; the e6 quantum sits ~10
+    # orders above their ≤1-ulp disagreement. Ties (same tf, same df —
+    # common) break on term asc in both engines.
+    sql="WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+    "'[a-z0-9]+')) AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term), "
+    "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+    "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents), "
+    "sc AS (SELECT tf.doc_id, tf.term, CAST(round_even(tf.tf * ln(nn.n / dfq.df) "
+    "* 1e6, 0) AS BIGINT) AS tfidf_e6 FROM tf JOIN dfq USING (term), nn) "
+    "SELECT doc_id, term, tfidf_e6 FROM (SELECT sc.*, ROW_NUMBER() OVER ("
+    "PARTITION BY doc_id ORDER BY tfidf_e6 DESC, term) AS rn FROM sc) WHERE rn <= 5",
+)
+def tfidf_top_terms(sf_dir: str):
+    """Top-5 TF-IDF terms per document (text.tfidf_topk): tokenize + per-doc
+    tf per batch, ONE shuffle by term makes the exact document frequency a
+    partition-local count (no df join), per-doc top-n via the topk_per_group
+    combiner. The keyword-extraction primitive for corpus labeling at scale."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.tfidf_topk(ds, "text", "doc_id", top_n=5)
+
+
 # ============================================ week-over-week change
 
 

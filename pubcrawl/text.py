@@ -486,3 +486,62 @@ def chunk_documents(
         )
 
     return ds.select_columns([id_col, text_col]).map_batches(fn, batch_format="pyarrow")
+
+
+def tfidf_topk(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 5,
+    token_pattern: str = r"[a-z0-9]+",
+    n_partitions: int | None = None,
+) -> rd.Dataset:
+    """Per-document TF-IDF top terms → (id, term, tfidf_e6) rows.
+
+    Three stages, no join: (1) per-batch vectorized tokenize (lowercase RE2-
+    compatible pattern — byte-identical to SQL regexp_extract_all on the
+    ASCII corpus) + per-doc term counts — complete per batch because a doc
+    is one row; (2) ONE key-hash shuffle by term — every (doc, term, tf) row
+    of a term co-locates, so the exact global document frequency is the
+    partition-local row count per term and scoring needs no df join;
+    (3) per-doc top-n via the topk_per_group combiner (≤ top_n rows per
+    (doc, block) through the second shuffle). Scores are e6-quantized
+    (banker's rounding == SQL round_even); ties break on term asc in both
+    engines. The shuffles move (id, term, tf) triples only — at corpus scale
+    the wide state is the posting list, never document text."""
+    from . import relops
+
+    n_docs = float(ds.count())
+    pat = re.compile(token_pattern)
+
+    def tf_of(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[text_col].fillna("").str.lower().str.findall(pat).explode()
+        e = e[e.notna()]
+        t = pd.DataFrame(
+            {id_col: df.loc[e.index, id_col].to_numpy(), "term": e.to_numpy()}
+        )
+        return (
+            t.groupby([id_col, "term"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+
+    tf = ds.select_columns([id_col, text_col]).map_batches(
+        tf_of, batch_format="pandas", batch_size=None
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dfreq = df.groupby("term")["term"].transform("size").to_numpy()
+        s = df["tf"].to_numpy() * np.log(n_docs / dfreq)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "term": df["term"].to_numpy(),
+                "tfidf_e6": np.round(s * 1e6).astype(np.int64),
+            }
+        )
+
+    scored = relops.hash_partition_apply(tf, ["term"], score, n_partitions=n_partitions)
+    return relops.topk_per_group(
+        scored, [id_col], [("tfidf_e6", True), ("term", False)], top_n
+    )
