@@ -3197,6 +3197,29 @@ def tfidf_top_terms(sf_dir: str):
     return text.tfidf_topk(ds, "text", "doc_id", top_n=5)
 
 
+# ============================================ unigram-LM perplexity gate
+
+
+@query(
+    "perplexity_docs",
+    sql="WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+    "'[a-z0-9]+')) AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term), "
+    "ct AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY term), "
+    "tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS t FROM tf) "
+    "SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens, "
+    "CAST(round_even(-SUM(tf.tf * ln(ct.c / tot.t)) / SUM(tf.tf) * 1e6, 0) "
+    "AS BIGINT) AS nll_e6 FROM tf JOIN ct USING (term), tot GROUP BY tf.doc_id",
+)
+def perplexity_docs(sf_dir: str):
+    """CCNet-style perplexity quality gate: per-doc mean negative
+    log-likelihood under the corpus's own unigram LM (text.unigram_logprob —
+    fit and scoring in one join-free plan: term-shuffle makes the global
+    term count partition-local, doc-shuffle folds the contributions)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.unigram_logprob(ds, "text", "doc_id")
+
+
 # ============================================ week-over-week change
 
 

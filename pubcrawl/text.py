@@ -545,3 +545,79 @@ def tfidf_topk(
     return relops.topk_per_group(
         scored, [id_col], [("tfidf_e6", True), ("term", False)], top_n
     )
+
+
+def unigram_logprob(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_pattern: str = r"[a-z0-9]+",
+    n_partitions: int | None = None,
+) -> rd.Dataset:
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram LM → (id, n_tokens, nll_e6) — the CCNet-style perplexity
+    quality gate (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data", LREC 2020) with the corpus itself as the
+    LM, so the fit and the scoring are one engine plan.
+
+    Join-free like :func:`tfidf_topk`: per-batch tokenize + per-doc term
+    counts, ONE shuffle by term co-locates each term's rows so the GLOBAL
+    term count is a partition-local sum — each partition emits per-(doc,
+    term) log-prob contributions tf·ln(c_t/total); a second shuffle by doc
+    sums them and divides by the doc's token count. ``total`` (corpus token
+    count) is one combiner scalar over the tf table, which is materialized
+    once and consumed twice (at 100 TB you would checkpoint the tf table to
+    parquet between the two passes; the plan is otherwise unchanged). Scores
+    are e6-quantized: summation-order drift (~1e-15 relative) sits ~8 orders
+    below the quantum."""
+    from . import relops
+
+    pat = re.compile(token_pattern)
+
+    def tf_of(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[text_col].fillna("").str.lower().str.findall(pat).explode()
+        e = e[e.notna()]
+        t = pd.DataFrame(
+            {id_col: df.loc[e.index, id_col].to_numpy(), "term": e.to_numpy()}
+        )
+        return (
+            t.groupby([id_col, "term"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+
+    tf = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(tf_of, batch_format="pandas", batch_size=None)
+        .materialize()
+    )
+    total = float(
+        tf.map_batches(
+            lambda df: pd.DataFrame({"t": [int(df["tf"].sum())]}),
+            batch_format="pandas", batch_size=None,
+        ).to_pandas()["t"].sum()
+    )
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        c_t = df.groupby("term")["tf"].transform("sum").to_numpy(dtype=np.float64)
+        lp = df["tf"].to_numpy() * np.log(c_t / total)
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy(), "lp": lp, "tf": df["tf"].to_numpy()}
+        )
+
+    contribs = relops.hash_partition_apply(tf, ["term"], contrib, n_partitions=n_partitions)
+
+    def reduce_doc(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, as_index=False, sort=False).agg(
+            lp=("lp", "sum"), n_tokens=("tf", "sum")
+        )
+        nll = -g["lp"].to_numpy() / g["n_tokens"].to_numpy()
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "n_tokens": g["n_tokens"].to_numpy().astype(np.int64),
+                "nll_e6": np.round(nll * 1e6).astype(np.int64),
+            }
+        )
+
+    return relops.hash_partition_apply(contribs, [id_col], reduce_doc, n_partitions=n_partitions)

@@ -180,6 +180,38 @@ class TestText:
         m = dict(zip(out.doc_id, out.pred_lang))
         assert m[1] == "en" and m[5] == "other"
 
+    def test_unigram_logprob_matches_numpy(self):
+        import math
+
+        import ray.data as rd
+
+        docs = {0: "aa bb aa", 1: "aa cc", 2: "bb bb bb dd"}
+        ds = rd.from_items([{"doc_id": i, "text": t} for i, t in docs.items()])
+        out = text.unigram_logprob(ds, "text", "doc_id").to_pandas()
+        counts = {"aa": 3, "bb": 4, "cc": 1, "dd": 1}
+        total = 9.0
+        for i, t in docs.items():
+            toks = t.split()
+            nll = -sum(math.log(counts[w] / total) for w in toks) / len(toks)
+            row = out[out.doc_id == i].iloc[0]
+            assert row.n_tokens == len(toks)
+            assert row.nll_e6 == round(nll * 1e6)
+
+    def test_unigram_logprob_partitioning_invariant(self):
+        import ray.data as rd
+
+        items = [
+            {"doc_id": i, "text": f"tok{i % 7} tok{i % 3} tok{i % 7} common"}
+            for i in range(40)
+        ]
+        a = text.unigram_logprob(rd.from_items(items), "text", "doc_id").to_pandas()
+        b = text.unigram_logprob(
+            rd.from_items(items).repartition(11), "text", "doc_id"
+        ).to_pandas()
+        a = a.sort_values("doc_id").reset_index(drop=True)
+        b = b.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
     def test_repetition_features_exact(self):
         import ray.data as rd
 
