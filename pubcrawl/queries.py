@@ -3295,3 +3295,72 @@ def image_thumbs_derive(sf_dir: str):
         {"run": 1, "committed": r1["committed"], "skipped": r1["skipped"], "rows": r1["rows"]},
         {"run": 2, "committed": r2["committed"], "skipped": r2["skipped"], "rows": r2["rows"]},
     ])
+
+
+# ======================================= C4-style boilerplate-line removal
+
+
+@query(
+    "boilerplate_strip_docs",
+    # line proxy = non-overlapping 8-word windows; a line appearing in >1
+    # DISTINCT documents anywhere in the corpus is boilerplate and dropped
+    sql="WITH wl AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS words "
+    "FROM documents), "
+    "l AS (SELECT doc_id, CAST((i - 1) / 8 AS BIGINT) AS line_id, "
+    "array_to_string(list_slice(words, i, least(i + 7, len(words))), ' ') AS line "
+    "FROM wl, unnest(range(1, len(words) + 1, 8)) AS t(i) WHERE len(words) > 0), "
+    "cnt AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM l GROUP BY line), "
+    "f AS (SELECT l.doc_id, l.line_id, l.line, cnt.nd <= 1 AS keep "
+    "FROM l JOIN cnt USING (line)) "
+    "SELECT doc_id, "
+    "COALESCE(string_agg(line, ' ' ORDER BY line_id) FILTER (keep), '') AS clean_text, "
+    "COUNT(*) AS n_lines, "
+    "CAST(COUNT(*) FILTER (NOT keep) AS BIGINT) AS n_dropped "
+    "FROM f GROUP BY doc_id",
+)
+def boilerplate_strip_docs(sf_dir: str):
+    """C4/RefinedWeb boilerplate-line removal (text.strip_boilerplate_lines):
+    corpus-global repeated-line detection and document rewrite in two
+    co-partitioned shuffles — line-shuffle makes each line's distinct-doc
+    count partition-local (no count join, no boilerplate broadcast),
+    doc-shuffle reassembles surviving lines in order. At sf0.01 the corpus
+    genuinely exercises the drop path (153 distinct 8-word lines shared
+    across documents)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.strip_boilerplate_lines(ds, "text", "doc_id", line_words=8, max_docs=1)
+
+
+# ======================================= source-mix balancing resample
+
+
+@query(
+    "mix_balance_sources",
+    sql="WITH n AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source), "
+    "m AS (SELECT MIN(cnt) AS k FROM n), "
+    "r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) "
+    "SELECT source, doc_id, CAST(rn AS BIGINT) AS rn FROM r, m WHERE rn <= m.k",
+)
+def mix_balance_sources(sf_dir: str):
+    """Domain-mix balancing: deterministically downsample every source to the
+    minority source's size (equal output mix) by md5-hash order — the
+    data-dependent-rate resampling step that sets a training corpus's domain
+    proportions. Two passes: a tiny per-source count aggregate fixes k (one
+    scalar), then the stratified hash-order top-k runs combiner-pruned, so
+    the shuffle moves at most k rows per (source x block)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    counts = relops.preagg_group_sum(ds, ["source"], count_as="cnt").to_pandas()
+    k = int(counts["cnt"].min())
+
+    def digest(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(str(v).encode()).hexdigest() for v in batch["doc_id"].to_pylist()]
+        return batch.append_column("__md5", pa.array(hs, pa.string()))
+
+    withd = ds.map_batches(digest, batch_format="pyarrow")
+    out = relops.topk_per_group(
+        withd, ["source"], [("__md5", False), ("doc_id", False)], k=k, rank_col="rn"
+    )
+    return out.map_batches(
+        lambda df: df[["source", "doc_id", "rn"]].astype({"rn": "int64"}),
+        batch_format="pandas", batch_size=None,
+    )

@@ -621,3 +621,58 @@ def unigram_logprob(
         )
 
     return relops.hash_partition_apply(contribs, [id_col], reduce_doc, n_partitions=n_partitions)
+
+
+def strip_boilerplate_lines(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_words: int = 8,
+    max_docs: int = 1,
+    n_partitions: int | None = None,
+) -> rd.Dataset:
+    """C4/RefinedWeb-style boilerplate-line removal: split each document into
+    non-overlapping ``line_words``-word lines (the corpus's line proxy —
+    chunk_documents with stride == width), drop every line that appears in
+    more than ``max_docs`` DISTINCT documents anywhere in the corpus (nav
+    bars, license footers, share buttons), and reassemble the surviving lines
+    in document order.
+
+    Scale shape: two co-partitioned raw-row shuffles and nothing else —
+    line-shuffle makes the global distinct-doc count of a line
+    partition-local (no count join, no broadcast of a potentially-large
+    boilerplate set), doc-shuffle reassembles. Text bytes move twice, the
+    same order as any sort of the corpus; no driver materialization.
+
+    Returns (id_col, clean_text, n_lines, n_dropped); documents with zero
+    words emit no row (they have no lines on either engine).
+    """
+    from . import relops
+
+    lines = chunk_documents(ds, text_col, id_col, chunk_words=line_words, stride=line_words)
+    lines = lines.select_columns([id_col, "chunk_id", "chunk_text"])
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        # all equal lines are co-located here: exact distinct-doc count
+        nd = df.groupby("chunk_text")[id_col].transform("nunique").to_numpy()
+        return df.assign(__keep=nd <= max_docs)
+
+    flagged = relops.hash_partition_apply(lines, ["chunk_text"], flag, n_partitions)
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("chunk_id", kind="stable")
+        n_lines = df.groupby(id_col, sort=True).size()
+        kept = df[df["__keep"]]
+        gk = kept.groupby(id_col, sort=True)
+        clean = gk["chunk_text"].agg(" ".join).reindex(n_lines.index)
+        n_kept = gk.size().reindex(n_lines.index).fillna(0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: n_lines.index.to_numpy(),
+                "clean_text": clean.fillna("").to_numpy(),
+                "n_lines": n_lines.to_numpy(dtype=np.int64),
+                "n_dropped": (n_lines.to_numpy(dtype=np.int64) - n_kept.to_numpy()),
+            }
+        )
+
+    return relops.hash_partition_apply(flagged, [id_col], reassemble, n_partitions)

@@ -1735,3 +1735,65 @@ def test_langid_trigram_fit_predict_separable_corpus():
     m = pred.merge(df[["doc_id", "lang"]], on="doc_id")
     acc = float((m["pred_lang"] == m["lang"]).mean())
     assert acc >= 0.99, acc
+
+
+class TestBoilerplateStrip:
+    def test_planted_boilerplate_removed_exact(self):
+        import ray.data as rd
+
+        boiler = "subscribe to our newsletter now"  # 5-word shared line
+        ds = rd.from_items(
+            [
+                # with line_words=5: doc0 lines = [boiler, "alpha beta gamma"]
+                {"doc_id": 0, "text": boiler + " alpha beta gamma"},
+                {"doc_id": 1, "text": boiler + " delta epsilon"},
+                {"doc_id": 2, "text": "unique words only here friend"},
+                {"doc_id": 3, "text": ""},  # zero words: no output row
+            ]
+        )
+        out = (
+            text.strip_boilerplate_lines(ds, "text", "doc_id", line_words=5, max_docs=1)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        got = list(zip(out.doc_id, out.clean_text, out.n_lines, out.n_dropped))
+        assert got == [
+            (0, "alpha beta gamma", 2, 1),
+            (1, "delta epsilon", 2, 1),
+            (2, "unique words only here friend", 1, 0),
+        ]
+        # partitioning must not change the corpus-global line counts
+        out2 = (
+            text.strip_boilerplate_lines(
+                ds.repartition(4), "text", "doc_id", line_words=5, max_docs=1
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, out2)
+
+    def test_all_lines_dropped_doc_kept_empty(self):
+        import ray.data as rd
+
+        ds = rd.from_items(
+            [
+                {"doc_id": 0, "text": "a b c"},
+                {"doc_id": 1, "text": "a b c"},  # exact dup: every line shared
+            ]
+        )
+        out = (
+            text.strip_boilerplate_lines(ds, "text", "doc_id", line_words=3, max_docs=1)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(out.clean_text) == ["", ""]
+        assert list(out.n_dropped) == [1, 1]
+        # max_docs=2 tolerates pairs: nothing dropped
+        out2 = (
+            text.strip_boilerplate_lines(ds, "text", "doc_id", line_words=3, max_docs=2)
+            .to_pandas()
+        )
+        assert list(out2.n_dropped) == [0, 0]
