@@ -3364,3 +3364,40 @@ def mix_balance_sources(sf_dir: str):
         lambda df: df[["source", "doc_id", "rn"]].astype({"rn": "int64"}),
         batch_format="pandas", batch_size=None,
     )
+
+
+# ===================================== repeated n-gram span masking (Lee et al.)
+
+
+@query(
+    "mask_repeated_spans",
+    # overlapping 5-word grams; a gram occurring >=2 times corpus-wide masks
+    # every word any of its occurrences covers
+    sql="WITH wl AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS words "
+    "FROM documents), "
+    "g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, "
+    "array_to_string(list_slice(words, i, i + 4), ' ') AS gram "
+    "FROM wl, unnest(range(1, len(words) - 3)) AS t(i) WHERE len(words) >= 5), "
+    "rep AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2), "
+    "cov AS (SELECT DISTINCT g.doc_id, g.pos + o.o AS pos "
+    "FROM g JOIN rep USING (gram), unnest(range(0, 5)) AS o(o)), "
+    "w AS (SELECT doc_id, CAST(j AS BIGINT) AS pos, words[j] AS wd "
+    "FROM wl, unnest(range(1, len(words) + 1)) AS t(j)), "
+    "f AS (SELECT w.doc_id, w.pos, w.wd, cov.pos IS NOT NULL AS covered "
+    "FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.pos) "
+    "SELECT doc_id, "
+    "COALESCE(string_agg(wd, ' ' ORDER BY pos) FILTER (NOT covered), '') AS clean_text, "
+    "COUNT(*) AS n_words, "
+    "CAST(COUNT(*) FILTER (covered) AS BIGINT) AS n_masked "
+    "FROM f GROUP BY doc_id",
+)
+def mask_repeated_spans(sf_dir: str):
+    """Word-level exact substring dedup (Lee et al. 2022 repeated-span
+    masking, text.mask_repeated_ngrams): overlapping 5-gram corpus counts by
+    one gram-shuffle (partition-local global counts), sparse repeated-start
+    flags co-partition-unioned with the documents, difference-array span
+    cover and rewrite inside the merge task. Catches repeated spans at any
+    offset and removes only the span — the surgical counterpart to
+    boilerplate_strip_docs' line grid."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return text.mask_repeated_ngrams(ds, "text", "doc_id", n=5, min_count=2)

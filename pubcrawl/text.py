@@ -676,3 +676,107 @@ def strip_boilerplate_lines(
         )
 
     return relops.hash_partition_apply(flagged, [id_col], reassemble, n_partitions)
+
+
+def mask_repeated_ngrams(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_count: int = 2,
+    n_partitions: int | None = None,
+) -> rd.Dataset:
+    """Repeated-span masking — the word-level form of exact substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every OVERLAPPING n-word gram is counted corpus-wide, and each
+    document drops every word covered by at least one gram occurring
+    ``min_count``+ times anywhere (its own other copies included). Unlike
+    strip_boilerplate_lines' fixed line grid, the overlapping grams catch
+    repeated spans at ANY offset, and only the repeated span is removed, not
+    its whole line.
+
+    Scale shape: gram-shuffle (one raw-row exchange of (doc, pos, gram) —
+    ~n× the corpus bytes; at 100 TB swap the gram text for its xxh64 and
+    the plan is unchanged) makes each gram's global count partition-local;
+    the surviving flag table (doc, pos of repeated grams only) is sparse,
+    and one co-partitioned doc-shuffle unions it with the documents to mask
+    and reassemble locally — no broadcast of a corpus-dependent gram set.
+
+    Returns (id_col, clean_text, n_words, n_masked); zero-word documents
+    emit no row (no words on either engine).
+    """
+    from . import relops
+
+    grams = chunk_documents(ds, text_col, id_col, chunk_words=n, stride=1)
+
+    def full_windows(tbl: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = tbl.filter(pc.equal(tbl["n_chunk_words"], pa.scalar(n, pa.int64())))
+        return pa.table(
+            {id_col: t[id_col], "pos": t["chunk_id"], "gram": t["chunk_text"]}
+        )
+
+    grams = grams.map_batches(full_windows, batch_format="pyarrow")
+
+    def repeated(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby("gram")["gram"].transform("size").to_numpy()
+        hit = df[cnt >= min_count]
+        return pd.DataFrame(
+            {id_col: hit[id_col].to_numpy(), "pos": hit["pos"].to_numpy(dtype=np.int64)}
+        )
+
+    flags = relops.hash_partition_apply(grams, ["gram"], repeated, n_partitions)
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: df[id_col], "__text": df[text_col], "pos": np.int64(-1),
+             "__side": np.int8(0)}
+        )
+
+    def tag_flags(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: df[id_col], "__text": None, "pos": df["pos"].to_numpy(dtype=np.int64),
+             "__side": np.int8(1)}
+        )
+
+    docs_t = ds.select_columns([id_col, text_col]).map_batches(
+        tag_docs, batch_format="pandas", batch_size=None
+    )
+    flags_t = flags.map_batches(tag_flags, batch_format="pandas", batch_size=None)
+
+    def mask(df: pd.DataFrame) -> pd.DataFrame:
+        docs = df[df["__side"] == 0]
+        starts = df[df["__side"] == 1]
+        start_map = {k: g["pos"].to_numpy() for k, g in starts.groupby(id_col, sort=False)}
+        ids, texts, n_words, n_masked = [], [], [], []
+        for did, raw in zip(docs[id_col].to_numpy(), docs["__text"].to_numpy()):
+            words = str(raw).split()
+            if not words:
+                continue  # zero-word docs emit no row (oracle parity)
+            s = start_map.get(did)
+            if s is None:
+                kept, masked = " ".join(words), 0
+            else:
+                # difference-array span cover: O(words) per doc, numpy only
+                cover = np.zeros(len(words) + 1, dtype=np.int32)
+                cover[s] += 1
+                cover[np.minimum(s + n, len(words))] -= 1
+                covered = np.cumsum(cover[:-1]) > 0
+                masked = int(covered.sum())
+                kept = " ".join(np.asarray(words, dtype=object)[~covered])
+            ids.append(did)
+            texts.append(kept)
+            n_words.append(len(words))
+            n_masked.append(masked)
+        return pd.DataFrame(
+            {
+                id_col: np.asarray(ids),
+                "clean_text": pd.Series(texts, dtype=object),
+                "n_words": np.asarray(n_words, dtype=np.int64),
+                "n_masked": np.asarray(n_masked, dtype=np.int64),
+            }
+        )
+
+    return relops.hash_partition_apply(docs_t.union(flags_t), [id_col], mask, n_partitions)

@@ -1797,3 +1797,62 @@ class TestBoilerplateStrip:
             .to_pandas()
         )
         assert list(out2.n_dropped) == [0, 0]
+
+
+class TestMaskRepeatedSpans:
+    def test_planted_repeated_span_masked_exact(self):
+        import ray.data as rd
+
+        span = "one two three four five"  # the repeated 5-gram
+        ds = rd.from_items(
+            [
+                # span at offset 1: words 1..5 covered, 'zz' and tail survive
+                {"doc_id": 0, "text": "zz " + span + " tail0 tail1"},
+                {"doc_id": 1, "text": span + " other words here"},
+                {"doc_id": 2, "text": "totally unrelated words in this doc"},
+                {"doc_id": 3, "text": "short doc"},  # < n words: no grams
+                {"doc_id": 4, "text": ""},           # zero words: no row
+            ]
+        )
+        out = (
+            text.mask_repeated_ngrams(ds, "text", "doc_id", n=5, min_count=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        got = list(zip(out.doc_id, out.clean_text, out.n_words, out.n_masked))
+        assert got == [
+            (0, "zz tail0 tail1", 8, 5),
+            (1, "other words here", 8, 5),
+            (2, "totally unrelated words in this doc", 6, 0),
+            (3, "short doc", 2, 0),
+        ]
+        out2 = (
+            text.mask_repeated_ngrams(ds.repartition(5), "text", "doc_id", n=5, min_count=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, out2)
+
+    def test_overlapping_spans_merge_cover(self):
+        import ray.data as rd
+
+        # "a b c d e f" repeated twice in one doc: every gram inside it
+        # repeats, covers the whole 6-word span both times
+        ds = rd.from_items(
+            [
+                {"doc_id": 0, "text": "a b c d e f x a b c d e f"},
+                {"doc_id": 1, "text": "p q r s t u v w"},
+            ]
+        )
+        out = (
+            text.mask_repeated_ngrams(ds, "text", "doc_id", n=5, min_count=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        r0 = out.iloc[0]
+        assert (r0.clean_text, r0.n_words, r0.n_masked) == ("x", 13, 12)
+        r1 = out.iloc[1]
+        assert (r1.clean_text, r1.n_masked) == ("p q r s t u v w", 0)
