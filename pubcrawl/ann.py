@@ -636,3 +636,81 @@ def ivf_topk(
     )
     out["cos_sim"] = np.round(out["cos_sim"], 6)
     return out
+
+
+def semantic_dedup(
+    ds: rd.Dataset,
+    k: int = 8,
+    iters: int = 3,
+    tau_e6: int = 900000,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_partitions: int | None = None,
+) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): k-means partitions the
+    corpus so the quadratic cosine scan runs WITHIN clusters only, then each
+    cluster drops every vector that has a lower-id neighbor with cosine ≥
+    tau (keep-the-first rule; tau passed e6-quantized so the comparison is
+    integer-exact against a SQL replay via banker's rounding).
+
+    Scale shape: the fit is :func:`kmeans_lloyd_ds` (k rows per block move,
+    never points); assignment + L2-normalization is one broadcast-centroid
+    map pass; the cluster-shuffle carries (id, cluster, vector-bytes) — the
+    established safe encoding for vector payloads through the generic row
+    shuffle — and the per-cluster gram matrix is one numpy matmul. k bounds
+    the quadratic: at 100 TB you raise k so |cluster| stays matmul-sized,
+    exactly the paper's design.
+
+    Returns (id_col, cluster, keep) for every input vector.
+    """
+    from . import relops
+
+    cents, _ = kmeans_lloyd_ds(ds, k=k, iters=iters, id_col=id_col, emb_col=emb_col)
+    ref = ray.put(cents)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "cluster": pd.Series([], dtype="int64"),
+                 "__ft": pd.Series([], dtype=object)}
+            )
+        c = ray.get(ref)
+        m = _stack(df[emb_col])
+        # same metric as the fit: e6-quantized euclidean, argmin = lowest-id tie
+        d = np.sqrt(((m[:, None, :] - c[None, :, :]) ** 2).sum(-1))
+        cl = np.round(d * 1e6).astype(np.int64).argmin(1)
+        norm = _normalize(m)
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy(), "cluster": cl.astype(np.int64),
+             "__ft": [r.tobytes() for r in norm]}
+        )
+
+    av = ds.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pandas", batch_size=None
+    )
+
+    def dedup_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for cid, g in df.groupby("cluster", sort=False):
+            ids = g[id_col].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids_s = ids[order]
+            m = np.vstack([np.frombuffer(b, dtype=np.float64)
+                           for b in g["__ft"].to_numpy()[order]])
+            sims = np.round(m @ m.T * 1e6)
+            # row i duplicates iff any j with ids_s[j] < ids_s[i] is >= tau
+            has_lower = np.tril(sims >= tau_e6, -1).any(axis=1)
+            frames.append(pd.DataFrame(
+                {id_col: ids_s, "cluster": np.int64(cid), "keep": ~has_lower}
+            ))
+        if not frames:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "cluster": pd.Series([], dtype="int64"),
+                 "keep": pd.Series([], dtype=bool)}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return relops.hash_partition_apply(av, ["cluster"], dedup_cluster, n_partitions)

@@ -2951,14 +2951,20 @@ def label_centroids(sf_dir: str):
     )
 
 
-def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
+def _kmeans_cte(
+    k: int = 8,
+    iters: int = 3,
+    pts: str = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+) -> tuple[list, str]:
     """Unrolled Lloyd's iterations as chained CTEs — assignment (e6-quantized
     list_distance, lowest-cluster tie-break via ROW_NUMBER), per-dim AVG
     update, e6 centroid re-quantization, empty-cluster carry-over — the
     exact-replay protocol kmeans_lloyd_ds implements (see its docstring for
-    why the quantization makes engine-vs-SQL drift unobservable)."""
+    why the quantization makes engine-vs-SQL drift unobservable). Returns
+    (cte list, name of the final centroid CTE); ``pts`` overrides the point
+    source so compositions (semantic_dedup) fit over planted views."""
     cte = [
-        "pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"pts AS ({pts})",
         f"seed AS (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT {k})",
         "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, "
         "list_transform(v, x -> round_even(x*1e6, 0)/1e6) AS cent, "
@@ -2983,10 +2989,48 @@ def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
             f"CAST(COALESCE(u.n, 0) AS BIGINT) AS n FROM {prev} c LEFT JOIN u{t} u USING (cid))"
         )
         prev = f"c{t}"
+    return cte, prev
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3) -> str:
+    cte, prev = _kmeans_cte(k, iters)
     return (
         "WITH " + ", ".join(cte) +
         f" SELECT cid AS cluster, CAST(generate_subscripts(cent, 1) AS BIGINT) AS dim, "
         f"CAST(round_even(unnest(cent)*1e6, 0) AS BIGINT) AS centroid_e6, n FROM {prev}"
+    )
+
+
+def _semdedup_sql(k: int = 8, iters: int = 3, tau_e6: int = 900000) -> str:
+    """SemDeDup oracle: plant exact copies (vec_id+1000000 for every 10th
+    vector — they provably co-assign with their originals and sit at cosine
+    1.0), refit the unrolled Lloyd chain over the planted view, assign every
+    point against the FINAL centroids, then drop any point with a lower-id
+    same-cluster neighbor at e6-quantized cosine >= tau."""
+    plant = (
+        "sd AS (SELECT vec_id, embedding FROM embeddings UNION ALL "
+        "SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings "
+        "WHERE vec_id % 10 = 0)"
+    )
+    cte, prev = _kmeans_cte(
+        k, iters, pts="SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM sd"
+    )
+    af = (
+        "af AS (SELECT vec_id, cid FROM ("
+        "SELECT p.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY p.vec_id "
+        f"ORDER BY round_even(list_distance(p.v, c.cent)*1e6, 0), c.cid) AS rn "
+        f"FROM pts p CROSS JOIN {prev} c) WHERE rn = 1)"
+    )
+    dup = (
+        "dup AS (SELECT DISTINCT x.vec_id FROM af x JOIN af y "
+        "ON x.cid = y.cid AND y.vec_id < x.vec_id "
+        "JOIN pts px ON px.vec_id = x.vec_id JOIN pts py ON py.vec_id = y.vec_id "
+        f"WHERE round_even(list_cosine_similarity(px.v, py.v)*1e6, 0) >= {tau_e6})"
+    )
+    return (
+        "WITH " + ", ".join([plant, *cte, af, dup]) +
+        " SELECT af.vec_id, CAST(af.cid AS BIGINT) AS cluster, "
+        "d.vec_id IS NULL AS keep FROM af LEFT JOIN dup d ON af.vec_id = d.vec_id"
     )
 
 
@@ -3401,3 +3445,70 @@ def mask_repeated_spans(sf_dir: str):
     boilerplate_strip_docs' line grid."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return text.mask_repeated_ngrams(ds, "text", "doc_id", n=5, min_count=2)
+
+
+# ========================================== SemDeDup semantic deduplication
+
+
+@query("semantic_dedup_embeddings", sql=_semdedup_sql(8, 3, 900000))
+def semantic_dedup_embeddings(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table with planted
+    exact copies (ann.semantic_dedup): distributed Lloyd's fit bounds the
+    quadratic — assignment + normalization in one broadcast-centroid pass,
+    cluster-shuffle of (id, cluster, vector-bytes), per-cluster gram matmul
+    drops every vector with a lower-id neighbor at e6-quantized cosine >=
+    0.9. The whole composition (fit, final assignment, drop set) is
+    re-derived bit-exactly by the unrolled SQL chain."""
+    from . import ann
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        mask = (np.asarray(t["vec_id"]) % 10) == 0
+        sub = t.filter(pa.array(mask))
+        return sub.set_column(
+            sub.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(sub["vec_id"], 1000000),
+        )
+
+    dup = ds.map_batches(plant, batch_format="pyarrow", batch_size=None)
+    return ann.semantic_dedup(ds.union(dup), k=8, iters=3, tau_e6=900000)
+
+
+# ======================================== calibrated (quantile) quality gate
+
+
+@query(
+    "quality_gate_calibrated",
+    sql="WITH s AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\\w+')) "
+    "AS BIGINT) AS n_tokens FROM documents), "
+    "t AS (SELECT quantile_disc(n_tokens, 0.2) AS thr FROM s) "
+    "SELECT s.doc_id, s.n_tokens FROM s, t WHERE s.n_tokens >= t.thr",
+)
+def quality_gate_calibrated(sf_dir: str):
+    """Calibrated quality gate: the keep threshold is not a constant but the
+    corpus's own p20 token count — the data-dependent-cutoff pattern
+    ("keep the top 80% by score") real cleaning pipelines use. Pass 1
+    computes the exact discrete quantile distributed (histogram partials:
+    the shuffle moves distinct values, not rows; one scalar reaches the
+    driver); pass 2 re-filters the corpus against the broadcast scalar.
+    Same 2-pass shape at 100 TB — the quantile never materializes rows."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_tokens": df["text"].fillna("").str.count(r"\w+").to_numpy(dtype=np.int64),
+            "__g": np.int64(0),
+        })
+
+    scored = ds.map_batches(toks, batch_format="pandas", batch_size=None)
+    thr = int(
+        relops.group_quantile_disc(
+            scored.select_columns(["__g", "n_tokens"]), ["__g"], "n_tokens", {"p20": 0.2}
+        ).to_pandas()["p20"].iloc[0]
+    )
+    return scored.map_batches(
+        lambda df: df[df["n_tokens"] >= thr][["doc_id", "n_tokens"]],
+        batch_format="pandas", batch_size=None,
+    )

@@ -1856,3 +1856,38 @@ class TestMaskRepeatedSpans:
         assert (r0.clean_text, r0.n_words, r0.n_masked) == ("x", 13, 12)
         r1 = out.iloc[1]
         assert (r1.clean_text, r1.n_masked) == ("p q r s t u v w", 0)
+
+
+class TestSemanticDedup:
+    def test_planted_copies_dropped_originals_kept(self):
+        import ray.data as rd
+
+        from pubcrawl import ann
+
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(40, 8))
+        rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)]
+        # exact copies of vectors 0..9 under higher ids: cosine 1.0 with
+        # their originals, co-assigned by construction
+        rows += [{"vec_id": 100 + i, "embedding": base[i].tolist()} for i in range(10)]
+        ds = rd.from_items(rows)
+        out = (
+            ann.semantic_dedup(ds, k=4, iters=2, tau_e6=950000)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 50
+        copies = out[out.vec_id >= 100]
+        assert not copies.keep.any()  # every copy has its lower-id original
+        originals = out[out.vec_id < 100]
+        # random gaussian directions in 8-d: no natural pair above 0.95
+        assert originals.keep.all()
+        # partitioning invariance
+        out2 = (
+            ann.semantic_dedup(ds.repartition(5), k=4, iters=2, tau_e6=950000)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, out2)
