@@ -3512,3 +3512,32 @@ def quality_gate_calibrated(sf_dir: str):
         lambda df: df[df["n_tokens"] >= thr][["doc_id", "n_tokens"]],
         batch_format="pandas", batch_size=None,
     )
+
+
+# =========================================== global total-order rank
+
+
+@query(
+    "global_rank_orders",
+    sql="SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_e2, "
+    "CAST(row_number() OVER (ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC, "
+    "o_orderkey) AS BIGINT) AS rnk FROM orders",
+)
+def global_rank_orders(sf_dir: str):
+    """Global total-order ranking of every order by price (relops.global_rank
+    — the zipWithIndex primitive): exact-quantile range boundaries make
+    bucket order global order, per-bucket counts give the offsets (B ints on
+    the driver), one co-partitioned shuffle sorts each bucket and adds
+    offset + arange. The distributed form of ROW_NUMBER() OVER (ORDER BY …)
+    with no single-node sort."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    ds = relops.with_columns(ds, {"price_e2": relops.money_to_units("o_totalprice")})
+    out = relops.global_rank(
+        ds.select_columns(["o_orderkey", "price_e2"]),
+        [("price_e2", True), ("o_orderkey", False)],
+        rank_col="rnk",
+    )
+    return out.map_batches(
+        lambda df: df[["o_orderkey", "price_e2", "rnk"]],
+        batch_format="pandas", batch_size=None,
+    )

@@ -1850,3 +1850,77 @@ def grouping_sets_sum(
         return out.astype({k: "object" for k in keys} | {v: "int64" for v in vals})
 
     return hash_partition_apply(finest, keys[:1], derive, n_partitions=1)
+
+
+def global_rank(
+    ds: rd.Dataset,
+    sort_keys: list[tuple[str, bool]],
+    rank_col: str = "rnk",
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Distributed TOTAL-ORDER ranking (row_number over the whole table —
+    the zipWithIndex primitive): range-partition on the primary sort key so
+    bucket order IS global order, then rank = bucket offset + local sorted
+    index. Three cheap passes, none materializing rows on the driver:
+
+      1. exact discrete quantiles of the primary key (histogram partials —
+         distinct values move, not rows) pick n_buckets-1 range boundaries;
+         balance is approximate, ORDER is exact regardless (searchsorted is
+         a monotone pure function of the key, so equal keys share a bucket
+         and buckets partition the sort order),
+      2. per-bucket row counts (combiner aggregate) → driver computes the
+         B running offsets (B ints),
+      3. one co-partitioned shuffle by bucket; each merge task sorts its
+         buckets by the FULL key list and adds offset + arange.
+
+    ``sort_keys`` = [(col, descending), ...]; the first key drives the range
+    partitioning, the full list breaks ties deterministically (make the last
+    key unique for a stable total order). Ranks start at 1.
+    """
+    primary, desc = sort_keys[0]
+
+    if n_buckets is None:
+        n_buckets = auto_partitions(ds.count())
+    probe = ds.select_columns([primary]).map_batches(
+        lambda df: df.assign(__g=np.int64(0)), batch_format="pandas", batch_size=None
+    )
+    qs = {f"__q{i}": i / n_buckets for i in range(1, n_buckets)}
+    if qs:
+        qrow = group_quantile_disc(probe, ["__g"], primary, qs).to_pandas()
+        bounds = np.sort(np.asarray([qrow[f"__q{i}"].iloc[0] for i in range(1, n_buckets)]))
+    else:
+        bounds = np.asarray([])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[primary].to_numpy()
+        b = np.searchsorted(bounds, v, side="left").astype(np.int64)
+        if desc:
+            b = np.int64(len(bounds)) - b
+        return df.assign(__bkt=b)
+
+    bucketed = ds.map_batches(bucketize, batch_format="pandas", batch_size=None)
+    counts = (
+        preagg_group_sum(bucketed.select_columns(["__bkt"]), ["__bkt"], count_as="__n")
+        .to_pandas()
+        .sort_values("__bkt")
+    )  # B rows — driver-small by construction
+    offs = dict(zip(
+        counts["__bkt"].to_numpy(),
+        np.concatenate([[0], np.cumsum(counts["__n"].to_numpy())[:-1]]),
+    ))
+
+    by = [k for k, _ in sort_keys]
+    asc = [not d for _, d in sort_keys]
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for bkt, g in df.groupby("__bkt", sort=False):
+            g = g.sort_values(by, ascending=asc, kind="mergesort")
+            g[rank_col] = np.arange(1, len(g) + 1, dtype=np.int64) + np.int64(offs[bkt])
+            frames.append(g)
+        out = pd.concat(frames, ignore_index=True) if frames else df.assign(
+            **{rank_col: pd.Series([], dtype="int64")}
+        )
+        return out.drop(columns=["__bkt"])
+
+    return hash_partition_apply(bucketed, ["__bkt"], rank)

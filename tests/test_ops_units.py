@@ -1891,3 +1891,48 @@ class TestSemanticDedup:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(out, out2)
+
+
+class TestGlobalRank:
+    def test_matches_pandas_total_order(self):
+        import ray.data as rd
+
+        from pubcrawl import relops
+
+        rng = np.random.default_rng(11)
+        vals = rng.integers(0, 50, size=500)  # heavy ties across buckets
+        df = pd.DataFrame({"k": np.arange(500, dtype=np.int64), "v": vals.astype(np.int64)})
+        ds = rd.from_pandas(df).repartition(7)
+        out = (
+            relops.global_rank(ds, [("v", True), ("k", False)], rank_col="rnk")
+            .to_pandas()
+            .sort_values("rnk")
+            .reset_index(drop=True)
+        )
+        expect = df.sort_values(["v", "k"], ascending=[False, True]).reset_index(drop=True)
+        assert (out["k"].to_numpy() == expect["k"].to_numpy()).all()
+        assert list(out["rnk"]) == list(range(1, 501))
+        # ascending variant
+        out2 = (
+            relops.global_rank(ds, [("v", False), ("k", False)], rank_col="r")
+            .to_pandas()
+            .sort_values("r")
+            .reset_index(drop=True)
+        )
+        expect2 = df.sort_values(["v", "k"]).reset_index(drop=True)
+        assert (out2["k"].to_numpy() == expect2["k"].to_numpy()).all()
+
+    def test_single_bucket_and_width_invariance(self):
+        import ray.data as rd
+
+        from pubcrawl import relops
+
+        df = pd.DataFrame({"k": np.arange(40, dtype=np.int64),
+                           "v": np.repeat(np.int64(7), 40)})  # all ties
+        ds = rd.from_pandas(df)
+        a = relops.global_rank(ds, [("v", False), ("k", False)], n_buckets=1).to_pandas()
+        b = relops.global_rank(ds, [("v", False), ("k", False)], n_buckets=8).to_pandas()
+        a = a.sort_values("rnk").reset_index(drop=True)
+        b = b.sort_values("rnk").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert list(a["k"]) == list(range(40))
