@@ -44,6 +44,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 
+import pandas as pd
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -715,3 +716,136 @@ def load_pages(store_root: str) -> rd.Dataset:
 
 def crawl(cfg: WebConfig, store_root: str, **kw) -> CrawlReport:
     return CrawlPipeline(cfg, store_root, **kw).run()
+
+
+def validate_invariant(
+    store_root: str,
+    cfg,
+    n_partitions: int | None = None,
+) -> rd.Dataset:
+    """Distributed check of the north-rule per-row invariant over EVERY
+    stored image row: decoded-pixel fidelity (bit-equality for png, PSNR ≥
+    40 dB for lossy formats) plus exact caption equality, against ground
+    truth each worker RECOMPUTES from the synthetic-web pure function — no
+    oracle bytes ever materialize on the driver.
+
+    Plan: enumerate the (host, detail) page grid (driver-tiny), flat-map it
+    into ground-truth rows (pixels as bytes) in workers, co-partition-union
+    with the stored rows by image_id, and inside each merge task decode +
+    compare; per-fmt partials reduce in one final width-1 aggregate.
+
+    Returns one row per fmt: (fmt, n, min_psnr_e2 — lossless/identical rows
+    clamp to 9999_00, n_pixel_fail, n_caption_fail, n_unmatched)."""
+    from . import relops
+    from .hashing import xxh64
+    from .imaging import decode_image, psnr
+    from .synthweb import detail_images
+
+    stored = load_images(store_root).select_columns(
+        ["image_id", "bytes", "fmt", "caption", "h", "w"]
+    )
+
+    pages = rd.from_items(
+        [{"hi": h, "d": d} for h in range(cfg.n_hosts) for d in range(cfg.details_per_host)]
+    )
+
+    def gen_truth(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for hi, d in zip(df["hi"].to_numpy(), df["d"].to_numpy()):
+            for it in detail_images(cfg, int(hi), int(d)):
+                px = it["pixels"]
+                rows.append({
+                    "image_id": f"img_{xxh64(it['identity']):016x}",
+                    "caption_gt": it["caption"],
+                    "px": px.tobytes(),
+                    "h_gt": px.shape[0], "w_gt": px.shape[1],
+                })
+        return pd.DataFrame(
+            rows, columns=["image_id", "caption_gt", "px", "h_gt", "w_gt"]
+        )
+
+    truth = pages.map_batches(gen_truth, batch_format="pandas", batch_size=None)
+
+    # both tags emit the FULL unioned schema (absent side's columns = None)
+    # so single-side partitions still carry every column through the merge
+    _s_cols = ["bytes", "fmt", "caption"]
+    _t_cols = ["caption_gt", "px", "h_gt", "w_gt"]
+
+    def tag_stored(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["image_id", *_s_cols]].copy()
+        for c in _t_cols:
+            out[c] = None
+        out["__side"] = np.int8(0)
+        return out
+
+    def tag_truth(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"image_id": df["image_id"]})
+        for c in _s_cols:
+            out[c] = None
+        for c in _t_cols:
+            out[c] = df[c]
+        out["__side"] = np.int8(1)
+        return out
+
+    both = stored.map_batches(tag_stored, batch_format="pandas", batch_size=None).union(
+        truth.map_batches(tag_truth, batch_format="pandas", batch_size=None)
+    )
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[df["__side"] == 0][["image_id", "bytes", "fmt", "caption"]]
+        t = df[df["__side"] == 1][["image_id", "caption_gt", "px", "h_gt", "w_gt"]]
+        m = s.merge(t, on="image_id", how="left")
+        rows = []
+        for rec in m.itertuples():
+            unmatched = not isinstance(rec.px, (bytes, bytearray))
+            if unmatched:
+                rows.append((rec.fmt, 1, 999900, 1, 1, 1))
+                continue
+            gt = np.frombuffer(rec.px, dtype=np.uint8).reshape(
+                int(rec.h_gt), int(rec.w_gt), 3
+            )
+            try:
+                dec = decode_image(rec.bytes, rec.fmt)
+            except Exception:
+                # undecodable bytes are a pixel failure, not a dead task —
+                # at scale one corrupt row must not kill the validation pass
+                rows.append((rec.fmt, 1, 0, 1,
+                             int(rec.caption != rec.caption_gt), 0))
+                continue
+            if rec.fmt == "png":
+                pix_ok = dec.shape == gt.shape and bool((dec == gt).all())
+                p_e2 = 999900
+            else:
+                p = psnr(gt, dec) if dec.shape == gt.shape else 0.0
+                pix_ok = p >= 40.0
+                p_e2 = 999900 if np.isinf(p) else int(np.round(p * 100))
+            rows.append((
+                rec.fmt, 1, p_e2, int(not pix_ok),
+                int(rec.caption != rec.caption_gt), 0,
+            ))
+        cols = ["fmt", "n", "min_psnr_e2", "n_pixel_fail", "n_caption_fail", "n_unmatched"]
+        part = pd.DataFrame(rows, columns=cols)
+        if not len(part):
+            return part.astype({"n": "int64", "min_psnr_e2": "int64",
+                                "n_pixel_fail": "int64", "n_caption_fail": "int64",
+                                "n_unmatched": "int64"})
+        g = part.groupby("fmt", as_index=False).agg(
+            n=("n", "sum"), min_psnr_e2=("min_psnr_e2", "min"),
+            n_pixel_fail=("n_pixel_fail", "sum"),
+            n_caption_fail=("n_caption_fail", "sum"),
+            n_unmatched=("n_unmatched", "sum"),
+        )
+        return g.astype({c: "int64" for c in cols[1:]})
+
+    partials = relops.hash_partition_apply(both, ["image_id"], check, n_partitions)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fmt", as_index=False).agg(
+            n=("n", "sum"), min_psnr_e2=("min_psnr_e2", "min"),
+            n_pixel_fail=("n_pixel_fail", "sum"),
+            n_caption_fail=("n_caption_fail", "sum"),
+            n_unmatched=("n_unmatched", "sum"),
+        )
+        return g.astype({c: "int64" for c in g.columns if c != "fmt"})
+
+    return relops.hash_partition_apply(partials, ["fmt"], fold, n_partitions=1)

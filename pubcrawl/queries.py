@@ -3541,3 +3541,28 @@ def global_rank_orders(sf_dir: str):
         lambda df: df[["o_orderkey", "price_e2", "rnk"]],
         batch_format="pandas", batch_size=None,
     )
+
+
+# ===================================== north-rule per-row invariant validation
+
+
+@query("crawl_validate_invariant")  # deterministic engine self-check → rows-only
+def crawl_validate_invariant(sf_dir: str):
+    """The north rule's per-row invariant as a driver-visible query: crawl
+    the deterministic synthetic web, then validate EVERY stored image row
+    distributed (pipeline.validate_invariant) — decoded-pixel bit-equality
+    for png / PSNR >= 40 dB for lossy, exact caption equality — against
+    ground truth each worker recomputes from the synthweb pure function.
+    One row per fmt; all three *_fail columns must be 0 and min_psnr_e2 >=
+    4000_00/100 on a correct engine, so any decode/commit regression flips
+    the value hash."""
+    import tempfile
+
+    from .pipeline import crawl, validate_invariant
+    from .synthweb import WebConfig
+
+    cfg = WebConfig(seed=44, n_hosts=6, pages_per_host=2, links_per_page=4,
+                    images_per_page=2, details_per_host=24)
+    root = tempfile.mkdtemp(prefix="pubcrawl_val_") + "/store"
+    crawl(cfg, root, fetch_concurrency=4, bucket_size=64, seen_shards=4)
+    return validate_invariant(root, cfg)

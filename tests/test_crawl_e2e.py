@@ -454,3 +454,39 @@ def test_crawl_delays_pace_without_changing_results(tmp_path):
     pages = load_pages(root).to_pandas().sort_values("seq")
     assert set(int(x) for x in pages.url_hash) == o.seen_hashes
     assert list(pages.url) == [u for u, _, _ in o.order]
+
+
+def test_validate_invariant_detects_tampering(tmp_path):
+    """pipeline.validate_invariant: all-zero fail counts on a faithful store;
+    a tampered caption and a corrupted pixel byte each flip exactly the
+    matching fail counter (the check is not vacuous)."""
+    import pyarrow.parquet as pq
+
+    from pubcrawl.pipeline import crawl, validate_invariant
+    from pubcrawl.store import ParquetFragmentStore
+    from pubcrawl.synthweb import WebConfig
+
+    cfg = WebConfig(seed=45, n_hosts=3, pages_per_host=2, links_per_page=4,
+                    images_per_page=2, details_per_host=10)
+    root = str(tmp_path / "store")
+    crawl(cfg, root, fetch_concurrency=2, bucket_size=64, seen_shards=2)
+
+    clean = validate_invariant(root, cfg).to_pandas()
+    assert len(clean) >= 1 and int(clean["n"].sum()) > 0
+    assert int(clean[["n_pixel_fail", "n_caption_fail", "n_unmatched"]].sum().sum()) == 0
+    assert int(clean["min_psnr_e2"].min()) >= 4000_00 // 100
+
+    # tamper: flip one caption and zero one stored image's bytes
+    store = ParquetFragmentStore(root)
+    pid = next(p for p, meta in sorted(store.committed().items())
+               if p.startswith("images_") and meta["rows"] > 0)
+    path = store.fragment_path(pid)
+    tbl = pq.read_table(path).to_pandas()
+    tbl.loc[0, "caption"] = "tampered caption"
+    tbl.loc[len(tbl) - 1, "bytes"] = b"\x00" * len(tbl.loc[len(tbl) - 1, "bytes"])
+    import pyarrow as pa
+    pq.write_table(pa.Table.from_pandas(tbl, preserve_index=False), path)
+
+    dirty = validate_invariant(root, cfg).to_pandas()
+    assert int(dirty["n_caption_fail"].sum()) >= 1
+    assert int(dirty["n_pixel_fail"].sum()) >= 1
