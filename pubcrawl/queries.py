@@ -3566,3 +3566,105 @@ def crawl_validate_invariant(sf_dir: str):
     root = tempfile.mkdtemp(prefix="pubcrawl_val_") + "/store"
     crawl(cfg, root, fetch_concurrency=4, bucket_size=64, seen_shards=4)
     return validate_invariant(root, cfg)
+
+
+# ========================================== PMI bigram collocations
+
+
+@query(
+    "pmi_bigrams",
+    sql="WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws "
+    "FROM documents), "
+    "uni AS (SELECT unnest(ws) AS w FROM tok), "
+    "ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w), "
+    "tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM uni), "
+    "big AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 "
+    "FROM tok, unnest(range(1, len(ws))) AS r(i)), "
+    "bcnt AS (SELECT w1, w2, COUNT(*) AS c_xy FROM big GROUP BY w1, w2), "
+    "p AS (SELECT b.w1, b.w2, CAST(b.c_xy AS BIGINT) AS c_xy, "
+    "CAST(round_even(ln((CAST(b.c_xy AS DOUBLE) * t.t) / "
+    "(CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) * 1e6, 0) AS BIGINT) AS pmi_e6 "
+    "FROM bcnt b JOIN ucnt u1 ON b.w1 = u1.w JOIN ucnt u2 ON b.w2 = u2.w, tot t "
+    "WHERE b.c_xy >= 5) "
+    "SELECT w1, w2, c_xy, pmi_e6 FROM p "
+    "ORDER BY pmi_e6 DESC, w1, w2 LIMIT 50",
+)
+def pmi_bigrams(sf_dir: str):
+    """Top-50 PMI bigram collocations (the word-association statistic of
+    phrase/vocab induction): per-batch bigram + unigram count PARTIALS
+    (combiner — distinct grams per batch move, never token streams), grouped
+    sums, then the unigram counts attach to each bigram end via TWO
+    co-partitioned hash joins (no vocabulary broadcast — at 100 TB the
+    vocab is not driver-small). PMI computed in float64 with the identical
+    expression shape as the oracle, e6-quantized; combiner-pruned global
+    top-k."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _flat(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        # vectorized flatten: words + their doc index (explode is C-speed)
+        e = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+").explode()
+        valid = e.notna().to_numpy()
+        return e.to_numpy()[valid], e.index.to_numpy()[valid]
+
+    def uni_part(df: pd.DataFrame) -> pd.DataFrame:
+        words, _ = _flat(df)
+        vc = pd.Series(words).value_counts(sort=False)
+        out = pd.DataFrame({"w": vc.index.to_numpy(), "v": vc.to_numpy(dtype=np.int64)})
+        out.loc[len(out)] = ["\x00total\x00", len(words)]  # total rides the same agg
+        return out.astype({"v": "int64"})
+
+    def big_part(df: pd.DataFrame) -> pd.DataFrame:
+        words, doc_idx = _flat(df)
+        if len(words) < 2:
+            return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                                 "w2": pd.Series([], dtype=object),
+                                 "v": pd.Series([], dtype="int64")})
+        adj = doc_idx[1:] == doc_idx[:-1]  # bigrams never cross documents
+        g = (
+            pd.DataFrame({"w1": words[:-1][adj], "w2": words[1:][adj]})
+            .groupby(["w1", "w2"], sort=False)
+            .size()
+            .reset_index(name="v")
+        )
+        return g.astype({"v": "int64"})
+
+    ucnt = relops.preagg_group_sum(
+        ds.map_batches(uni_part, batch_format="pandas", batch_size=None),
+        ["w"], sum_cols={"v": "c"},
+    )
+    bcnt = relops.preagg_group_sum(
+        ds.map_batches(big_part, batch_format="pandas", batch_size=None),
+        ["w1", "w2"], sum_cols={"v": "c_xy"},
+    )
+    bcnt = bcnt.map_batches(
+        lambda df: df[df["c_xy"] >= 5], batch_format="pandas", batch_size=None
+    )
+    total = float(
+        ucnt.map_batches(
+            lambda df: df[df["w"] == "\x00total\x00"][["c"]],
+            batch_format="pandas", batch_size=None,
+        ).to_pandas()["c"].sum()
+    )
+
+    u1 = ucnt.map_batches(
+        lambda df: df[df["w"] != "\x00total\x00"].rename(columns={"w": "w1", "c": "c1"}),
+        batch_format="pandas", batch_size=None,
+    )
+    j1 = relops.hash_join(bcnt, u1, on="w1", left_cols=["w2", "c_xy"], right_cols=["c1"])
+    u2 = ucnt.map_batches(
+        lambda df: df[df["w"] != "\x00total\x00"].rename(columns={"w": "w2", "c": "c2"}),
+        batch_format="pandas", batch_size=None,
+    )
+    j2 = relops.hash_join(j1, u2, on="w2", left_cols=["w1", "c_xy", "c1"], right_cols=["c2"])
+
+    def pmi(df: pd.DataFrame) -> pd.DataFrame:
+        num = df["c_xy"].to_numpy(dtype=np.float64) * total
+        den = df["c1"].to_numpy(dtype=np.float64) * df["c2"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "w1": df["w1"], "w2": df["w2"],
+            "c_xy": df["c_xy"].to_numpy(dtype=np.int64),
+            "pmi_e6": np.round(np.log(num / den) * 1e6).astype(np.int64),
+        })
+
+    scored = j2.map_batches(pmi, batch_format="pandas", batch_size=None)
+    return relops.topk(scored, [("pmi_e6", True), ("w1", False), ("w2", False)], 50)
