@@ -43,17 +43,27 @@ class ParquetFragmentStore:
 
     # ------------------------------------------------------------ manifest
 
-    def committed(self) -> dict[str, dict]:
-        try:
-            st = os.stat(self.manifest_path)
-            sig = (st.st_mtime_ns, st.st_size)
-        except FileNotFoundError:
-            self._cache_sig, self._cache = None, {}
-            return {}
-        if sig == self._cache_sig:
-            return self._cache
+    def committed(self, as_of: int | None = None) -> dict[str, dict]:
+        """Committed records; ``as_of=k`` returns the SNAPSHOT after the
+        k-th manifest commit (time travel, Lance-style versioning):
+        fragments are immutable and the manifest append-only, so the first
+        k durable lines reproduce the store state at version k exactly."""
+        if as_of is None:
+            try:
+                st = os.stat(self.manifest_path)
+                sig = (st.st_mtime_ns, st.st_size)
+            except FileNotFoundError:
+                self._cache_sig, self._cache = None, {}
+                return {}
+            if sig == self._cache_sig:
+                return self._cache
         out: dict[str, dict] = {}
-        with open(self.manifest_path, "rb") as f:
+        n = 0
+        try:
+            f = open(self.manifest_path, "rb")
+        except FileNotFoundError:
+            return {}
+        with f:
             for line in f:
                 line = line.strip()
                 if not line:
@@ -68,9 +78,35 @@ class ParquetFragmentStore:
                     # is idempotent by partition_id and the line parses on
                     # the next read once the writer's fsync completes.
                     continue
+                if as_of is not None and n >= as_of:
+                    break
                 out[rec["partition_id"]] = rec  # last write wins
-        self._cache_sig, self._cache = sig, out
+                n += 1
+        if as_of is None:
+            self._cache_sig, self._cache = sig, out
         return out
+
+    def version(self) -> int:
+        """Current store version = number of durable manifest lines (the
+        same counting ``as_of`` uses, so committed(as_of=version()) is
+        always the latest snapshot — even if a rare double-append left
+        duplicate partition_id lines, which last-write-wins collapses)."""
+        try:
+            f = open(self.manifest_path, "rb")
+        except FileNotFoundError:
+            return 0
+        n = 0
+        with f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    json.loads(line)
+                except (json.JSONDecodeError, UnicodeDecodeError):
+                    continue
+                n += 1
+        return n
 
     def is_committed(self, partition_id: str) -> bool:
         return partition_id in self.committed()
@@ -136,24 +172,25 @@ class ParquetFragmentStore:
 
     # ------------------------------------------------------------ read
 
-    def committed_paths(self) -> list[str]:
+    def committed_paths(self, as_of: int | None = None) -> list[str]:
         return [
             self.fragment_path(pid)
-            for pid in sorted(self.committed())
+            for pid in sorted(self.committed(as_of))
             if os.path.exists(self.fragment_path(pid))
         ]
 
-    def load(self):
-        """→ ray.data.Dataset over committed fragments only (never .tmp)."""
+    def load(self, as_of: int | None = None):
+        """→ ray.data.Dataset over committed fragments only (never .tmp);
+        ``as_of=k`` reads the version-k snapshot (time travel)."""
         import ray.data as rd
 
-        paths = self.committed_paths()
+        paths = self.committed_paths(as_of)
         if not paths:
             return rd.from_items([])
         return rd.read_parquet(paths)
 
-    def load_arrow(self) -> pa.Table | None:
-        paths = self.committed_paths()
+    def load_arrow(self, as_of: int | None = None) -> pa.Table | None:
+        paths = self.committed_paths(as_of)
         if not paths:
             return None
         return pa.concat_tables([pq.read_table(p) for p in paths])

@@ -203,3 +203,31 @@ def test_derive_and_commit_idempotent_resume(tmp_path):
         t = pq.read_table(store.fragment_path(pid))
         h = xxh64_many([str(v) for v in t["image_id"].to_pylist()])
         assert (h % np.uint64(4) == b).all(), pid
+
+
+def test_store_time_travel_snapshots(tmp_path):
+    """committed(as_of=k) / load(as_of=k) reproduce the store state after the
+    k-th commit exactly: fragments are immutable and the manifest is
+    append-only, so every historical version stays readable (Lance-style
+    time travel)."""
+    import pyarrow as pa
+
+    from pubcrawl.store import ParquetFragmentStore
+
+    store = ParquetFragmentStore(str(tmp_path / "tt"))
+    snapshots = []
+    for k in range(1, 6):
+        store.commit(pa.table({"x": list(range(k))}), f"frag_{k:03d}", lineage=f"k={k}")
+        snapshots.append(dict(store.committed()))
+    assert store.version() == 5
+
+    for k in range(1, 6):
+        got = store.committed(as_of=k)
+        assert got == snapshots[k - 1]
+        tbl = store.load_arrow(as_of=k)
+        assert tbl.num_rows == sum(range(1, k + 1))
+    # as_of beyond the head clamps to the latest state
+    assert store.committed(as_of=99) == snapshots[-1]
+    # version-0 snapshot is empty
+    assert store.committed(as_of=0) == {}
+    assert store.load_arrow(as_of=0) is None
