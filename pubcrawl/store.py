@@ -40,6 +40,7 @@ class ParquetFragmentStore:
         # worst stale-cache outcome is one redundant (idempotent) re-commit.
         self._cache_sig: tuple[int, int] | None = None
         self._cache: dict[str, dict] = {}
+        self._replaced: set[str] = set()  # pids superseded by compaction
 
     # ------------------------------------------------------------ manifest
 
@@ -58,6 +59,7 @@ class ParquetFragmentStore:
             if sig == self._cache_sig:
                 return self._cache
         out: dict[str, dict] = {}
+        gone: set[str] = set()
         n = 0
         try:
             f = open(self.manifest_path, "rb")
@@ -80,10 +82,14 @@ class ParquetFragmentStore:
                     continue
                 if as_of is not None and n >= as_of:
                     break
+                for old in rec.get("replaces", ()):  # compaction supersede
+                    out.pop(old, None)
+                    gone.add(old)
                 out[rec["partition_id"]] = rec  # last write wins
                 n += 1
         if as_of is None:
             self._cache_sig, self._cache = sig, out
+            self._replaced = gone
         return out
 
     def version(self) -> int:
@@ -109,7 +115,10 @@ class ParquetFragmentStore:
         return n
 
     def is_committed(self, partition_id: str) -> bool:
-        return partition_id in self.committed()
+        # a compacted-away pid is STILL committed for resume idempotency:
+        # its rows live on inside the compacted fragment
+        live = self.committed()
+        return partition_id in live or partition_id in self._replaced
 
     # ------------------------------------------------------------ commit
 
@@ -122,10 +131,16 @@ class ParquetFragmentStore:
         partition_id: str,
         lineage: str = "",
         metrics: dict | None = None,
+        replaces: list[str] | None = None,
     ) -> dict:
-        """Atomically commit one fragment. Idempotent by partition_id."""
+        """Atomically commit one fragment. Idempotent by partition_id.
+        ``replaces`` marks earlier partition_ids as superseded by this one
+        (compaction): they leave the live snapshot but stay committed for
+        resume idempotency, and historical as_of reads still see them."""
         if self.is_committed(partition_id):
-            return self.committed()[partition_id]
+            return self.committed().get(
+                partition_id, {"partition_id": partition_id, "replaced": True}
+            )
         final = self.fragment_path(partition_id)
         tmp = final + ".tmp"
         # zstd for metadata tables; already-compressed binary payloads (PNG/JPEG
@@ -156,6 +171,8 @@ class ParquetFragmentStore:
             "lineage": lineage,
             "committed_at": datetime.now(timezone.utc).isoformat(),
         }
+        if replaces:
+            rec["replaces"] = sorted(replaces)
         # Single os.write on an O_APPEND fd: one syscall per record, so
         # concurrent committers can't interleave mid-line (Python's buffered
         # text writer would split lines > ~8 KiB across multiple write()s).
@@ -215,3 +232,33 @@ def checkpoint_table(store: "ParquetFragmentStore") -> pa.Table:
         for name in CHECKPOINT.names:
             rows[name].append(rec.get(name))
     return pa.table(rows, schema=CHECKPOINT)
+
+
+def compact(
+    store: ParquetFragmentStore,
+    partition_ids: list[str],
+    new_partition_id: str,
+    lineage: str = "",
+) -> dict:
+    """Compact small fragments into one (the lakehouse maintenance op a
+    many-small-commits crawl needs): concatenate the named LIVE fragments in
+    sorted-pid order and commit the result with ``replaces`` set, all in one
+    manifest append — readers never observe an intermediate state, historical
+    ``as_of`` snapshots still resolve the original fragments (their files are
+    immutable and never deleted here), and the replaced pids stay
+    is_committed()=True so crawl resume never re-fetches them. Idempotent by
+    new_partition_id."""
+    if store.is_committed(new_partition_id):
+        return store.committed().get(
+            new_partition_id, {"partition_id": new_partition_id, "replaced": True}
+        )
+    live = store.committed()
+    pids = sorted(p for p in partition_ids if p in live)
+    if not pids:
+        raise ValueError("no live fragments to compact")
+    tbl = pa.concat_tables([pq.read_table(store.fragment_path(p)) for p in pids])
+    return store.commit(
+        tbl, new_partition_id,
+        lineage=lineage or f"compact:{len(pids)}",
+        replaces=pids,
+    )

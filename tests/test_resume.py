@@ -231,3 +231,43 @@ def test_store_time_travel_snapshots(tmp_path):
     # version-0 snapshot is empty
     assert store.committed(as_of=0) == {}
     assert store.load_arrow(as_of=0) is None
+
+
+def test_compaction_preserves_rows_history_and_idempotency(tmp_path):
+    """store.compact: live reads see identical rows through one compacted
+    fragment; pre-compaction as_of snapshots still resolve the original
+    fragments; replaced pids remain is_committed (resume never re-fetches a
+    compacted partition); compaction itself is idempotent."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from pubcrawl.store import ParquetFragmentStore, compact
+
+    store = ParquetFragmentStore(str(tmp_path / "c"))
+    for k in range(4):
+        store.commit(pa.table({"x": [k * 10 + i for i in range(3)]}), f"part_{k:03d}")
+    before = store.load_arrow().to_pandas().sort_values("x").reset_index(drop=True)
+    v_before = store.version()
+
+    rec = compact(store, [f"part_{k:03d}" for k in range(3)], "part_c000")
+    assert rec["rows"] == 9 and rec["replaces"] == ["part_000", "part_001", "part_002"]
+
+    live = store.committed()
+    assert set(live) == {"part_c000", "part_003"}
+    after = store.load_arrow().to_pandas().sort_values("x").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)  # same rows, fewer fragments
+
+    # pre-compaction snapshot: original fragments, same rows
+    snap = store.load_arrow(as_of=v_before).to_pandas().sort_values("x").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, snap)
+    assert set(store.committed(as_of=v_before)) == {f"part_{k:03d}" for k in range(4)}
+
+    # resume idempotency: replaced pids still read as committed, and a
+    # re-commit attempt is a no-op (no new manifest line)
+    v = store.version()
+    assert store.is_committed("part_001")
+    store.commit(pa.table({"x": [999]}), "part_001")
+    assert store.version() == v
+    # idempotent compaction: re-running adds nothing
+    compact(store, [f"part_{k:03d}" for k in range(3)], "part_c000")
+    assert store.version() == v
