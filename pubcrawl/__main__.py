@@ -57,6 +57,12 @@ def main(argv: list[str] | None = None) -> int:
     k = sub.add_parser("checkpoints", help="show the checkpoint/lineage table")
     k.add_argument("--store", required=True)
 
+    cp = sub.add_parser("compact", help="compact small committed fragments")
+    cp.add_argument("--store", required=True)
+    cp.add_argument("--prefix", required=True,
+                    help="compact live fragments whose id starts with this")
+    cp.add_argument("--min-fragments", type=int, default=2)
+
     t = sub.add_parser("tasks", help="run a task config (reference OPERATION_MODE flow)")
     t.add_argument("--config", required=True, help="JSON task config file")
     t.add_argument("--out", required=True, help="artifact output directory")
@@ -124,6 +130,21 @@ def main(argv: list[str] | None = None) -> int:
 
         tbl = checkpoint_table(ParquetFragmentStore(args.store))
         print(tbl.to_pandas().to_string(index=False, max_colwidth=30))
+    elif args.cmd == "compact":
+        # manifest + parquet only: no Ray session needed
+        from pubcrawl.store import ParquetFragmentStore, compact
+
+        store = ParquetFragmentStore(args.store)
+        live = [p for p in sorted(store.committed())
+                if p.startswith(args.prefix) and not p.startswith(f"{args.prefix}compact_")]
+        if len(live) < args.min_fragments:
+            print(json.dumps({"compacted": 0, "reason": "below min-fragments",
+                              "live": len(live)}))
+            return 0
+        new_pid = f"{args.prefix}compact_v{store.version():06d}"
+        rec = compact(store, live, new_pid)
+        print(json.dumps({"compacted": len(live), "into": new_pid,
+                          "rows": rec["rows"], "version": store.version()}))
     elif args.cmd == "tasks":
         ray = _init_ray(args.num_cpus)
         from pubcrawl.fetch import HttpTransport
