@@ -262,3 +262,33 @@ def compact(
         lineage=lineage or f"compact:{len(pids)}",
         replaces=pids,
     )
+
+
+def vacuum(store: ParquetFragmentStore, dry_run: bool = False) -> dict:
+    """Reclaim disk from fragments no longer referenced by the LIVE snapshot:
+    compaction-superseded fragments and orphaned ``.tmp`` files from crashed
+    commits. Explicitly SACRIFICES time travel to versions that referenced
+    the removed fragments (their manifest lines remain, and as_of reads skip
+    missing files via committed_paths' existence check); the live table and
+    resume idempotency (manifest-based, not file-based) are untouched.
+    Returns {removed, kept, bytes_reclaimed}."""
+    live = {
+        os.path.basename(store.fragment_path(pid))
+        for pid in store.committed()
+    }
+    removed, kept, reclaimed = 0, 0, 0
+    for name in sorted(os.listdir(store.frag_dir)):
+        path = os.path.join(store.frag_dir, name)
+        if not os.path.isfile(path):
+            continue
+        if name in live:
+            kept += 1
+            continue
+        if not (name.endswith(".parquet") or name.endswith(".tmp")):
+            kept += 1
+            continue
+        reclaimed += os.path.getsize(path)
+        removed += 1
+        if not dry_run:
+            os.unlink(path)
+    return {"removed": removed, "kept": kept, "bytes_reclaimed": reclaimed}

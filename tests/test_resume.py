@@ -271,3 +271,37 @@ def test_compaction_preserves_rows_history_and_idempotency(tmp_path):
     # idempotent compaction: re-running adds nothing
     compact(store, [f"part_{k:03d}" for k in range(3)], "part_c000")
     assert store.version() == v
+
+
+def test_vacuum_reclaims_superseded_and_tmp_only(tmp_path):
+    """store.vacuum removes compaction-superseded fragments and orphaned
+    .tmp files, keeps every live fragment, and the live table reads
+    identically afterward; dry_run touches nothing."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from pubcrawl.store import ParquetFragmentStore, compact, vacuum
+
+    store = ParquetFragmentStore(str(tmp_path / "v"))
+    for k in range(3):
+        store.commit(pa.table({"x": [k]}), f"part_{k:03d}")
+    compact(store, ["part_000", "part_001", "part_002"], "part_c000")
+    # orphaned tmp from a "crashed" commit
+    stray = os.path.join(store.frag_dir, "part_dead.parquet.tmp")
+    open(stray, "wb").write(b"junk")
+
+    before = store.load_arrow().to_pandas().sort_values("x").reset_index(drop=True)
+    dr = vacuum(store, dry_run=True)
+    assert dr["removed"] == 4 and os.path.exists(stray)  # 3 superseded + tmp
+
+    res = vacuum(store)
+    assert res["removed"] == 4 and res["bytes_reclaimed"] > 0
+    assert not os.path.exists(stray)
+    assert not os.path.exists(store.fragment_path("part_000"))
+    assert os.path.exists(store.fragment_path("part_c000"))
+    after = store.load_arrow().to_pandas().sort_values("x").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+    # resume idempotency survives: superseded pids still read committed
+    assert store.is_committed("part_001")
