@@ -3668,3 +3668,42 @@ def pmi_bigrams(sf_dir: str):
 
     scored = j2.map_batches(pmi, batch_format="pandas", batch_size=None)
     return relops.topk(scored, [("pmi_e6", True), ("w1", False), ("w2", False)], 50)
+
+
+# =========================================== equi-width histogram profile
+
+
+@query(
+    "histogram_order_prices",
+    sql="WITH v AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS p FROM orders), "
+    "mm AS (SELECT MIN(p) AS lo, MAX(p) AS hi FROM v), "
+    "b AS (SELECT (p - lo) // ((hi - lo) // 20 + 1) AS bucket, lo, hi FROM v, mm) "
+    "SELECT CAST(bucket AS BIGINT) AS bucket, "
+    "CAST(lo + bucket * ((hi - lo) // 20 + 1) AS BIGINT) AS bucket_lo, "
+    "COUNT(*) AS n FROM b GROUP BY bucket, lo, hi",
+)
+def histogram_order_prices(sf_dir: str):
+    """Equi-width histogram with DATA-DEPENDENT bounds — the two-pass
+    profiling op: a one-row min/max combiner aggregate fixes the bucket
+    width (integer ceil division, exact on both engines), then a pure map
+    assigns buckets and the count reduces through the combiner groupby.
+    Profiling 100 TB = two streaming passes, 21 rows out."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    ds = relops.with_columns(ds, {"p": relops.money_to_units("o_totalprice")})
+    ds = ds.select_columns(["p"])
+
+    mm = ds.map_batches(
+        lambda df: pd.DataFrame({"lo": [df["p"].min()], "hi": [df["p"].max()]}),
+        batch_format="pandas", batch_size=None,
+    ).to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    width = (hi - lo) // 20 + 1
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        b = (df["p"].to_numpy(dtype=np.int64) - lo) // width
+        return pd.DataFrame({"bucket": b, "bucket_lo": lo + b * width})
+
+    return relops.preagg_group_sum(
+        ds.map_batches(bucketize, batch_format="pandas", batch_size=None),
+        ["bucket", "bucket_lo"], count_as="n",
+    )
