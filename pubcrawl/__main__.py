@@ -135,8 +135,10 @@ def main(argv: list[str] | None = None) -> int:
         from pubcrawl.store import ParquetFragmentStore, compact
 
         store = ParquetFragmentStore(args.store)
-        live = [p for p in sorted(store.committed())
-                if p.startswith(args.prefix) and not p.startswith(f"{args.prefix}compact_")]
+        # prior compact_* outputs ARE candidates — otherwise repeated
+        # compaction accumulates compact_vNNNNNN fragments forever instead of
+        # converging; the version-suffixed new_pid prevents self-collision
+        live = [p for p in sorted(store.committed()) if p.startswith(args.prefix)]
         if len(live) < args.min_fragments:
             print(json.dumps({"compacted": 0, "reason": "below min-fragments",
                               "live": len(live)}))

@@ -729,13 +729,21 @@ def validate_invariant(
     truth each worker RECOMPUTES from the synthetic-web pure function — no
     oracle bytes ever materialize on the driver.
 
-    Plan: enumerate the (host, detail) page grid (driver-tiny), flat-map it
-    into ground-truth rows (pixels as bytes) in workers, co-partition-union
-    with the stored rows by image_id, and inside each merge task decode +
-    compare; per-fmt partials reduce in one final width-1 aggregate.
+    Plan: the truth set is the crawl's OWN fetched-detail page log (every
+    detail page the pages table says was fetched with status 200 must have
+    all its images committed — which is exactly what "the crawl silently
+    dropped image rows" violates; pages the crawl never reached are the
+    frontier/seen-set oracle's job, not row loss). Workers flat-map that log
+    into ground-truth rows (pixels as bytes), co-partition-union with the
+    stored rows by image_id, and inside each merge task decode + compare;
+    per-fmt partials reduce in one final width-1 aggregate.
 
     Returns one row per fmt: (fmt, n, min_psnr_e2 — lossless/identical rows
-    clamp to 9999_00, n_pixel_fail, n_caption_fail, n_unmatched)."""
+    clamp to 9999_00, n_pixel_fail, n_caption_fail, n_unmatched, n_missing).
+    ``n_unmatched`` counts stored rows with no ground-truth counterpart;
+    ``n_missing`` counts ground-truth images ABSENT from the store (outer
+    merge — a crawl that silently drops image rows fails validation), rolled
+    up under fmt ``"__missing__"`` since truth rows carry no stored fmt."""
     from . import relops
     from .hashing import xxh64
     from .imaging import decode_image, psnr
@@ -745,13 +753,15 @@ def validate_invariant(
         ["image_id", "bytes", "fmt", "caption", "h", "w"]
     )
 
-    pages = rd.from_items(
-        [{"hi": h, "d": d} for h in range(cfg.n_hosts) for d in range(cfg.details_per_host)]
-    )
+    from .synthweb import parse_synth_url
+
+    pages = load_pages(store_root).select_columns(["url", "kind", "status"])
 
     def gen_truth(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for hi, d in zip(df["hi"].to_numpy(), df["d"].to_numpy()):
+        det = df[(df["kind"] == "detail") & (df["status"] == 200)]
+        for u in det["url"]:
+            hi, _, d = parse_synth_url(u)
             for it in detail_images(cfg, int(hi), int(d)):
                 px = it["pixels"]
                 rows.append({
@@ -794,12 +804,19 @@ def validate_invariant(
     def check(df: pd.DataFrame) -> pd.DataFrame:
         s = df[df["__side"] == 0][["image_id", "bytes", "fmt", "caption"]]
         t = df[df["__side"] == 1][["image_id", "caption_gt", "px", "h_gt", "w_gt"]]
-        m = s.merge(t, on="image_id", how="left")
+        # OUTER merge (round-5 ADVICE fix): truth rows with no stored
+        # counterpart must be visible — a left merge made a crawl that
+        # silently dropped image rows pass validation
+        m = s.merge(t, on="image_id", how="outer")
         rows = []
         for rec in m.itertuples():
+            if not isinstance(rec.bytes, (bytes, bytearray)):
+                # ground-truth image entirely missing from the store
+                rows.append(("__missing__", 1, 0, 0, 0, 0, 1))
+                continue
             unmatched = not isinstance(rec.px, (bytes, bytearray))
             if unmatched:
-                rows.append((rec.fmt, 1, 999900, 1, 1, 1))
+                rows.append((rec.fmt, 1, 999900, 1, 1, 1, 0))
                 continue
             gt = np.frombuffer(rec.px, dtype=np.uint8).reshape(
                 int(rec.h_gt), int(rec.w_gt), 3
@@ -810,7 +827,7 @@ def validate_invariant(
                 # undecodable bytes are a pixel failure, not a dead task —
                 # at scale one corrupt row must not kill the validation pass
                 rows.append((rec.fmt, 1, 0, 1,
-                             int(rec.caption != rec.caption_gt), 0))
+                             int(rec.caption != rec.caption_gt), 0, 0))
                 continue
             if rec.fmt == "png":
                 pix_ok = dec.shape == gt.shape and bool((dec == gt).all())
@@ -821,19 +838,19 @@ def validate_invariant(
                 p_e2 = 999900 if np.isinf(p) else int(np.round(p * 100))
             rows.append((
                 rec.fmt, 1, p_e2, int(not pix_ok),
-                int(rec.caption != rec.caption_gt), 0,
+                int(rec.caption != rec.caption_gt), 0, 0,
             ))
-        cols = ["fmt", "n", "min_psnr_e2", "n_pixel_fail", "n_caption_fail", "n_unmatched"]
+        cols = ["fmt", "n", "min_psnr_e2", "n_pixel_fail", "n_caption_fail",
+                "n_unmatched", "n_missing"]
         part = pd.DataFrame(rows, columns=cols)
         if not len(part):
-            return part.astype({"n": "int64", "min_psnr_e2": "int64",
-                                "n_pixel_fail": "int64", "n_caption_fail": "int64",
-                                "n_unmatched": "int64"})
+            return part.astype({c: "int64" for c in cols[1:]})
         g = part.groupby("fmt", as_index=False).agg(
             n=("n", "sum"), min_psnr_e2=("min_psnr_e2", "min"),
             n_pixel_fail=("n_pixel_fail", "sum"),
             n_caption_fail=("n_caption_fail", "sum"),
             n_unmatched=("n_unmatched", "sum"),
+            n_missing=("n_missing", "sum"),
         )
         return g.astype({c: "int64" for c in cols[1:]})
 
@@ -845,6 +862,7 @@ def validate_invariant(
             n_pixel_fail=("n_pixel_fail", "sum"),
             n_caption_fail=("n_caption_fail", "sum"),
             n_unmatched=("n_unmatched", "sum"),
+            n_missing=("n_missing", "sum"),
         )
         return g.astype({c: "int64" for c in g.columns if c != "fmt"})
 

@@ -120,6 +120,34 @@ class ParquetFragmentStore:
         live = self.committed()
         return partition_id in live or partition_id in self._replaced
 
+    def record(self, partition_id: str) -> dict | None:
+        """Last manifest record for ``partition_id`` — INCLUDING pids that
+        compaction superseded (``committed()`` drops those from the live
+        snapshot). This is what idempotent commit/compact return on the
+        already-committed path, so callers can always read ``rec['rows']``."""
+        live = self.committed()
+        if partition_id in live:
+            return live[partition_id]
+        if partition_id not in self._replaced:
+            return None
+        out = None
+        try:
+            f = open(self.manifest_path, "rb")
+        except FileNotFoundError:
+            return None
+        with f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except (json.JSONDecodeError, UnicodeDecodeError):
+                    continue
+                if rec.get("partition_id") == partition_id:
+                    out = rec  # last write wins
+        return out
+
     # ------------------------------------------------------------ commit
 
     def fragment_path(self, partition_id: str) -> str:
@@ -138,9 +166,14 @@ class ParquetFragmentStore:
         (compaction): they leave the live snapshot but stay committed for
         resume idempotency, and historical as_of reads still see them."""
         if self.is_committed(partition_id):
-            return self.committed().get(
-                partition_id, {"partition_id": partition_id, "replaced": True}
-            )
+            # superseded pids resolve their HISTORICAL manifest record so the
+            # idempotent return always carries rows/bytes (callers read
+            # rec['rows']); the keyed stub is a last-resort for a torn manifest
+            rec = self.record(partition_id)
+            return rec if rec is not None else {
+                "partition_id": partition_id, "replaced": True,
+                "rows": 0, "bytes": 0,
+            }
         final = self.fragment_path(partition_id)
         tmp = final + ".tmp"
         # zstd for metadata tables; already-compressed binary payloads (PNG/JPEG
@@ -249,9 +282,11 @@ def compact(
     is_committed()=True so crawl resume never re-fetches them. Idempotent by
     new_partition_id."""
     if store.is_committed(new_partition_id):
-        return store.committed().get(
-            new_partition_id, {"partition_id": new_partition_id, "replaced": True}
-        )
+        rec = store.record(new_partition_id)
+        return rec if rec is not None else {
+            "partition_id": new_partition_id, "replaced": True,
+            "rows": 0, "bytes": 0,
+        }
     live = store.committed()
     pids = sorted(p for p in partition_ids if p in live)
     if not pids:
@@ -264,31 +299,54 @@ def compact(
     )
 
 
-def vacuum(store: ParquetFragmentStore, dry_run: bool = False) -> dict:
+def vacuum(
+    store: ParquetFragmentStore, dry_run: bool = False, grace_s: float = 300.0
+) -> dict:
     """Reclaim disk from fragments no longer referenced by the LIVE snapshot:
     compaction-superseded fragments and orphaned ``.tmp`` files from crashed
     commits. Explicitly SACRIFICES time travel to versions that referenced
     the removed fragments (their manifest lines remain, and as_of reads skip
     missing files via committed_paths' existence check); the live table and
     resume idempotency (manifest-based, not file-based) are untouched.
+
+    Safe against CONCURRENT committers (round-5 ADVICE fix): commit() renames
+    tmp→final BEFORE appending the manifest line, so a fragment caught in that
+    window looks orphaned. Two guards close it: (1) the live set is re-read
+    AFTER the directory listing, so anything whose manifest line landed by
+    then is kept; (2) only files older than ``grace_s`` (mtime) are deleted —
+    a rename→append window is milliseconds, so any file younger than the
+    grace period is treated as a possibly-in-flight commit, for .tmp files
+    (the concurrent writer's os.replace source) and fresh fragments alike.
+    ``grace_s=0`` restores unconditional reclaim for quiescent stores.
     Returns {removed, kept, bytes_reclaimed}."""
+    import time
+
+    names = sorted(os.listdir(store.frag_dir))
     live = {
         os.path.basename(store.fragment_path(pid))
         for pid in store.committed()
     }
+    now = time.time()
     removed, kept, reclaimed = 0, 0, 0
-    for name in sorted(os.listdir(store.frag_dir)):
+    for name in names:
         path = os.path.join(store.frag_dir, name)
-        if not os.path.isfile(path):
-            continue
-        if name in live:
-            kept += 1
-            continue
-        if not (name.endswith(".parquet") or name.endswith(".tmp")):
-            kept += 1
-            continue
-        reclaimed += os.path.getsize(path)
+        try:
+            if not os.path.isfile(path):
+                continue
+            if name in live:
+                kept += 1
+                continue
+            if not (name.endswith(".parquet") or name.endswith(".tmp")):
+                kept += 1
+                continue
+            if now - os.path.getmtime(path) < grace_s:
+                kept += 1  # possibly a commit in flight — not yet reclaimable
+                continue
+            size = os.path.getsize(path)
+            if not dry_run:
+                os.unlink(path)
+        except FileNotFoundError:
+            continue  # a concurrent vacuum/commit won the race for this file
+        reclaimed += size
         removed += 1
-        if not dry_run:
-            os.unlink(path)
     return {"removed": removed, "kept": kept, "bytes_reclaimed": reclaimed}

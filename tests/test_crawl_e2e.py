@@ -473,7 +473,8 @@ def test_validate_invariant_detects_tampering(tmp_path):
 
     clean = validate_invariant(root, cfg).to_pandas()
     assert len(clean) >= 1 and int(clean["n"].sum()) > 0
-    assert int(clean[["n_pixel_fail", "n_caption_fail", "n_unmatched"]].sum().sum()) == 0
+    assert int(clean[["n_pixel_fail", "n_caption_fail", "n_unmatched",
+                      "n_missing"]].sum().sum()) == 0
     assert int(clean["min_psnr_e2"].min()) >= 4000_00 // 100
 
     # tamper: flip one caption and zero one stored image's bytes
@@ -490,3 +491,12 @@ def test_validate_invariant_detects_tampering(tmp_path):
     dirty = validate_invariant(root, cfg).to_pandas()
     assert int(dirty["n_caption_fail"].sum()) >= 1
     assert int(dirty["n_pixel_fail"].sum()) >= 1
+
+    # round-5 ADVICE regression: DROP a stored row entirely — the outer merge
+    # must surface it as n_missing (a left merge made silent row loss pass)
+    tbl2 = pq.read_table(path).to_pandas()
+    dropped = tbl2.iloc[1:]
+    pq.write_table(pa.Table.from_pandas(dropped, preserve_index=False), path)
+    lossy = validate_invariant(root, cfg).to_pandas()
+    assert int(lossy["n_missing"].sum()) >= 1
+    assert int(lossy.loc[lossy["fmt"] == "__missing__", "n"].sum()) >= 1

@@ -343,6 +343,22 @@ class TestAnn:
         out = ann.ivf_topk(ds, base[:1], np.array([0]), k=1, n_clusters=2, nprobe=2)
         assert list(out.vec_id) == [1]  # the planted near-dup
 
+    def test_dists_e6_matches_broadcast_form(self):
+        # round-5 VERDICT fix: the assign metric moved from the O(n·k·d)
+        # broadcast-difference temporary to the matmul form ‖x‖²+‖c‖²−2x·cᵀ;
+        # the e6-quantized distances (what the k-means/SemDeDup oracles pin)
+        # must be identical between the two forms, including zero-distance
+        # pairs where the matmul form can go epsilon-negative
+        rng = np.random.default_rng(7)
+        m = rng.standard_normal((257, 24))
+        c = np.concatenate([rng.standard_normal((7, 24)), m[3:4]])  # exact dup
+        ref = np.round(
+            np.sqrt(((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)) * 1e6
+        ).astype(np.int64)
+        got = ann._dists_e6(m, c)
+        assert (got == ref).all()
+        assert got[3, 7] == 0  # the planted exact duplicate
+
     def test_kmeans_lloyd_recovers_separated_blobs(self):
         # three well-separated blobs: the distributed fit must place one
         # centroid per blob within a few Lloyd steps from worst-case seeds

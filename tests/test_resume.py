@@ -293,10 +293,10 @@ def test_vacuum_reclaims_superseded_and_tmp_only(tmp_path):
     open(stray, "wb").write(b"junk")
 
     before = store.load_arrow().to_pandas().sort_values("x").reset_index(drop=True)
-    dr = vacuum(store, dry_run=True)
+    dr = vacuum(store, dry_run=True, grace_s=0)
     assert dr["removed"] == 4 and os.path.exists(stray)  # 3 superseded + tmp
 
-    res = vacuum(store)
+    res = vacuum(store, grace_s=0)
     assert res["removed"] == 4 and res["bytes_reclaimed"] > 0
     assert not os.path.exists(stray)
     assert not os.path.exists(store.fragment_path("part_000"))
@@ -305,3 +305,103 @@ def test_vacuum_reclaims_superseded_and_tmp_only(tmp_path):
     pd.testing.assert_frame_equal(before, after)
     # resume idempotency survives: superseded pids still read committed
     assert store.is_committed("part_001")
+
+
+def test_vacuum_grace_period_protects_inflight_commits(tmp_path):
+    """Round-5 ADVICE regression (store.py vacuum race): commit() renames
+    tmp→final BEFORE appending the manifest line, so a concurrent vacuum can
+    observe a renamed-but-not-yet-manifested fragment. With the default grace
+    period, vacuum must keep any young file (both a fresh .tmp — the
+    concurrent writer's os.replace source — and a fresh fragment whose
+    manifest line hasn't landed); only grace_s=0 reclaims them."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pubcrawl.store import ParquetFragmentStore, vacuum
+
+    store = ParquetFragmentStore(str(tmp_path / "g"))
+    store.commit(pa.table({"x": [1]}), "part_live")
+
+    # simulate the rename→append window: fragment file present, no manifest line
+    inflight = store.fragment_path("part_inflight")
+    pq.write_table(pa.table({"x": [2]}), inflight)
+    # and a concurrent commit's in-progress tmp
+    tmp = store.fragment_path("part_writing") + ".tmp"
+    open(tmp, "wb").write(b"partial")
+
+    res = vacuum(store)  # default grace: both files are young → untouchable
+    assert res["removed"] == 0
+    assert os.path.exists(inflight) and os.path.exists(tmp)
+
+    # the "concurrent" commit's manifest line lands → the fragment is live and
+    # stays protected even under grace_s=0
+    import json as _json
+
+    rec = {"partition_id": "part_inflight", "rows": 1, "bytes": 1,
+           "url_lo": 0, "url_hi": 0, "fetch_errors": 0, "wall_ms": 0,
+           "lineage": "", "committed_at": "now"}
+    with open(store.manifest_path, "a") as f:
+        f.write(_json.dumps(rec) + "\n")
+    res = vacuum(store, grace_s=0)
+    assert os.path.exists(inflight)           # manifested → kept
+    assert not os.path.exists(tmp)            # quiescent orphan → reclaimed
+    assert res["removed"] == 1
+
+
+def test_idempotent_commit_returns_historical_record_after_compaction(tmp_path):
+    """Round-5 ADVICE regression (store.py:142): re-committing a pid that
+    compaction superseded must return its HISTORICAL manifest record (with
+    'rows'), not a stub that KeyErrors callers reading rec['rows']; the same
+    holds for re-running compact() after its output was itself compacted."""
+    import pyarrow as pa
+
+    from pubcrawl.store import ParquetFragmentStore, compact
+
+    store = ParquetFragmentStore(str(tmp_path / "h"))
+    for k in range(3):
+        store.commit(pa.table({"x": [k, k]}), f"part_{k:03d}")
+    compact(store, ["part_000", "part_001"], "part_c000")
+
+    rec = store.commit(pa.table({"x": [99]}), "part_000")  # superseded pid
+    assert rec["partition_id"] == "part_000" and rec["rows"] == 2
+
+    # second-generation compaction supersedes the first compact output…
+    compact(store, ["part_c000", "part_002"], "part_c001")
+    # …and re-running the FIRST compaction still returns a rows-bearing record
+    rec = compact(store, ["part_000", "part_001"], "part_c000")
+    assert rec["rows"] == 4
+    assert store.record("does_not_exist") is None
+
+
+def test_compact_cli_converges_over_prior_compact_outputs(tmp_path, capsys):
+    """Round-5 ADVICE regression (__main__.py compact): prior compact_*
+    outputs are candidates for the next compaction, so repeated runs converge
+    to ONE live fragment instead of accumulating compact_vNNNNNN forever."""
+    import json
+
+    import pyarrow as pa
+
+    from pubcrawl.__main__ import main
+    from pubcrawl.store import ParquetFragmentStore
+
+    root = str(tmp_path / "cli")
+    store = ParquetFragmentStore(root)
+    for k in range(3):
+        store.commit(pa.table({"x": [k]}), f"part_{k:03d}")
+
+    assert main(["compact", "--store", root, "--prefix", "part_"]) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["compacted"] == 3
+
+    # new commits arrive; the next compaction must fold the PRIOR compact
+    # output in with them
+    store = ParquetFragmentStore(root)
+    store.commit(pa.table({"x": [10]}), "part_100")
+    assert main(["compact", "--store", root, "--prefix", "part_"]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["compacted"] == 2  # compact_v + part_100, not just part_100
+
+    live = ParquetFragmentStore(root).committed()
+    assert len(live) == 1 and out2["rows"] == 4
