@@ -215,6 +215,8 @@ def run_expand(num_cpus: int) -> dict:
     def _nrows(t):
         return t.num_rows
 
+    in_bytes = base.size_bytes()  # Arrow bytes of the materialized input
+
     t0 = time.monotonic()
     # gather=False: the scale path — frontier blocks stay distributed (the
     # crawl loop's driver gather is a per-round orchestration convenience,
@@ -227,6 +229,13 @@ def run_expand(num_cpus: int) -> dict:
         "expand_unique_rows": unique,
         "expand_sec": round(wall, 2),
         "frontier_rows_per_sec": round(n / wall, 1),
+        # bytes-moved throughput (input Arrow bytes / wall): comparable
+        # against the memcpy probe roof — if @N and @4N land within ~15% of
+        # each other near that roof, the stage is DRAM-bound, not CPU-bound,
+        # and the rows/s scaling ratio measures the memory system, not the
+        # engine (BASELINE.md round-4/5 expand-scaling analysis)
+        "expand_input_bytes": int(in_bytes),
+        "expand_gb_per_sec": round(in_bytes / wall / 1e9, 2),
         "seen_shards": max(4, num_cpus),
     }
 
@@ -339,6 +348,38 @@ def host_capacity_probe(n: int = 16, iters: int = 12) -> dict:
     }
 
 
+def _memcpy_worker(args) -> float:
+    mb, reps = args
+    import numpy as _np
+
+    src = _np.random.default_rng(1).integers(0, 255, mb << 20, dtype=_np.uint8)
+    dst = _np.empty_like(src)
+    t0 = time.monotonic()
+    for _ in range(reps):
+        _np.copyto(dst, src)
+    # 2 bytes touched per copied byte (read + write)
+    return 2.0 * reps * len(src) / (time.monotonic() - t0)
+
+
+def memory_bandwidth_probe(nprocs: int = 8, mb: int = 256, reps: int = 4) -> dict:
+    """Aggregate DRAM copy bandwidth RIGHT NOW: nprocs processes each memcpy
+    a mb-MiB buffer reps times concurrently; aggregate GB/s is the roof the
+    expand bench's bytes-moved throughput is judged against. nprocs=8 is
+    enough to saturate this VM's memory controllers — the point is a ceiling
+    that is parallelism-INdependent, so if expand's effective GB/s at @4 and
+    @4N both sit near it, the two-level rows/s ratio is measuring DRAM, not
+    the engine."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    with ProcessPoolExecutor(nprocs) as ex:
+        rates = list(ex.map(_memcpy_worker, [(mb, reps)] * nprocs))
+    return {
+        "nprocs": nprocs,
+        "aggregate_gb_per_sec": round(sum(rates) / 1e9, 2),
+        "per_proc_gb_per_sec": [round(r / 1e9, 2) for r in rates],
+    }
+
+
 def scaling() -> None:
     """N=4 vs 4N=16 CPUs in PAIRED back-to-back fresh-process runs: each rep
     runs both levels inside one host-noise window and yields one efficiency
@@ -366,7 +407,8 @@ def scaling() -> None:
             wait_budget -= 30
             probe = host_capacity_probe()
         rep = {"probe": probe, "windows_skipped": skipped,
-               "gated": bool(gate and probe["parallel_efficiency"] >= gate)}
+               "gated": bool(gate and probe["parallel_efficiency"] >= gate),
+               "memcpy": memory_bandwidth_probe()}
         for ncpu in (4, 16):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING="1",
                        GRAFT_EXPAND_ROWS=str(EXPAND_ROWS_SCALING),
@@ -401,12 +443,18 @@ def scaling() -> None:
                 "crawl_sec@4N": bf[16]["crawl"]["crawl_sec"],
                 "expand_sec@N": be[4]["expand"]["expand_sec"],
                 "expand_sec@4N": be[16]["expand"]["expand_sec"],
+                "expand_gb_per_sec@N": be[4]["expand"].get("expand_gb_per_sec"),
+                "expand_gb_per_sec@4N": be[16]["expand"].get("expand_gb_per_sec"),
+                "memcpy_gb_per_sec": be["memcpy"]["aggregate_gb_per_sec"],
                 "scaling_efficiency": bf["eff_fetch"],
                 "scaling_efficiency_expand": be["eff_expand"],
                 "all_pairs": [
                     {"eff_fetch": p["eff_fetch"], "eff_expand": p["eff_expand"],
                      "crawl_sec": [p[4]["crawl"]["crawl_sec"], p[16]["crawl"]["crawl_sec"]],
                      "expand_sec": [p[4]["expand"]["expand_sec"], p[16]["expand"]["expand_sec"]],
+                     "expand_gb_per_sec": [p[4]["expand"].get("expand_gb_per_sec"),
+                                           p[16]["expand"].get("expand_gb_per_sec")],
+                     "memcpy_gb_per_sec": p["memcpy"]["aggregate_gb_per_sec"],
                      "host_probe": p["probe"], "gated": p["gated"],
                      "windows_skipped": p["windows_skipped"]}
                     for p in pairs
