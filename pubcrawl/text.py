@@ -290,6 +290,15 @@ def _split_words(tbl, text_col: str):
     import pyarrow.compute as pc
 
     col = pc.fill_null(tbl[text_col], "")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # Defensive compaction (round-5 flake fix): pyarrow 16.1.0's
+    # utf8_split_whitespace can STABLY mis-classify a byte near the end of
+    # certain zero-copy plasma-backed buffers (observed ~0.5% of tiny tail
+    # batches: trailing " " returned as a token, so "  xx  " counted 2
+    # words); the same logical value splits correctly after its bytes move
+    # into freshly-allocated Arrow buffers, which take() guarantees.
+    col = col.take(pa.array(np.arange(len(col), dtype=np.int64)))
     la = pc.utf8_split_whitespace(col)
     if isinstance(la, pa.ChunkedArray):
         la = la.combine_chunks()
