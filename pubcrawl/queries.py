@@ -546,7 +546,14 @@ def get_queries() -> dict[str, Callable[[str], Any]]:
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                checked |= set(json.load(f))
+                for n, rec in json.load(f).items():
+                    # a name only ever checked rows-only (err=no_oracle) that
+                    # HAS an oracle now was promoted since: rotate it forward
+                    # so the driver records the stronger check
+                    if (isinstance(rec, dict) and rec.get("err") == "no_oracle"
+                            and n in ORACLE):
+                        continue
+                    checked.add(n)
         except Exception:  # unreadable/partial file: fall back to plain order
             continue
     fresh = {n: q for n, q in QUERIES.items() if n not in checked}
