@@ -131,7 +131,7 @@ def run_crawl(num_cpus: int) -> dict:
         # GIL contention (measured 2× slower at 8). Real-web deployments set
         # this to ~RTT/service-time (test_threaded_fetcher_overlaps_latency
         # shows the >2× win at 80 ms RTT).
-        fetch_threads=1,
+        fetch_threads=int(os.environ.get("GRAFT_FETCH_THREADS", "1")),
     )
     wall = time.monotonic() - t0
     out = {
