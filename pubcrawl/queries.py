@@ -3781,3 +3781,135 @@ def histogram_order_prices(sf_dir: str):
         ds.map_batches(bucketize, batch_format="pandas", batch_size=None),
         ["bucket", "bucket_lo"], count_as="n",
     )
+
+
+# =============================== Count-Min sketch / corr / prefix-sum packing
+
+from . import sketch  # noqa: E402
+
+
+@query(
+    "cms_user_event_counts",
+    # the WHOLE sketch is replayed in SQL: the md5-derived counter positions
+    # (seed || '|' || key, first 8 hex chars as an int32, mod width), the
+    # per-(row,bucket) counters as SUM of exact per-key counts sharing the
+    # bucket, and the point estimate as the min across rows. Integer-exact
+    # end-to-end, so the driver certifies the estimates bit-for-bit —
+    # including which keys collide and by how much they overcount.
+    sql="WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id), "
+    "b AS (SELECT user_id, n, seed, "
+    "CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bkt "
+    "FROM c, (VALUES (0),(1),(2),(3)) s(seed)), "
+    "ctr AS (SELECT seed, bkt, SUM(n) AS cnt FROM b GROUP BY seed, bkt) "
+    "SELECT b.user_id, CAST(MAX(b.n) AS BIGINT) AS n, "
+    "CAST(MIN(ctr.cnt) AS BIGINT) AS est "
+    "FROM b JOIN ctr USING (seed, bkt) GROUP BY b.user_id",
+)
+def cms_user_event_counts(sf_dir: str):
+    """Count-Min sketch per-user event frequencies (sketch.count_min_counts):
+    per-batch exact (key, n) combiner partials fold into a 4×64 int64
+    counter grid, grids tree-reduce by elementwise sum (one fixed-size blob
+    per block moves — independent of rows AND of the key domain), point
+    estimates = min over rows at md5 positions. Completes the mergeable-
+    sketch family (HLL, Misra-Gries, bottom-k, Bloom) with the classic
+    frequency sketch; width 64 vs ~150+ users forces real collisions, so the
+    oracle certifies the overcount structure, not just the happy path."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    return sketch.count_min_counts(ds, "user_id", depth=4, width=64, out="est")
+
+
+@query(
+    "corr_chars_tokens",
+    # identical float64 expression SHAPE both sides: all six sufficient
+    # statistics are exact integers (HUGEINT in SQL, Python ints in the
+    # engine), converted to double at the same two points (numerator;
+    # product of variances) before one division, one sqrt, one *1e6 and
+    # banker's rounding — bit-exact, the PMI/perplexity recipe.
+    sql="WITH t AS (SELECT lang, n_chars AS x, "
+    "len(regexp_extract_all(lower(text), '[a-z]+')) AS y FROM documents), "
+    "a AS (SELECT lang, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, "
+    "SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy FROM t GROUP BY lang) "
+    "SELECT lang, CAST(n AS BIGINT) AS n, "
+    "CAST(round_even(CAST(n*sxy - sx*sy AS DOUBLE) / "
+    "sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) "
+    "* 1000000, 0) AS BIGINT) AS corr_e6 FROM a",
+)
+def corr_chars_tokens(sf_dir: str):
+    """Per-language Pearson correlation of doc length vs alpha-token count
+    via mergeable sufficient-statistics partials (n, Σx, Σy, Σx², Σy², Σxy
+    per batch — six ints per group per block move, never rows), merged by
+    sum and finished with the closed form. The distributed-corr pattern for
+    dataset-quality dashboards at 100 TB: one combiner pass, no shuffle of
+    data rows."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].to_numpy(dtype=np.int64)
+        y = df["text"].str.lower().str.count("[a-z]+").to_numpy(dtype=np.int64)
+        t = pd.DataFrame({"lang": df["lang"].to_numpy(), "x": x, "y": y,
+                          "xx": x * x, "yy": y * y, "xy": x * y})
+        return t.groupby("lang", as_index=False, sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"))
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False, sort=False).sum()
+        rows = []
+        for r in g.itertuples(index=False):
+            # python ints: exact regardless of magnitude (SQL side is HUGEINT)
+            n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+            sxx, syy, sxy = int(r.sxx), int(r.syy), int(r.sxy)
+            num = float(n * sxy - sx * sy)
+            den = math.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+            rows.append((r.lang, n, int(np.round(num / den * 1e6))))
+        return pd.DataFrame(rows, columns=["lang", "n", "corr_e6"]).astype(
+            {"n": "int64", "corr_e6": "int64"})
+
+    return relops.hash_partition_apply(partials, ["lang"], final)
+
+
+@query(
+    "pack_chars_budget_shards",
+    sql="WITH p AS (SELECT doc_id, n_chars, "
+    "COALESCE(SUM(n_chars) OVER (ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx "
+    "FROM documents) "
+    "SELECT CAST(pfx // 20000 AS BIGINT) AS shard_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+    "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc "
+    "FROM p GROUP BY 1",
+)
+def pack_chars_budget_shards(sf_dir: str):
+    """Token-budget shard packing — assign each document to the training
+    shard its global running char count lands in (shard = exclusive prefix
+    sum // budget), the deterministic sequential-fill rule behind fixed-
+    budget training shards. Engine: relops.global_prefix_sum (range
+    partition in doc_id order, per-bucket SUM partials, B driver ints of
+    offsets, one co-partitioned scan shuffle), then a combiner groupby for
+    the per-shard manifest."""
+    BUDGET = 20000
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    scanned = relops.global_prefix_sum(ds, [("doc_id", False)], "n_chars", out_col="__pfx")
+
+    def shard(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(shard_id=df["__pfx"].to_numpy(dtype=np.int64) // BUDGET)
+
+    sharded = scanned.map_batches(shard, batch_format="pandas", batch_size=None)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("shard_id", as_index=False, sort=False).agg(
+            n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum"),
+            first_doc=("doc_id", "min"), last_doc=("doc_id", "max"))
+
+    partials = sharded.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("shard_id", as_index=False, sort=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"),
+            first_doc=("first_doc", "min"), last_doc=("last_doc", "max"))
+
+    return relops.hash_partition_apply(partials, ["shard_id"], final)

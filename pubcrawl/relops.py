@@ -1924,3 +1924,79 @@ def global_rank(
         return out.drop(columns=["__bkt"])
 
     return hash_partition_apply(bucketed, ["__bkt"], rank)
+
+
+def global_prefix_sum(
+    ds: rd.Dataset,
+    sort_keys: list[tuple[str, bool]],
+    val_col: str,
+    out_col: str = "pfx",
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Distributed EXCLUSIVE prefix sum of ``val_col`` in the total order of
+    ``sort_keys`` — the sequential-scan primitive behind token-budget shard
+    packing (assign each document to the training shard its running token
+    count lands in) and cumulative-quota admission. Same three-pass shape as
+    global_rank, with per-bucket SUMs instead of row counts:
+
+      1. exact discrete quantiles of the primary key pick range boundaries
+         (bucket order IS global order),
+      2. per-bucket value sums (combiner aggregate) → B running offsets on
+         the driver (B ints — never rows),
+      3. one co-partitioned shuffle by bucket; each merge task sorts its
+         bucket by the full key list and emits offset + local exclusive
+         cumsum.
+
+    int64 throughout — callers keep token/char counts integral so the prefix
+    is exact and partitioning-invariant (asserted in tests)."""
+    primary, desc = sort_keys[0]
+
+    if n_buckets is None:
+        n_buckets = auto_partitions(ds.count())
+    probe = ds.select_columns([primary]).map_batches(
+        lambda df: df.assign(__g=np.int64(0)), batch_format="pandas", batch_size=None
+    )
+    qs = {f"__q{i}": i / n_buckets for i in range(1, n_buckets)}
+    if qs:
+        qrow = group_quantile_disc(probe, ["__g"], primary, qs).to_pandas()
+        bounds = np.sort(np.asarray([qrow[f"__q{i}"].iloc[0] for i in range(1, n_buckets)]))
+    else:
+        bounds = np.asarray([])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[primary].to_numpy()
+        b = np.searchsorted(bounds, v, side="left").astype(np.int64)
+        if desc:
+            b = np.int64(len(bounds)) - b
+        return df.assign(__bkt=b)
+
+    bucketed = ds.map_batches(bucketize, batch_format="pandas", batch_size=None)
+    sums = (
+        preagg_group_sum(
+            bucketed.select_columns(["__bkt", val_col]), ["__bkt"],
+            sum_cols={val_col: "__s"},
+        )
+        .to_pandas()
+        .sort_values("__bkt")
+    )  # B rows — driver-small by construction
+    offs = dict(zip(
+        sums["__bkt"].to_numpy(),
+        np.concatenate([[0], np.cumsum(sums["__s"].to_numpy(dtype=np.int64))[:-1]]),
+    ))
+
+    by = [k for k, _ in sort_keys]
+    asc = [not d for _, d in sort_keys]
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for bkt, g in df.groupby("__bkt", sort=False):
+            g = g.sort_values(by, ascending=asc, kind="mergesort")
+            v = g[val_col].to_numpy(dtype=np.int64)
+            g[out_col] = np.cumsum(v) - v + np.int64(offs[bkt])
+            frames.append(g)
+        out = pd.concat(frames, ignore_index=True) if frames else df.assign(
+            **{out_col: pd.Series([], dtype="int64")}
+        )
+        return out.drop(columns=["__bkt"])
+
+    return hash_partition_apply(bucketed, ["__bkt"], scan)

@@ -353,3 +353,88 @@ def bloom_prefilter(ds, col: str, bloom: np.ndarray, n_hashes: int = 5):
         return df[hit.all(axis=1)]
 
     return ds.map_batches(filt, batch_format="pandas", batch_size=None)
+
+
+# --------------------------------------------------- Count-Min sketch
+
+
+def _cms_positions(keys, depth: int, width: int) -> np.ndarray:
+    """Counter positions, one row of the sketch per md5 seed: position =
+    int(md5(f"{row}|{key}").hexdigest()[:8], 16) % width. md5 is chosen over
+    xxh64 DELIBERATELY — the identical derivation is expressible in ANSI SQL
+    (``CAST(('0x' || substr(md5(seed || '|' || key), 1, 8)) AS BIGINT) %
+    width``), which is what lets a DuckDB oracle certify the whole sketch
+    end-to-end (the relops.sample_hash / split_assign md5-parity pattern).
+    Called on DISTINCT keys only (post-combiner), never per row."""
+    import hashlib
+
+    out = np.empty((depth, len(keys)), dtype=np.int64)
+    for d in range(depth):
+        pre = f"{d}|"
+        out[d] = [
+            int(hashlib.md5((pre + str(k)).encode()).hexdigest()[:8], 16) % width
+            for k in keys
+        ]
+    return out
+
+
+def count_min_counts(
+    ds: rd.Dataset,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 64,
+    out: str = "est",
+) -> pd.DataFrame:
+    """Count-Min sketch frequency estimates (Cormode & Muthukrishnan 2005):
+    each batch pre-aggregates exact (key, count) partials (the combiner) and
+    folds them into one depth×width int64 counter grid with weighted adds;
+    grids merge by elementwise SUM — associative, commutative, order-free —
+    through a tree reduce, so shuffle volume is one fixed-size blob per
+    block, independent of row count AND of the key domain (the property that
+    makes CMS the 100-TB path when even Misra-Gries' k counters per key
+    domain is too wide). Point estimate = min over rows of the counter at
+    the key's md5 positions; one-sided error (est >= true always,
+    P[est > true + eps*N] <= (1/2)^depth at width = e/eps).
+
+    Returns (key, n, est) for every distinct key — the exact side is a
+    bounded preagg_group_sum whose driver materialization is the key DOMAIN,
+    not the row count (the same bound any point-query consumer needs)."""
+    import ray
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_col, sort=False).size()
+        grid = np.zeros((depth, width), dtype=np.int64)
+        if len(g):
+            pos = _cms_positions(g.index.to_numpy(), depth, width)
+            for d in range(depth):
+                np.add.at(grid[d], pos[d], g.to_numpy())
+        return pd.DataFrame({"__cms": [grid.tobytes()]})
+
+    @ray.remote
+    def add_merge(*blobs) -> bytes:
+        acc = np.zeros(depth * width, dtype=np.int64)
+        for b in blobs:
+            t = b if isinstance(b, (bytes, bytearray)) else b["__cms"][0].as_py()
+            acc += np.frombuffer(t, dtype=np.int64)
+        return acc.tobytes()
+
+    refs = list(
+        ds.select_columns([key_col])
+        .map_batches(partial, batch_format="pandas", batch_size=None)
+        .to_arrow_refs()
+    )
+    fan = 16
+    while len(refs) > fan:
+        refs = [add_merge.remote(*refs[i : i + fan]) for i in range(0, len(refs), fan)]
+    grid = np.frombuffer(ray.get(add_merge.remote(*refs)), dtype=np.int64).reshape(
+        depth, width
+    )
+
+    exact = relops.preagg_group_sum(
+        ds.select_columns([key_col]), [key_col], count_as="n"
+    ).to_pandas()  # bounded by the key domain (the point-query list), not rows
+    pos = _cms_positions(exact[key_col].to_numpy(), depth, width)
+    exact[out] = grid[np.arange(depth)[:, None], pos].min(axis=0).astype("int64")
+    exact["n"] = exact["n"].astype("int64")
+    return exact.sort_values(key_col, kind="mergesort").reset_index(drop=True)

@@ -1952,3 +1952,83 @@ class TestGlobalRank:
         b = b.sort_values("rnk").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
         assert list(a["k"]) == list(range(40))
+
+
+class TestCountMinSketch:
+    def test_estimates_match_brute_replay_and_dominate_truth(self):
+        import hashlib
+
+        from pubcrawl import sketch
+
+        rng = np.random.default_rng(7)
+        keys = rng.integers(0, 40, size=5000)  # 40 keys into 16 buckets: collisions
+        df = pd.DataFrame({"k": keys})
+        out = sketch.count_min_counts(
+            rd.from_pandas(df).repartition(9), "k", depth=3, width=16
+        )
+        true = df.groupby("k").size()
+        # brute CMS replay: same md5 positions, counters = sum of colliders
+        grid = np.zeros((3, 16), dtype=np.int64)
+        pos = {}
+        for k, n in true.items():
+            pos[k] = [
+                int(hashlib.md5(f"{d}|{k}".encode()).hexdigest()[:8], 16) % 16
+                for d in range(3)
+            ]
+            for d in range(3):
+                grid[d, pos[k][d]] += n
+        for r in out.itertuples(index=False):
+            assert r.n == true[r.k]
+            assert r.est == min(grid[d, pos[r.k][d]] for d in range(3))
+            assert r.est >= r.n  # one-sided error
+        assert set(out.k) == set(true.index)
+
+    def test_partitioning_invariance(self):
+        from pubcrawl import sketch
+
+        df = pd.DataFrame({"k": np.arange(300) % 23})
+        a = sketch.count_min_counts(rd.from_pandas(df), "k", depth=4, width=8)
+        b = sketch.count_min_counts(
+            rd.from_pandas(df).repartition(13), "k", depth=4, width=8
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestGlobalPrefixSum:
+    def test_matches_pandas_cumsum_and_is_partitioning_invariant(self):
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame({
+            "id": rng.permutation(500),
+            "v": rng.integers(1, 100, size=500),
+        })
+        want = df.sort_values("id").reset_index(drop=True)
+        want["pfx"] = want["v"].cumsum() - want["v"]
+        for parts in (1, 7):
+            got = (
+                relops.global_prefix_sum(
+                    rd.from_pandas(df).repartition(parts), [("id", False)], "v"
+                )
+                .to_pandas()
+                .sort_values("id")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(
+                got[["id", "v", "pfx"]].astype("int64"),
+                want[["id", "v", "pfx"]].astype("int64"),
+            )
+
+    def test_descending_order_and_ties(self):
+        # ties on the primary key: the tiebreak key makes the order total
+        df = pd.DataFrame({"g": [5, 5, 3, 3, 1], "id": [2, 1, 4, 3, 5],
+                           "v": [10, 20, 30, 40, 50]})
+        got = (
+            relops.global_prefix_sum(
+                rd.from_pandas(df).repartition(2),
+                [("g", True), ("id", False)], "v",
+            )
+            .to_pandas()
+            .sort_values(["g", "id"], ascending=[False, True])
+            .reset_index(drop=True)
+        )
+        # order: (5,1,20) (5,2,10) (3,3,40) (3,4,30) (1,5,50)
+        assert got["pfx"].tolist() == [0, 20, 30, 70, 100]
