@@ -656,6 +656,118 @@ def ivf_topk(
     return out
 
 
+def ivf_recall_replayable(
+    ds: rd.Dataset,
+    n_queries: int = 16,
+    k: int = 10,
+    n_clusters: int = 16,
+    iters: int = 2,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """Recall@k of IVF-probed search vs exact brute force, per nprobe, under
+    the EXACT-REPLAY protocol (every step re-derivable in ANSI SQL so a
+    DuckDB oracle certifies the whole accuracy table — the kmeans_lloyd_ds
+    discipline extended to search):
+
+      - centroids: :func:`kmeans_lloyd_ds` (e6-quantized Lloyd, smallest-id
+        seed — the unrolled-CTE-replayable fit),
+      - queries: the ``n_queries`` smallest ids (same protocol as the seed),
+      - cell assignment AND query→centroid probe ranking: e6-quantized
+        euclidean, lowest-cid tie-break (``_dists_e6``),
+      - scoring: e6-quantized cosine, vec_id-asc tie-break, self excluded;
+        truth = top-k over all cells, approx = top-k over the nprobe
+        nearest cells.
+
+    One corpus pass computes ALL variants: each batch assigns its vectors
+    once, scores one matmul against the query matrix, and emits local top-k
+    PARTIALS per (variant, query) — (1 + |nprobes|) · n_queries · k rows per
+    block move, never vectors. Returns (nprobe, query_id, n_hits, n_truth)
+    — the accuracy/compute dial of the probed path, per query."""
+    cents, _ = kmeans_lloyd_ds(ds, k=n_clusters, iters=iters,
+                               id_col=id_col, emb_col=emb_col)
+    qid_set = set(
+        relops.topk(ds.select_columns([id_col]), [(id_col, False)], n_queries)
+        .to_pandas()[id_col].tolist()
+    )
+    q = (
+        ds.map_batches(
+            lambda df: df[df[id_col].isin(qid_set)][[id_col, emb_col]],
+            batch_format="pandas", batch_size=None,
+        )
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    qmat = _stack(q[emb_col])
+    qids = q[id_col].to_numpy()
+    # probe rank of each cell per query: e6 euclidean, cid-asc tie-break
+    dq = _dists_e6(qmat, cents)  # (nq, k_clusters)
+    prk = np.empty_like(dq)
+    cid_range = np.arange(n_clusters)
+    for i in range(len(qids)):
+        prk[i, np.lexsort((cid_range, dq[i]))] = cid_range
+    qn = _normalize(qmat)
+    ref = ray.put((qn, qids, cents, prk))
+    variants = (0, *nprobes)  # 0 = truth (all cells)
+
+    class Score:
+        def __init__(self):
+            self.qn, self.qids, self.cents, self.prk = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"variant": pd.Series([], dtype="int64"),
+                 "query_id": pd.Series([], dtype="int64"),
+                 id_col: pd.Series([], dtype="int64"),
+                 "cos_e6": pd.Series([], dtype="int64")}
+            )
+            if len(df) == 0:
+                return empty
+            m = _stack(df[emb_col])
+            ids = df[id_col].to_numpy()
+            cl = _dists_e6(m, self.cents).argmin(1)
+            cos = np.round(_normalize(m) @ self.qn.T * 1e6).astype(np.int64)
+            out = []
+            for qi, qid in enumerate(self.qids):
+                r = self.prk[qi][cl]  # probe rank of each row's cell
+                not_self = ids != qid
+                for v in variants:
+                    mask = not_self if v == 0 else (not_self & (r < v))
+                    if not mask.any():
+                        continue
+                    s, sub = cos[mask, qi], ids[mask]
+                    top = np.lexsort((sub, -s))[:k]  # local top-k partial
+                    out.append(pd.DataFrame(
+                        {"variant": np.int64(v), "query_id": np.int64(qid),
+                         id_col: sub[top], "cos_e6": s[top]}))
+            return pd.concat(out, ignore_index=True) if out else empty
+
+    partials = ds.map_batches(
+        Score(), batch_format="pandas", batch_size=None
+    ).to_pandas()  # (1+|nprobes|)·nq·k rows per block — driver-small
+    top = (
+        partials.sort_values(["variant", "query_id", "cos_e6", id_col],
+                             ascending=[True, True, False, True])
+        .groupby(["variant", "query_id"], as_index=False, sort=False)
+        .head(k)
+    )
+    truth = {
+        qid: set(g[id_col])
+        for qid, g in top[top["variant"] == 0].groupby("query_id")
+    }
+    rows = []
+    for v in nprobes:
+        tv = top[top["variant"] == v]
+        got = {qid: set(g[id_col]) for qid, g in tv.groupby("query_id")}
+        for qid in qids:
+            t = truth.get(qid, set())
+            rows.append((v, qid, len(t & got.get(qid, set())), len(t)))
+    return pd.DataFrame(
+        rows, columns=["nprobe", "query_id", "n_hits", "n_truth"]
+    ).astype("int64").sort_values(["nprobe", "query_id"]).reset_index(drop=True)
+
+
 def semantic_dedup(
     ds: rd.Dataset,
     k: int = 8,

@@ -3233,30 +3233,77 @@ def multimodal_audio(sf_dir: str):
 # =========================================== ANN accuracy evaluation
 
 
-@query("ann_recall_eval")  # accuracy measurement of the approximate path → rows-only
+def _ann_recall_sql(
+    n_clusters: int = 16,
+    iters: int = 2,
+    topk: int = 10,
+    n_queries: int = 16,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+) -> str:
+    """SQL replay of the ENTIRE IVF recall evaluation: the unrolled Lloyd
+    CTE chain re-fits the centroids, `af` re-assigns every vector (the
+    SemDeDup oracle's assignment step), `pr` re-ranks centroids per query
+    (same e6 euclidean + cid tie-break), `sc` scores e6-quantized cosine,
+    `tr`/`ap` take the truth and per-nprobe approximate top-k, and the final
+    grid LEFT JOIN zero-fills queries whose probed cells ran dry — so the
+    oracle certifies the recall TABLE, including which probes miss what."""
+    cte, prev = _kmeans_cte(n_clusters, iters)
+    vals = ",".join(f"({v})" for v in nprobes)
+    cte += [
+        f"q AS (SELECT vec_id AS qid, v AS qv FROM pts ORDER BY vec_id LIMIT {n_queries})",
+        "af AS (SELECT vec_id, cid FROM ("
+        "SELECT p.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY p.vec_id "
+        "ORDER BY round_even(list_distance(p.v, c.cent)*1e6, 0), c.cid) AS rn "
+        f"FROM pts p CROSS JOIN {prev} c) WHERE rn = 1)",
+        "pr AS (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid "
+        "ORDER BY round_even(list_distance(q.qv, c.cent)*1e6, 0), c.cid) - 1 AS prk "
+        f"FROM q CROSS JOIN {prev} c)",
+        "sc AS (SELECT q.qid, p.vec_id, "
+        "round_even(list_cosine_similarity(q.qv, p.v)*1e6, 0) AS cos_e6, af.cid "
+        "FROM q CROSS JOIN pts p JOIN af ON af.vec_id = p.vec_id "
+        "WHERE p.vec_id <> q.qid)",
+        "tr AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, "
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, vec_id) AS rn "
+        f"FROM sc) WHERE rn <= {topk})",
+        "ap AS (SELECT nprobe, qid, vec_id FROM (SELECT np.nprobe, s.qid, s.vec_id, "
+        "ROW_NUMBER() OVER (PARTITION BY np.nprobe, s.qid "
+        "ORDER BY s.cos_e6 DESC, s.vec_id) AS rn "
+        f"FROM (VALUES {vals}) np(nprobe) CROSS JOIN sc s "
+        "JOIN pr ON pr.qid = s.qid AND pr.cid = s.cid "
+        f"WHERE pr.prk < np.nprobe) WHERE rn <= {topk})",
+        "h AS (SELECT ap.nprobe, ap.qid, COUNT(tr.vec_id) AS n_hits "
+        "FROM ap JOIN tr ON tr.qid = ap.qid AND tr.vec_id = ap.vec_id "
+        "GROUP BY ap.nprobe, ap.qid)",
+        "tn AS (SELECT qid, COUNT(*) AS n_truth FROM tr GROUP BY qid)",
+    ]
+    return (
+        "WITH " + ", ".join(cte) +
+        f" SELECT CAST(np.nprobe AS BIGINT) AS nprobe, q.qid AS query_id, "
+        "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, "
+        "CAST(COALESCE(tn.n_truth, 0) AS BIGINT) AS n_truth "
+        f"FROM (VALUES {vals}) np(nprobe) CROSS JOIN q "
+        "LEFT JOIN h ON h.nprobe = np.nprobe AND h.qid = q.qid "
+        "LEFT JOIN tn ON tn.qid = q.qid"
+    )
+
+
+@query("ann_recall_eval", sql=_ann_recall_sql(16, 2, 10, 16))
 def ann_recall_eval(sf_dir: str):
-    """Recall@10 of the IVF approximate ANN vs exact brute force, per nprobe
-    ∈ {1, 2, 4, 8} over 16 fixed query vectors — quantifies the
-    accuracy/compute dial of the scale path (nprobe/n_clusters of the probed
-    cells). Deterministic end-to-end (seeded sample k-means, fixed queries),
-    so the recall table is stable across runs and partitionings."""
+    """Recall@10 of IVF-probed search vs exact brute force, per nprobe
+    ∈ {1, 2, 4, 8} and per query, over the 16 smallest-id query vectors —
+    quantifies the accuracy/compute dial of the scale path (nprobe /
+    n_clusters of the corpus read per query). Runs under the exact-replay
+    protocol (ann.ivf_recall_replayable: kmeans_lloyd_ds centroids,
+    e6-quantized assignment / probe ranking / cosine, deterministic
+    tie-breaks), so the whole accuracy table — fit, probes, both top-k
+    sets, hit counts — is re-derived bit-exactly by the DuckDB oracle.
+    One corpus pass computes truth and all four nprobe variants."""
     from . import ann as ann_mod
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
-    q = ds.limit(16).to_pandas()
-    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in q["embedding"]])
-    qids = q["vec_id"].to_numpy()
-    truth = ann_mod.brute_topk(ds, qmat, qids, k=10)
-    t_sets = {qid: set(g["vec_id"]) for qid, g in truth.groupby("query_id")}
-    rows = []
-    for nprobe in (1, 2, 4, 8):
-        approx = ann_mod.ivf_topk(ds, qmat, qids, k=10, n_clusters=16, nprobe=nprobe)
-        a_sets = {qid: set(g["vec_id"]) for qid, g in approx.groupby("query_id")}
-        hits = sum(len(t_sets[qid] & a_sets.get(qid, set())) for qid in t_sets)
-        total = sum(len(s) for s in t_sets.values())
-        rows.append({"nprobe": nprobe,
-                     "recall_e6": np.int64(round(hits / total * 1e6))})
-    return pd.DataFrame(rows)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann_mod.ivf_recall_replayable(
+        ds, n_queries=16, k=10, n_clusters=16, iters=2, nprobes=(1, 2, 4, 8)
+    )
 
 
 # ============================================ BPE-ish pre-tokenizer counts
