@@ -216,3 +216,103 @@ def pagerank_dense_oracle(
         np.add.at(contrib, di, r[si] / deg[si])
         r = (1 - damping) / n + damping * (dangling / n + contrib)
     return pd.DataFrame({"id": ids, "rank": r})
+
+
+def triangle_counts(
+    edges: rd.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    n_partitions: int | None = None,
+) -> rd.Dataset:
+    """Per-node triangle participation counts — the degree-ordered wedge
+    algorithm (Cohen 2009 / Suri & Vassilvitskii 2011 "node-iterator++"):
+
+      1. canonicalize + distinct undirected edges (one key shuffle),
+      2. degrees per node (combiner aggregate — the node table, orders of
+         magnitude smaller than the edge table, is the ONLY driver-side
+         materialization; at trillion-edge scale swap the broadcast rank map
+         for a co-partitioned hash_join on each endpoint),
+      3. orient every edge low-rank → high-rank where rank = (degree, id):
+         out-degrees are then bounded by O(√m), so total wedge volume is
+         O(m^1.5) even on power-law graphs — THE property that makes
+         triangle counting feasible at scale (id-ordering alone blows up on
+         one hub node),
+      4. wedges per source (co-partitioned group apply): rank-sorted
+         out-neighbor pairs (a, b) — each candidate triangle generated
+         exactly once, at its lowest-rank vertex,
+      5. close: semi join wedge (a, b) against the oriented edge set on a
+         packed int64 key (ids must fit 31 bits; assert-guarded),
+      6. each closed wedge emits its three vertices; a combiner count yields
+         (id, n_tri) for every triangle-participating node.
+    """
+    import ray
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[src].to_numpy()
+        v = df[dst].to_numpy()
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        keep = lo != hi
+        return pd.DataFrame({"u": lo[keep], "v": hi[keep]})
+
+    e = relops.distinct(
+        edges.map_batches(canon, batch_format="pandas", batch_size=None), ["u", "v"]
+    )
+
+    ends = e.map_batches(
+        lambda df: pd.DataFrame(
+            {"id": np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()])}
+        ),
+        batch_format="pandas", batch_size=None,
+    )
+    deg = relops.preagg_group_sum(ends, ["id"], count_as="deg").to_pandas()
+    ids = deg["id"].to_numpy()
+    order = np.lexsort((ids, deg["deg"].to_numpy()))
+    rank = np.empty(len(ids), dtype=np.int64)
+    rank[order] = np.arange(len(ids))
+    pack = np.int64(ids.max()) + 1 if len(ids) else np.int64(1)
+    assert pack < (1 << 31), "packed closing-edge key needs ids < 2^31"
+    ref = ray.put(pd.Series(rank, index=ids))
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(ref)
+        ru = r.reindex(df["u"].to_numpy()).to_numpy()
+        rv = r.reindex(df["v"].to_numpy()).to_numpy()
+        swap = ru > rv
+        x = np.where(swap, df["v"], df["u"]).astype(np.int64)
+        y = np.where(swap, df["u"], df["v"]).astype(np.int64)
+        return pd.DataFrame({"x": x, "y": y, "ry": np.where(swap, ru, rv)})
+
+    oe = e.map_batches(orient, batch_format="pandas", batch_size=None)
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for x, g in df.groupby("x", sort=False):
+            nb = g.sort_values("ry")["y"].to_numpy()
+            d = len(nb)
+            if d < 2:
+                continue
+            i, j = np.triu_indices(d, k=1)
+            frames.append(pd.DataFrame({"x": np.int64(x), "a": nb[i], "b": nb[j]}))
+        if not frames:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in ("x", "a", "b")})
+        return pd.concat(frames, ignore_index=True)
+
+    wd = relops.hash_partition_apply(oe, ["x"], wedges, n_partitions=n_partitions)
+    wd = wd.map_batches(
+        lambda df: df.assign(__k=df["a"].to_numpy() * pack + df["b"].to_numpy()),
+        batch_format="pandas", batch_size=None,
+    )
+    ek = oe.map_batches(
+        lambda df: pd.DataFrame({"__k": df["x"].to_numpy() * pack + df["y"].to_numpy()}),
+        batch_format="pandas", batch_size=None,
+    )
+    tri = relops.semi_join_partitioned(wd, ek, on="__k", n_partitions=n_partitions)
+
+    tri_ids = tri.map_batches(
+        lambda df: pd.DataFrame(
+            {"id": np.concatenate([df["x"].to_numpy(), df["a"].to_numpy(),
+                                   df["b"].to_numpy()]).astype(np.int64)}
+        ),
+        batch_format="pandas", batch_size=None,
+    )
+    return relops.preagg_group_sum(tri_ids, ["id"], count_as="n_tri")

@@ -2655,6 +2655,52 @@ def pagerank_copurchase(sf_dir: str):
     )
 
 
+@query(
+    "triangle_copurchase",
+    # ordered-triple triple join: each triangle (a<b<c by id) appears once as
+    # e1=(a,b), e2=(b,c), e3=(a,c); per-node counts = UNION ALL of the three
+    # corners. Pure integers — the oracle certifies every count exactly.
+    sql="WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem "
+    "WHERE year(l_shipdate) = 1995), "
+    "e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v FROM lp a "
+    "JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), "
+    "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1 "
+    "JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), "
+    "ids AS (SELECT a AS part_key FROM tri UNION ALL SELECT b FROM tri "
+    "UNION ALL SELECT c FROM tri) "
+    "SELECT part_key, CAST(COUNT(*) AS BIGINT) AS n_tri FROM ids GROUP BY part_key",
+)
+def triangle_copurchase(sf_dir: str):
+    """Per-part triangle participation in the 1995 co-purchase graph —
+    graph.triangle_counts' degree-ordered wedge algorithm (orient low-rank →
+    high-rank so wedge volume is O(m^1.5) even on power-law degree skew;
+    each triangle generated exactly once at its lowest-rank vertex, closed
+    by a co-partitioned semi join against the oriented edge set). The third
+    graph primitive next to PageRank and connected components: triangle
+    counts drive clustering coefficients and community/spam features over
+    link graphs at crawl scale."""
+    from . import graph
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_shipdate"])
+
+    def y95(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(pc.year(t["l_shipdate"]), 1995))
+        return keep.select(["l_orderkey", "l_partkey"])
+
+    lp = li.map_batches(y95, batch_format="pyarrow")
+    a = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "src"]),
+                       batch_format="pyarrow")
+    b = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "dst"]),
+                       batch_format="pyarrow")
+    edges = relops.hash_join(a, b, on="l_orderkey",
+                             left_cols=["src"], right_cols=["dst"])
+    out = graph.triangle_counts(edges, n_partitions=4)
+    return out.map_batches(
+        lambda df: df.rename(columns={"id": "part_key"}),
+        batch_format="pandas", batch_size=None,
+    )
+
+
 # =========================================== Misra-Gries exact heavy hitters
 
 

@@ -2032,3 +2032,56 @@ class TestGlobalPrefixSum:
         )
         # order: (5,1,20) (5,2,10) (3,3,40) (3,4,30) (1,5,50)
         assert got["pfx"].tolist() == [0, 20, 30, 70, 100]
+
+
+class TestTriangleCounts:
+    @staticmethod
+    def _brute(edges: pd.DataFrame) -> pd.Series:
+        import itertools
+
+        adj: dict = {}
+        for u, v in edges.itertuples(index=False):
+            if u == v:
+                continue
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        counts: dict = {}
+        for a, b, c in itertools.combinations(sorted(adj), 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                for x in (a, b, c):
+                    counts[x] = counts.get(x, 0) + 1
+        return pd.Series(counts, dtype="int64").sort_index()
+
+    def test_matches_brute_force_random_graph(self):
+        from pubcrawl import graph
+
+        rng = np.random.default_rng(11)
+        edges = pd.DataFrame({
+            "src": rng.integers(0, 40, size=300),
+            "dst": rng.integers(0, 40, size=300),
+        })
+        got = (
+            graph.triangle_counts(rd.from_pandas(edges).repartition(7))
+            .to_pandas().set_index("id")["n_tri"].sort_index()
+        )
+        want = self._brute(edges)
+        pd.testing.assert_series_equal(
+            got, want, check_names=False, check_index_type=False
+        )
+
+    def test_hub_graph_and_partitioning_invariance(self):
+        # one hub node (power-law-ish): degree orientation must still count
+        # each triangle exactly once
+        from pubcrawl import graph
+
+        rows = [(0, i) for i in range(1, 20)] + [(i, i + 1) for i in range(1, 19)]
+        edges = pd.DataFrame(rows, columns=["src", "dst"])
+        want = self._brute(edges)
+        for parts in (1, 5):
+            got = (
+                graph.triangle_counts(rd.from_pandas(edges).repartition(parts))
+                .to_pandas().set_index("id")["n_tri"].sort_index()
+            )
+            pd.testing.assert_series_equal(
+                got, want, check_names=False, check_index_type=False
+            )
