@@ -1138,3 +1138,116 @@ def near_dedup_keep(
         ds, text_col, id_col, threshold=threshold, **minhash_kw
     ).materialize()
     return _keep_from_pairs(ds, pairs, id_col, driver_cc_threshold, broadcast_drop_max)
+
+
+# --------------------------------------------- blocked edit-distance join
+
+
+def _lev_same_len_batch(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Exact Levenshtein distance for P string pairs of EQUAL length L,
+    vectorized across the pairs: ``A``/``B`` are (P, L) uint8 code arrays,
+    returns (P,) int64. Wagner–Fischer with the column-wise insertion
+    recurrence rewritten as a prefix-min (cur[j] = j + cummin(m[t] - t)),
+    so every DP row is a handful of numpy kernels over all pairs at once —
+    no per-pair Python loop. Unit costs, identical to DuckDB's
+    ``levenshtein()``."""
+    P, L = A.shape
+    idx = np.arange(L + 1, dtype=np.int64)
+    prev = np.broadcast_to(idx, (P, L + 1)).copy()
+    m = np.empty((P, L + 1), dtype=np.int64)
+    for i in range(1, L + 1):
+        # substitution / deletion candidates for cur[:, 1:]
+        sub = prev[:, :-1] + (A[:, i - 1][:, None] != B)
+        np.minimum(sub, prev[:, 1:] + 1, out=sub)
+        m[:, 0] = i
+        m[:, 1:] = sub
+        # insertion: cur[j] = min_{t<=j}(m[t] + j - t) = j + cummin(m - t)[j]
+        m -= idx
+        np.minimum.accumulate(m, axis=1, out=m)
+        m += idx
+        prev, m = m, prev
+    return prev[:, -1]
+
+
+def edit_distance_pairs_ds(
+    ds: rd.Dataset,
+    title_col: str,
+    id_col: str,
+    *,
+    max_dist: int = 2,
+    block_prefix: int = 12,
+    max_block: int = 256,
+) -> rd.Dataset:
+    """Blocked Levenshtein near-dup join: emit (ida, idb, dist) for every
+    pair of rows with identical blocking key — (first ``block_prefix``
+    characters, string length) — whose exact edit distance is ≤
+    ``max_dist``. The blocking is the edit-distance analogue of LSH
+    banding: candidate generation is a key-hash shuffle of (id, title)
+    rows, verification is partition-local and vectorized
+    (:func:`_lev_same_len_batch`), and no all-pairs scan ever happens.
+
+    Partitioning assumption (documented contract, mirrored by the SQL
+    oracle): a near-duplicate pair is discoverable iff its edits occur
+    PAST the block prefix and preserve length — the single-substitution
+    typo model. Blocks larger than ``max_block`` rows are skipped
+    deterministically (the hot-prefix blowup guard, same role as
+    ``max_shingle_df`` in :func:`jaccard_ngram_pairs_ds`); the oracle
+    applies the identical HAVING filter. Titles must be ASCII (pinned by
+    test_documents_text_is_ascii) so byte codes == characters.
+    """
+
+    def block_cols(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[title_col].astype(str)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col],
+                title_col: t,
+                "__bk": t.str.slice(0, block_prefix),
+                "__bl": t.str.len().astype(np.int64),
+            }
+        )
+
+    blocked = ds.map_batches(block_cols, batch_format="pandas", batch_size=None)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        # candidate pair indices per block, grouped by length so the
+        # vectorized same-length DP can run over one (P, L) batch per L
+        by_len: dict[int, list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]] = {}
+        for (_, bl), g in df.groupby(["__bk", "__bl"], sort=False):
+            n = len(g)
+            if n < 2 or n > max_block:
+                continue
+            order = np.argsort(g[id_col].to_numpy(), kind="stable")
+            ids = g[id_col].to_numpy()[order]
+            titles = g[title_col].to_numpy()[order]
+            ii, jj = np.triu_indices(n, k=1)
+            codes = np.frombuffer(
+                "".join(titles).encode("ascii"), dtype=np.uint8
+            ).reshape(n, int(bl))
+            by_len.setdefault(int(bl), []).append(
+                (ids[ii], ids[jj], codes[ii], codes[jj])
+            )
+        out_a, out_b, out_d = [], [], []
+        for bl, chunks in by_len.items():
+            ida = np.concatenate([c[0] for c in chunks])
+            idb = np.concatenate([c[1] for c in chunks])
+            A = np.concatenate([c[2] for c in chunks])
+            B = np.concatenate([c[3] for c in chunks])
+            d = _lev_same_len_batch(A, B)
+            keep = d <= max_dist
+            out_a.append(ida[keep])
+            out_b.append(idb[keep])
+            out_d.append(d[keep])
+        if not out_a:
+            return pd.DataFrame(
+                {"ida": pd.Series([], dtype="int64"),
+                 "idb": pd.Series([], dtype="int64"),
+                 "dist": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"ida": np.concatenate(out_a).astype(np.int64),
+             "idb": np.concatenate(out_b).astype(np.int64),
+             "dist": np.concatenate(out_d).astype(np.int64)}
+        )
+
+    return relops.hash_partition_apply(blocked, ["__bk", "__bl"], verify)

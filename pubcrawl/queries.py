@@ -4006,3 +4006,242 @@ def pack_chars_budget_shards(sf_dir: str):
             first_doc=("first_doc", "min"), last_doc=("last_doc", "max"))
 
     return relops.hash_partition_apply(partials, ["shard_id"], final)
+
+
+@query(
+    "sample_weighted_orders",
+    # the whole Efraimidis–Spirakis key is replayed in SQL: identical
+    # integer hash → identical double division → one ln, one division —
+    # ranking happens on the UNROUNDED key like the engine; round_even ==
+    # numpy banker's rounding on the reported column.
+    sql="WITH s AS (SELECT o_orderkey, o_custkey, "
+    "ln(((o_orderkey * 2654435761) % 4294967296 + 0.5) / 4294967296) "
+    "/ o_totalprice AS wk FROM orders) "
+    "SELECT o_orderkey, o_custkey, "
+    "CAST(round_even(wk * 1000000000, 0) AS BIGINT) AS wkey_e9 "
+    "FROM s ORDER BY wk DESC, o_orderkey LIMIT 100",
+)
+def sample_weighted_orders(sf_dir: str):
+    """Deterministic weighted sampling without replacement (ES reservoir
+    key, relops.sample_weighted_topn): 100 orders drawn with probability
+    proportional to o_totalprice, reproducible across engines/runs/
+    partitionings — the weighted dev-subset primitive (quality-weighted
+    corpus subsampling) next to the uniform sample_hash_orders. Distributed
+    shape: per-batch prune to n, one small merge — no full sort."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = relops.sample_weighted_topn(ds, "o_orderkey", "o_totalprice", 100)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"], "o_custkey": df["o_custkey"],
+             "wkey_e9": np.round(df["__wkey"].to_numpy() * 1e9).astype(np.int64)}
+        )
+
+    return out.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+@query(
+    "markov_event_transitions",
+    sql="WITH t AS (SELECT COALESCE(LAG(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id), '_START_') AS prev_type, "
+    "event_type FROM events), "
+    "c AS (SELECT prev_type, event_type, COUNT(*) AS n FROM t GROUP BY 1, 2) "
+    "SELECT prev_type, event_type, CAST(n AS BIGINT) AS n, "
+    "CAST(round_even(CAST(n AS DOUBLE) / "
+    "CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) * 1000000, 0) "
+    "AS BIGINT) AS p_e6 FROM c",
+)
+def markov_event_transitions(sf_dir: str):
+    """First-order Markov transition matrix of the event stream: per-user
+    LAG over (ts, event_id) → (prev_type → type) counts → per-source-state
+    transition probabilities. Engine shape: one user-hash shuffle
+    (relops.window_lag), combiner count partials, and the probability
+    normalization runs co-partitioned on prev_type over the tiny |types|²
+    count table — the behavioral-model / session-simulation primitive."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    ds = relops.with_columns(ds, {"ts_us": lambda t: pc.cast(t["ts"], pa.int64())})
+    lagged = relops.window_lag(
+        ds, ["user_id"], ["ts_us", "event_id"], {"event_type": "prev_type"},
+        fill="_START_",
+    )
+    counts = relops.preagg_group_sum(
+        lagged.select_columns(["prev_type", "event_type"]),
+        ["prev_type", "event_type"], count_as="n",
+    )
+
+    def prob(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("prev_type")["n"].transform("sum")
+        p = df["n"].to_numpy(dtype=np.float64) / tot.to_numpy(dtype=np.float64)
+        return df.assign(p_e6=np.round(p * 1e6).astype(np.int64))
+
+    return relops.hash_partition_apply(counts, ["prev_type"], prob)
+
+
+@query(
+    "entropy_event_types_daily",
+    # order-independent float parity: each type's -p·ln(p) term is rounded
+    # to integer 1e-9 units FIRST (round_even == np.round banker's), then
+    # summed as exact BIGINTs — the per-day entropy is identical regardless
+    # of either engine's summation order.
+    sql="WITH c AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+    "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2), "
+    "t AS (SELECT day, n, CAST(round_even(-(CAST(n AS DOUBLE) / "
+    "CAST(SUM(n) OVER (PARTITION BY day) AS DOUBLE)) * "
+    "ln(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY day) AS DOUBLE)) "
+    "* 1000000000, 0) AS BIGINT) AS term FROM c) "
+    "SELECT day, CAST(SUM(n) AS BIGINT) AS n_events, "
+    "CAST(COUNT(*) AS BIGINT) AS n_types, "
+    "CAST(SUM(term) AS BIGINT) AS entropy_e9 FROM t GROUP BY day",
+)
+def entropy_event_types_daily(sf_dir: str):
+    """Per-day Shannon entropy of the event-type mix — the drift/anomaly
+    monitor for a streaming ingest (a collapsed day's entropy crashes).
+    Engine: combiner (day, type) count partials (the shuffle moves distinct
+    pairs, not rows), then entropy co-partitioned on day; terms are rounded
+    to integer nano-units before summing so the result is summation-order-
+    free on both engines."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    ds = relops.with_columns(
+        ds,
+        {"day": lambda t: pc.divide(pc.cast(t["ts"], pa.int64()),
+                                    pa.scalar(86_400_000_000, pa.int64()))},
+    )
+    counts = relops.preagg_group_sum(
+        ds.select_columns(["day", "event_type"]), ["day", "event_type"],
+        count_as="n",
+    )
+
+    def ent(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("day")["n"].transform("sum")
+        p = df["n"].to_numpy(dtype=np.float64) / tot.to_numpy(dtype=np.float64)
+        term = np.round(-(p * np.log(p)) * 1e9).astype(np.int64)
+        return (
+            df.assign(__term=term)
+            .groupby("day", as_index=False)
+            .agg(n_events=("n", "sum"), n_types=("n", "size"),
+                 entropy_e9=("__term", "sum"))
+            .astype({"n_events": "int64", "n_types": "int64",
+                     "entropy_e9": "int64"})
+        )
+
+    return relops.hash_partition_apply(counts, ["day"], ent)
+
+
+@query(
+    "abtest_purchase_conversion",
+    # conversion = the user's FIRST event (by ts, event_id) is a purchase —
+    # a landing-conversion metric with real variance at every SF (an
+    # ever-purchased flag saturates to 100% on this corpus and degenerates
+    # the pooled z to 0/0)
+    sql="WITH r AS (SELECT user_id, event_type, ROW_NUMBER() OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), "
+    "u AS (SELECT user_id, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END "
+    "AS c FROM r WHERE rn = 1), "
+    "a AS (SELECT user_id % 2 AS arm, COUNT(*) AS n, SUM(c) AS conv "
+    "FROM u GROUP BY 1), "
+    "w AS (SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0, "
+    "MAX(CASE WHEN arm = 0 THEN conv END) AS c0, "
+    "MAX(CASE WHEN arm = 1 THEN n END) AS n1, "
+    "MAX(CASE WHEN arm = 1 THEN conv END) AS c1 FROM a) "
+    "SELECT CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0, "
+    "CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1, "
+    "CAST(round_even((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) - "
+    "CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / "
+    "sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) * "
+    "(1 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) * "
+    "(1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) "
+    "* 1000000, 0) AS BIGINT) AS z_e6 FROM w",
+)
+def abtest_purchase_conversion(sf_dir: str):
+    """Two-proportion z-test between hash-assigned experiment arms (arm =
+    user_id % 2; conversion = the user's first event is a purchase) — the
+    A/B readout as a distributed query. Engine: per-user first event via
+    the group_first_last combiner (≤2 candidate rows per user per block
+    move) → per-arm combiner counts → one 2-row final task computes the
+    pooled z; identical float64 expression shape both sides (the
+    corr_chars_tokens recipe)."""
+    import math
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    ds = relops.with_columns(ds, {"ts_us": lambda t: pc.cast(t["ts"], pa.int64())})
+    users = relops.group_first_last(
+        ds, ["user_id"], ["ts_us", "event_id"], "event_type",
+        first_col="first_type", last_col="__last",
+    )
+
+    def arm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"arm": df["user_id"].to_numpy(dtype=np.int64) % 2,
+             "c": (df["first_type"].to_numpy() == "purchase").astype(np.int64)}
+        )
+        return t.groupby("arm", as_index=False, sort=False).agg(
+            n=("c", "size"), conv=("c", "sum"))
+
+    arm_parts = users.map_batches(arm_partial, batch_format="pandas", batch_size=None)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("arm", as_index=False).agg(n=("n", "sum"), conv=("conv", "sum"))
+             .sort_values("arm"))
+        n0, c0 = int(g["n"].iloc[0]), int(g["conv"].iloc[0])
+        n1, c1 = int(g["n"].iloc[1]), int(g["conv"].iloc[1])
+        pp = (c0 + c1) / (n0 + n1)
+        z = (c0 / n0 - c1 / n1) / math.sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1))
+        return pd.DataFrame(
+            {"n0": [n0], "c0": [c0], "n1": [n1], "c1": [c1],
+             "z_e6": [int(np.round(z * 1e6))]}
+        ).astype("int64")
+
+    return relops.hash_partition_apply(arm_parts, ["arm"], final, n_partitions=1)
+
+
+@query(
+    "dedup_edit_distance_titles",
+    # the oracle replays the planted-typo construction, the (prefix, length)
+    # blocking, the >256 hot-block guard, and DuckDB's levenshtein — the
+    # engine's vectorized DP must agree exactly on every surviving pair.
+    sql="WITH t AS (SELECT doc_id, substr(text, 1, 40) AS title "
+    "FROM documents WHERE length(text) >= 40), "
+    "aug AS (SELECT doc_id, title FROM t UNION ALL "
+    "SELECT doc_id + 10000000, substr(title, 1, 20) || 'q' || substr(title, 22) "
+    "FROM t WHERE doc_id % 17 = 0), "
+    "b AS (SELECT doc_id, title, substr(title, 1, 12) AS bk, "
+    "length(title) AS bl FROM aug), "
+    "ok AS (SELECT bk, bl FROM b GROUP BY bk, bl "
+    "HAVING COUNT(*) >= 2 AND COUNT(*) <= 256) "
+    "SELECT a.doc_id AS ida, c.doc_id AS idb, "
+    "CAST(levenshtein(a.title, c.title) AS BIGINT) AS dist "
+    "FROM b a JOIN b c ON a.bk = c.bk AND a.bl = c.bl AND a.doc_id < c.doc_id "
+    "JOIN ok ON ok.bk = a.bk AND ok.bl = a.bl "
+    "WHERE levenshtein(a.title, c.title) <= 2",
+)
+def dedup_edit_distance_titles(sf_dir: str):
+    """Blocked edit-distance near-dup join (dedup.edit_distance_pairs_ds)
+    over 40-char document title prefixes with PLANTED single-substitution
+    typos (every 17th doc re-appears under id+1e7 with char 21 → 'q' — the
+    planted-input oracle recipe of dedup_phash_images): candidate blocks =
+    (12-char prefix, length) key-hash shuffle, verification = pair-
+    vectorized Wagner–Fischer (no per-pair Python DP), hot blocks > 256
+    skipped deterministically on both engines."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def titles(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(pc.utf8_length(batch["text"]), pa.scalar(40))
+        batch = batch.filter(keep)
+        title = pc.utf8_slice_codeunits(batch["text"], 0, 40)
+        ids = batch["doc_id"]
+        planted = pa.array(
+            ids.to_numpy(zero_copy_only=False) % 17 == 0, pa.bool_()
+        )
+        base = pa.table({"doc_id": ids, "title": title})
+        ptab = base.filter(planted)
+        typo = [t[:20] + "q" + t[21:] for t in ptab["title"].to_pylist()]
+        aug = pa.table(
+            {"doc_id": pc.add(ptab["doc_id"], pa.scalar(10_000_000, pa.int64())),
+             "title": pa.array(typo, pa.string())}
+        )
+        return pa.concat_tables([base, aug])
+
+    aug = ds.map_batches(titles, batch_format="pyarrow")
+    return dedup.edit_distance_pairs_ds(
+        aug, "title", "doc_id", max_dist=2, block_prefix=12, max_block=256
+    )

@@ -2000,3 +2000,40 @@ def global_prefix_sum(
         return out.drop(columns=["__bkt"])
 
     return hash_partition_apply(bucketed, ["__bkt"], scan)
+
+
+def sample_weighted_topn(
+    ds: rd.Dataset,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    *,
+    mult: int = 2654435761,
+    mod: int = 4294967296,
+    out_col: str = "__wkey",
+) -> rd.Dataset:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis, "Weighted random sampling with a reservoir", IPL 2006): each
+    row draws u ~ U(0,1) from a reproducible integer hash of its key —
+    u = ((key·mult) mod 2³²  + 0.5) / 2³² (Knuth multiplicative hash; the
+    +0.5 keeps u strictly inside (0,1)) — and the sample is the top-``n``
+    rows by wkey = ln(u)/weight (the log-transformed u^(1/w) ES key; larger
+    is better). Cross-engine reproducible like :func:`sample_by_hash` —
+    the whole expression is plain integer/double arithmetic any SQL engine
+    replays bit-for-bit — but WEIGHTED: selection probability scales with
+    ``weight_col``. Distributed shape = :func:`topk`: per-batch prune to n,
+    one small merge task; no full sort, no RNG state.
+
+    The scored column ``out_col`` (float64) is kept on the output for
+    callers that want to re-rank or round; keys must be non-negative ints
+    with key·mult < 2⁶³ (no wraparound on either engine).
+    """
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key_col].to_numpy(dtype=np.int64)
+        u = ((k * mult) % mod + 0.5) / mod
+        w = df[weight_col].to_numpy(dtype=np.float64)
+        return df.assign(**{out_col: np.log(u) / w})
+
+    scored = ds.map_batches(score, batch_format="pandas", batch_size=None)
+    return topk(scored, [(out_col, True), (key_col, False)], n)

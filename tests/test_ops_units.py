@@ -2085,3 +2085,105 @@ class TestTriangleCounts:
             pd.testing.assert_series_equal(
                 got, want, check_names=False, check_index_type=False
             )
+
+
+class TestEditDistancePairs:
+    @staticmethod
+    def _lev_ref(a: str, b: str) -> int:
+        # classic scalar Wagner–Fischer, the trusted reference
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def test_vectorized_dp_matches_scalar_reference(self):
+        from pubcrawl.dedup import _lev_same_len_batch
+
+        rng = np.random.default_rng(7)
+        for L in (1, 2, 5, 17, 40):
+            a = rng.integers(97, 102, size=(64, L)).astype(np.uint8)  # 5-letter alphabet: real edits
+            b = a.copy()
+            # random mutations: substitutions plus shuffled rows (forces
+            # insert/delete structure, not just hamming)
+            mut = rng.random((64, L)) < 0.3
+            b[mut] = rng.integers(97, 102, size=int(mut.sum())).astype(np.uint8)
+            roll = rng.integers(0, L, size=64)
+            for r in range(0, 64, 3):
+                b[r] = np.roll(b[r], int(roll[r]))
+            got = _lev_same_len_batch(a, b)
+            for r in range(64):
+                sa = bytes(a[r]).decode()
+                sb = bytes(b[r]).decode()
+                assert got[r] == self._lev_ref(sa, sb), (L, r, sa, sb)
+
+    def test_blocked_pairs_match_brute_force(self):
+        from pubcrawl import dedup
+
+        rng = np.random.default_rng(3)
+        base = ["".join(chr(97 + c) for c in rng.integers(0, 4, 20)) for _ in range(60)]
+        rows = [{"id": i, "t": s} for i, s in enumerate(base)]
+        # planted typos past the prefix: same block, distance 1
+        for i in range(0, 60, 5):
+            s = base[i]
+            rows.append({"id": 1000 + i, "t": s[:15] + ("z" if s[15] != "z" else "y") + s[16:]})
+        df = pd.DataFrame(rows)
+        got = (
+            dedup.edit_distance_pairs_ds(
+                rd.from_pandas(df).repartition(5), "t", "id",
+                max_dist=2, block_prefix=8, max_block=256,
+            )
+            .to_pandas().sort_values(["ida", "idb"]).reset_index(drop=True)
+        )
+        # brute force with the same blocking contract
+        want = []
+        by_block: dict = {}
+        for r in rows:
+            by_block.setdefault((r["t"][:8], len(r["t"])), []).append(r)
+        for grp in by_block.values():
+            if not (2 <= len(grp) <= 256):
+                continue
+            grp = sorted(grp, key=lambda r: r["id"])
+            for x in range(len(grp)):
+                for y in range(x + 1, len(grp)):
+                    d = self._lev_ref(grp[x]["t"], grp[y]["t"])
+                    if d <= 2:
+                        want.append((grp[x]["id"], grp[y]["id"], d))
+        want = pd.DataFrame(want, columns=["ida", "idb", "dist"]).astype("int64")
+        want = want.sort_values(["ida", "idb"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+
+class TestSampleWeightedTopn:
+    def test_matches_numpy_es_keys_any_partitioning(self):
+        from pubcrawl import relops as r
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({
+            "k": np.arange(1, 501, dtype=np.int64),
+            "w": rng.uniform(0.5, 100.0, 500),
+        })
+        u = ((df["k"].to_numpy() * 2654435761) % 4294967296 + 0.5) / 4294967296
+        key = np.log(u) / df["w"].to_numpy()
+        want = df.assign(__wkey=key).nlargest(50, "__wkey")["k"].to_numpy()
+        for parts in (1, 7):
+            got = (
+                r.sample_weighted_topn(rd.from_pandas(df).repartition(parts), "k", "w", 50)
+                .to_pandas().sort_values("__wkey", ascending=False)["k"].to_numpy()
+            )
+            assert (got == want).all()
+
+    def test_weights_shift_selection_mass(self):
+        from pubcrawl import relops as r
+
+        # two strata: weight 100 vs weight 1 — the heavy stratum must win
+        # far more than its 50% share of top slots
+        df = pd.DataFrame({
+            "k": np.arange(1, 2001, dtype=np.int64),
+            "w": np.where(np.arange(2000) < 1000, 100.0, 1.0),
+        })
+        got = r.sample_weighted_topn(rd.from_pandas(df), "k", "w", 100).to_pandas()
+        heavy = (got["k"] <= 1000).sum()
+        assert heavy >= 90
