@@ -4245,3 +4245,254 @@ def dedup_edit_distance_titles(sf_dir: str):
     return dedup.edit_distance_pairs_ds(
         aug, "title", "doc_id", max_dist=2, block_prefix=12, max_block=256
     )
+
+
+@query(
+    "skyline_orders",
+    # the oracle is an O(n log n) window replay of the same frontier
+    # semantics (survive iff at your price group's min date AND strictly
+    # below the running min date of all strictly-higher prices) — NOT the
+    # O(n^2) NOT-EXISTS dominance formulation, so it stays tractable at
+    # the sf0.1 sweep gate; pure integer comparisons, exact at every SF.
+    sql="WITH r AS (SELECT o_orderkey, "
+    "CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_e2, "
+    "epoch_us(o_orderdate) AS date_us FROM orders), "
+    "g AS (SELECT price_e2, MIN(date_us) AS mind FROM r GROUP BY price_e2), "
+    "p AS (SELECT price_e2, mind, MIN(mind) OVER (ORDER BY price_e2 DESC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin FROM g), "
+    "sky AS (SELECT price_e2, mind FROM p WHERE pmin IS NULL OR mind < pmin) "
+    "SELECT r.o_orderkey, r.price_e2, CAST(r.date_us AS BIGINT) AS date_us "
+    "FROM r JOIN sky ON r.price_e2 = sky.price_e2 AND r.date_us = sky.mind",
+)
+def skyline_orders(sf_dir: str):
+    """Skyline / Pareto frontier (relops.skyline_2d): the orders no other
+    order beats on BOTH (higher total price, earlier order date) — the
+    multi-criteria shortlist operator (Börzsönyi et al., ICDE 2001). The
+    skyline is an idempotent combiner (skyline of a union = skyline of the
+    skylines), so each block reduces to its ~O(log n)-row local frontier
+    and one small merge task scans the union — no all-pairs dominance test
+    at any scale; ties on both dimensions are all kept."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+    ds = relops.with_columns(
+        ds,
+        {"price_e2": relops.money_to_units("o_totalprice"),
+         "date_us": lambda t: pc.cast(t["o_orderdate"], pa.int64())},
+    )
+    return relops.skyline_2d(
+        ds.select_columns(["o_orderkey", "price_e2", "date_us"]),
+        "price_e2", "date_us",
+    )
+
+
+@query(
+    "assoc_rules_copurchase",
+    # identical float expression SHAPE both engines: support = nij/N*1e6,
+    # conf = nij/nsrc*1e6, lift = (nij*N)/(nsrc*ndst) — ranking on the
+    # UNROUNDED lift double, ties broken by (src, dst); round_even == numpy
+    # banker's rounding on the reported columns.
+    sql="WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
+    "nn AS (SELECT COUNT(DISTINCT o) AS n FROM lp), "
+    "it AS (SELECT p, COUNT(*) AS ni FROM lp GROUP BY p), "
+    "pr AS (SELECT a.p AS src, b.p AS dst, COUNT(*) AS nij FROM lp a "
+    "JOIN lp b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 3), "
+    "j AS (SELECT src, dst, nij, ia.ni AS nsrc, ib.ni AS ndst FROM pr "
+    "JOIN it ia ON ia.p = src JOIN it ib ON ib.p = dst), "
+    "s AS (SELECT src, dst, nij, nsrc, ndst, CAST(nij AS DOUBLE) * "
+    "(SELECT n FROM nn) / (CAST(nsrc AS DOUBLE) * CAST(ndst AS DOUBLE)) AS lift FROM j) "
+    "SELECT src, dst, CAST(nij AS BIGINT) AS n_pair, "
+    "CAST(nsrc AS BIGINT) AS n_src, CAST(ndst AS BIGINT) AS n_dst, "
+    "CAST(round_even(CAST(nij AS DOUBLE) / (SELECT n FROM nn) * 1000000, 0) AS BIGINT) AS support_e6, "
+    "CAST(round_even(CAST(nij AS DOUBLE) / CAST(nsrc AS DOUBLE) * 1000000, 0) AS BIGINT) AS conf_e6, "
+    "CAST(round_even(lift * 1000000, 0) AS BIGINT) AS lift_e6 "
+    "FROM s ORDER BY lift DESC, src, dst LIMIT 100",
+)
+def assoc_rules_copurchase(sf_dir: str):
+    """Association rules over order baskets (Agrawal–Srikant market-basket
+    mining): top-100 co-purchased part pairs by lift, with support and
+    confidence. Engine shape: distinct (order, part) via a combiner
+    (preagg_group_sum), pair generation = ONE co-partitioned self-join on
+    the order key (per-basket pair fan-out is bounded by TPC-H's ≤7 items/
+    order — no hot-basket blowup), minsup pruning BEFORE the two
+    co-partitioned item-count joins (the pmi_bigrams recipe: the item
+    vocabulary is never broadcast), top-k by unrounded lift."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    lp = relops.preagg_group_sum(li, ["l_orderkey", "l_partkey"], count_as="__n")
+    lp = lp.select_columns(["l_orderkey", "l_partkey"])
+
+    # N = distinct baskets: combiner count over the already-distinct pairs
+    n_orders = relops.preagg_group_sum(
+        lp.select_columns(["l_orderkey"]), ["l_orderkey"], count_as="__n"
+    ).count()
+
+    # per-item basket counts n_i
+    items = relops.preagg_group_sum(lp, ["l_partkey"], count_as="ni")
+
+    # pair counts: self-join on the basket key, ordered pairs only
+    a = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "src"]),
+                       batch_format="pyarrow")
+    b = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "dst"]),
+                       batch_format="pyarrow")
+    pairs = relops.hash_join(a, b, on="l_orderkey",
+                             left_cols=["src"], right_cols=["dst"])
+    pairs = pairs.map_batches(
+        lambda df: df.loc[df["src"] < df["dst"], ["src", "dst"]],
+        batch_format="pandas", batch_size=None,
+    )
+    counted = relops.preagg_group_sum(pairs, ["src", "dst"], count_as="nij")
+    counted = counted.map_batches(
+        lambda df: df[df["nij"] >= 3], batch_format="pandas", batch_size=None)
+
+    # attach n_src / n_dst: two co-partitioned joins against the item counts
+    src_named = items.map_batches(
+        lambda t: t.rename_columns(["src", "__ni"]), batch_format="pyarrow")
+    j1 = relops.hash_join(counted, src_named, on="src",
+                          left_cols=["dst", "nij"], right_cols=["__ni"])
+    j1 = j1.map_batches(lambda df: df.rename(columns={"__ni": "nsrc"}),
+                        batch_format="pandas", batch_size=None)
+    dst_named = items.map_batches(
+        lambda t: t.rename_columns(["dst", "__ni"]), batch_format="pyarrow")
+    j2 = relops.hash_join(j1, dst_named, on="dst",
+                          left_cols=["src", "nij", "nsrc"], right_cols=["__ni"])
+
+    n_f = float(n_orders)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        nij = df["nij"].to_numpy(dtype=np.float64)
+        ns = df["nsrc"].to_numpy(dtype=np.float64)
+        nd = df["__ni"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {"src": df["src"].astype("int64"), "dst": df["dst"].astype("int64"),
+             "n_pair": df["nij"].astype("int64"),
+             "n_src": df["nsrc"].astype("int64"), "n_dst": df["__ni"].astype("int64"),
+             "support_e6": np.round(nij / n_f * 1e6).astype(np.int64),
+             "conf_e6": np.round(nij / ns * 1e6).astype(np.int64),
+             "__lift": nij * n_f / (ns * nd)}
+        )
+
+    scored = j2.map_batches(score, batch_format="pandas", batch_size=None)
+    top = relops.topk(scored, [("__lift", True), ("src", False), ("dst", False)], 100)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.assign(lift_e6=np.round(df["__lift"].to_numpy() * 1e6).astype(np.int64))
+        return out.drop(columns=["__lift"])
+
+    return top.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+@query(
+    "mad_outlier_prices",
+    sql="WITH r AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS p FROM orders), "
+    "m AS (SELECT quantile_disc(p, 0.5) AS med FROM r), "
+    "d AS (SELECT abs(p - (SELECT med FROM m)) AS dev FROM r), "
+    "md AS (SELECT quantile_disc(dev, 0.5) AS mad FROM d) "
+    "SELECT CAST((SELECT med FROM m) AS BIGINT) AS median_e2, "
+    "CAST((SELECT mad FROM md) AS BIGINT) AS mad_e2, "
+    "CAST((SELECT COUNT(*) FROM d WHERE dev > 3 * (SELECT mad FROM md)) "
+    "AS BIGINT) AS n_outliers, CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS n",
+)
+def mad_outlier_prices(sf_dir: str):
+    """Robust outlier detection by median absolute deviation — the
+    heavy-tail-safe alternative to the z-score (a single corrupt shard
+    can't move the threshold, unlike mean/stddev): median via the exact
+    distributed histogram quantile (relops.group_quantile_disc — distinct
+    values move, not rows), one scalar to the driver, |x−median| second
+    pass for the MAD, then a combiner count of rows beyond 3·MAD. Three
+    streaming passes, pure integer cents throughout."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    ds = relops.with_columns(ds, {"p": relops.money_to_units("o_totalprice")})
+    ds = ds.select_columns(["p"])
+
+    def const_grp(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__g=np.int64(0))
+
+    g = ds.map_batches(const_grp, batch_format="pandas", batch_size=None)
+    med = int(
+        relops.group_quantile_disc(g, ["__g"], "p", {"med": 0.5})
+        .to_pandas()["med"].iloc[0]
+    )
+
+    def dev(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"dev": np.abs(df["p"].to_numpy(dtype=np.int64) - med),
+             "__g": np.int64(0)}
+        )
+
+    devs = ds.map_batches(dev, batch_format="pandas", batch_size=None)
+    mad = int(
+        relops.group_quantile_disc(devs, ["__g"], "dev", {"mad": 0.5})
+        .to_pandas()["mad"].iloc[0]
+    )
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["dev"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"n_outliers": [int((d > 3 * mad).sum())],
+                             "n": [len(d)], "__g": [np.int64(0)]})
+
+    parts = devs.map_batches(flag, batch_format="pandas", batch_size=None)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"median_e2": [med], "mad_e2": [mad],
+             "n_outliers": [int(df["n_outliers"].sum())],
+             "n": [int(df["n"].sum())]}
+        ).astype("int64")
+
+    return relops.hash_partition_apply(parts, ["__g"], final, n_partitions=1)
+
+
+@query(
+    "checksum_orders_table",
+    # uint64 wraparound parity: numpy uint64 multiply/add wraps mod 2^64 by
+    # construction; DuckDB replays the wrap explicitly in HUGEINT (% 2^64
+    # after the linear form, sums of 2^64-bounded terms stay << HUGEINT
+    # range), final fold to 2^62 so the reported column fits signed BIGINT.
+    sql="WITH r AS (SELECT (CAST(o_orderkey AS HUGEINT) * 11400714819323198485 "
+    "+ CAST(o_custkey AS HUGEINT) * 14029467366897019727 "
+    "+ CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS HUGEINT) * 1609587929392839161) "
+    "% 18446744073709551616 AS h FROM orders) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST((SUM(h) % 18446744073709551616) % 4611686018427387904 AS BIGINT) "
+    "AS checksum FROM r",
+)
+def checksum_orders_table(sf_dir: str):
+    """Order-independent table fingerprint for cross-engine / cross-replica
+    reconciliation (the anti-entropy primitive behind 'did the migration
+    copy every row bit-for-bit?'): each row maps to a uint64 via a linear
+    multiplicative hash of its key columns, the checksum is the wraparound
+    sum — commutative and mergeable, so per-batch partials fold in one tiny
+    merge task regardless of partitioning, row order, or engine. A single
+    changed/dropped/duplicated row shifts the checksum with probability
+    ~1-2⁻⁶², and the same arithmetic replays exactly in ANSI SQL."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    C1 = np.uint64(11400714819323198485)
+    C2 = np.uint64(14029467366897019727)
+    C3 = np.uint64(1609587929392839161)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k1 = df["o_orderkey"].to_numpy(dtype=np.int64).astype(np.uint64)
+        k2 = df["o_custkey"].to_numpy(dtype=np.int64).astype(np.uint64)
+        p = np.round(df["o_totalprice"].to_numpy(dtype=np.float64) * 100)
+        k3 = p.astype(np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = k1 * C1 + k2 * C2 + k3 * C3  # wraps mod 2^64, matching the SQL
+            s = np.uint64(np.sum(h, dtype=np.uint64))
+        # the uint64 partial rides an unsigned column (wrap-sum is
+        # associative mod 2^64, so partials fold in any grouping)
+        return pd.DataFrame({"__g": np.array([0], np.int64),
+                             "n": np.array([len(k1)], np.int64),
+                             "s": np.array([s], np.uint64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        with np.errstate(over="ignore"):
+            total = np.uint64(
+                np.sum(df["s"].to_numpy(dtype=np.uint64), dtype=np.uint64)
+            )
+        return pd.DataFrame(
+            {"n": [int(df["n"].sum())],
+             "checksum": [int(total % np.uint64(2**62))]}
+        ).astype("int64")
+
+    return relops.hash_partition_apply(parts, ["__g"], final, n_partitions=1)

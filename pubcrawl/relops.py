@@ -2037,3 +2037,45 @@ def sample_weighted_topn(
 
     scored = ds.map_batches(score, batch_format="pandas", batch_size=None)
     return topk(scored, [(out_col, True), (key_col, False)], n)
+
+
+def skyline_2d(ds: rd.Dataset, max_col: str, min_col: str) -> rd.Dataset:
+    """Distributed 2-D skyline (Pareto frontier): the rows not dominated by
+    any other row, where p dominates q iff ``p[max_col] >= q[max_col]`` AND
+    ``p[min_col] <= q[min_col]`` with at least one strict — the multi-
+    criteria shortlist operator (Börzsönyi et al., "The Skyline Operator",
+    ICDE 2001). Ties on BOTH dimensions are all kept (neither dominates).
+
+    Distributed shape: the skyline is an idempotent combiner — the skyline
+    of a union equals the skyline of the skylines — so each block reduces
+    to its local frontier (per 2-D random data that's ~O(log n) rows) and
+    ONE small merge task scans the union; no all-pairs dominance test and
+    no full sort ever happens. The per-block scan is vectorized: sort by
+    (max_col desc, min_col asc), survivors are the rows at their max_col
+    group's min AND strictly below the running min of all strictly-greater
+    max_col rows. Both columns must be integer-valued (exact comparisons;
+    cast money to cents first).
+    """
+
+    def sky(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        d = df.sort_values([max_col, min_col], ascending=[False, True],
+                           kind="mergesort").reset_index(drop=True)
+        mx = d[max_col].to_numpy()
+        mn = d[min_col].to_numpy()
+        n = len(d)
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = mx[1:] != mx[:-1]
+        grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(n), 0))
+        is_grp_min = mn == mn[grp_start]
+        cummin = np.minimum.accumulate(mn)
+        prev_min = np.where(
+            grp_start > 0, cummin[np.maximum(grp_start - 1, 0)],
+            np.iinfo(np.int64).max,
+        )
+        return d[is_grp_min & (mn < prev_min)]
+
+    partials = ds.map_batches(sky, batch_format="pandas", batch_size=None)
+    return hash_partition_apply(partials, [max_col], sky, n_partitions=1)

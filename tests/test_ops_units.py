@@ -2187,3 +2187,56 @@ class TestSampleWeightedTopn:
         got = r.sample_weighted_topn(rd.from_pandas(df), "k", "w", 100).to_pandas()
         heavy = (got["k"] <= 1000).sum()
         assert heavy >= 90
+
+
+class TestSkyline2D:
+    @staticmethod
+    def _brute(df: pd.DataFrame, mx: str, mn: str) -> pd.DataFrame:
+        keep = []
+        rows = df.to_dict("records")
+        for i, p in enumerate(rows):
+            dominated = any(
+                q[mx] >= p[mx] and q[mn] <= p[mn]
+                and (q[mx] > p[mx] or q[mn] < p[mn])
+                for j, q in enumerate(rows) if j != i
+            )
+            if not dominated:
+                keep.append(p)
+        return pd.DataFrame(keep)
+
+    def test_matches_brute_force_with_ties(self):
+        from pubcrawl import relops as r
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({
+            "id": np.arange(300, dtype=np.int64),
+            # small integer domains force ties on both dimensions
+            "price": rng.integers(0, 40, 300).astype(np.int64),
+            "date": rng.integers(0, 40, 300).astype(np.int64),
+        })
+        for parts in (1, 6):
+            got = (
+                r.skyline_2d(rd.from_pandas(df).repartition(parts), "price", "date")
+                .to_pandas().sort_values("id").reset_index(drop=True)
+            )
+            want = (
+                self._brute(df, "price", "date")
+                .sort_values("id").reset_index(drop=True)[got.columns.tolist()]
+            )
+            pd.testing.assert_frame_equal(got, want, check_like=True)
+
+    def test_single_point_and_monotone_chain(self):
+        from pubcrawl import relops as r
+
+        one = pd.DataFrame({"id": [1], "price": [5], "date": [7]})
+        got = r.skyline_2d(rd.from_pandas(one), "price", "date").to_pandas()
+        assert len(got) == 1
+        # trade-off chain (higher price always costs a later date): every
+        # point is on the (max price, min date) frontier
+        chain = pd.DataFrame({
+            "id": np.arange(20, dtype=np.int64),
+            "price": np.arange(20, dtype=np.int64),
+            "date": np.arange(20, dtype=np.int64),
+        })
+        got = r.skyline_2d(rd.from_pandas(chain).repartition(4), "price", "date").to_pandas()
+        assert len(got) == 20
