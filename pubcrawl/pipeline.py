@@ -224,73 +224,98 @@ def _as_array(col) -> pa.Array:
     return col
 
 
-def commit_bucket(group: pa.Table, store_root: str, depth: int) -> pa.Table:
+def commit_bucket(
+    group: pa.Table,
+    store_root: str,
+    depth: int,
+    parts: tuple = ("pages", "links", "images"),
+) -> pa.Table:
     """groupby(bucket).map_groups sink: builds pages / links / images tables
     for one contiguous-seq bucket and commits each as an immutable fragment.
     Stateless task (the store handle is a cheap path wrapper); idempotent —
-    a committed partition_id is skipped (resume)."""
+    a committed partition_id is skipped (resume).
+
+    ``parts`` selects which fragments to build+commit: the crawl loop splits
+    the bucket into a pages+links half (awaited inside the round — the next
+    round's expand reads the links) and an images half (the bulk: binary
+    payloads) that drains OFF the round's critical path, overlapped with the
+    next round's expand+fetch. Resume safety: a bucket only skips refetch
+    when ALL THREE fragments are committed (_run_round's done-check), and
+    commits are idempotent by partition_id, so any crash ordering between
+    the halves recomputes exactly the missing fragments."""
     store = ParquetFragmentStore(store_root)
     t0 = time.monotonic()
     bucket = int(group["bucket"][0].as_py())
     d = depth
-    pages = group.select(
-        ["url", "host", "url_hash", "depth", "seq", "kind", "status",
-         "n_links", "n_images", "payload_bytes"]
-    ).cast(PAGES)
-
-    # links: explode list<string> with positional link_idx — all Arrow/numpy
-    # kernels (round-2 fix for VERDICT What's-wrong #6: the to_pylist loops
-    # here copied every payload into Python objects on the hot commit path)
-    lc = _as_array(group["links"])
-    lparents = pc.list_parent_indices(lc).to_numpy(zero_copy_only=False)
-    lflat = pc.list_flatten(lc)
-    llen = pc.list_value_length(lc).to_numpy(zero_copy_only=False).astype(np.int64)
-    starts = np.cumsum(llen) - llen
-    link_idx = np.arange(len(lflat), dtype=np.int32) - np.repeat(starts, llen).astype(np.int32)
-    seqs_np = group["seq"].to_numpy(zero_copy_only=False)
-    depths_np = group["depth"].to_numpy(zero_copy_only=False)
-    prios_np = group["priority"].to_numpy(zero_copy_only=False)
-    links_tbl = pa.table(
-        {
-            "url": lflat,
-            "parent_seq": pa.array(seqs_np[lparents], pa.int64()),
-            "link_idx": pa.array(link_idx, pa.int32()),
-            "depth": pa.array(depths_np[lparents].astype(np.int64) + 1, pa.int32()),
-            "priority": pa.array(prios_np[lparents], pa.float64()),
-        },
-        schema=LINKS_SCHEMA,
-    )
-
-    # images: explode list<struct> — list_flatten yields the struct array
-    # whose child fields (including the image bytes) come out zero-copy
-    ic = _as_array(group["images"])
-    iparents = pc.list_parent_indices(ic)
-    iflat = pc.list_flatten(ic)
-    images_tbl = pa.table(
-        {
-            **{
-                k: pc.cast(iflat.field(k), IMAGE_CAPTION.field(k).type)
-                for k in IMAGE_CAPTION.names
-            },
-            "url_hash": pc.cast(pc.take(group["url_hash"], iparents), pa.uint64()),
-            "seq": pc.cast(pc.take(group["seq"], iparents), pa.int64()),
-            "img_idx": pc.cast(iflat.field("img_idx"), pa.int32()),
-        }
-    )
-
     errors = int(pc.sum(pc.cast(pc.not_equal(group["status"], 200), pa.int64())).as_py() or 0)
-    wall_ms = int((time.monotonic() - t0) * 1000)
     lineage = f"depth={d};bucket={bucket};n_urls={group.num_rows}"
+    n_links = n_images = 0
+
+    if "pages" in parts:
+        pages = group.select(
+            ["url", "host", "url_hash", "depth", "seq", "kind", "status",
+             "n_links", "n_images", "payload_bytes"]
+        ).cast(PAGES)
+
+    if "links" in parts:
+        # links: explode list<string> with positional link_idx — all Arrow/
+        # numpy kernels (round-2 fix for VERDICT What's-wrong #6: the
+        # to_pylist loops here copied every payload into Python objects on
+        # the hot commit path)
+        lc = _as_array(group["links"])
+        lparents = pc.list_parent_indices(lc).to_numpy(zero_copy_only=False)
+        lflat = pc.list_flatten(lc)
+        llen = pc.list_value_length(lc).to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.cumsum(llen) - llen
+        link_idx = np.arange(len(lflat), dtype=np.int32) - np.repeat(starts, llen).astype(np.int32)
+        seqs_np = group["seq"].to_numpy(zero_copy_only=False)
+        depths_np = group["depth"].to_numpy(zero_copy_only=False)
+        prios_np = group["priority"].to_numpy(zero_copy_only=False)
+        links_tbl = pa.table(
+            {
+                "url": lflat,
+                "parent_seq": pa.array(seqs_np[lparents], pa.int64()),
+                "link_idx": pa.array(link_idx, pa.int32()),
+                "depth": pa.array(depths_np[lparents].astype(np.int64) + 1, pa.int32()),
+                "priority": pa.array(prios_np[lparents], pa.float64()),
+            },
+            schema=LINKS_SCHEMA,
+        )
+        n_links = links_tbl.num_rows
+
+    if "images" in parts:
+        # images: explode list<struct> — list_flatten yields the struct array
+        # whose child fields (including the image bytes) come out zero-copy
+        ic = _as_array(group["images"])
+        iparents = pc.list_parent_indices(ic)
+        iflat = pc.list_flatten(ic)
+        images_tbl = pa.table(
+            {
+                **{
+                    k: pc.cast(iflat.field(k), IMAGE_CAPTION.field(k).type)
+                    for k in IMAGE_CAPTION.names
+                },
+                "url_hash": pc.cast(pc.take(group["url_hash"], iparents), pa.uint64()),
+                "seq": pc.cast(pc.take(group["seq"], iparents), pa.int64()),
+                "img_idx": pc.cast(iflat.field("img_idx"), pa.int32()),
+            }
+        )
+        n_images = images_tbl.num_rows
+
+    wall_ms = int((time.monotonic() - t0) * 1000)
     metrics = {"fetch_errors": errors, "wall_ms": wall_ms}
-    store.commit(pages, f"pages_d{d}_b{bucket:05d}", lineage, metrics)
-    store.commit(links_tbl, f"links_d{d}_b{bucket:05d}", lineage, metrics)
-    store.commit(images_tbl, f"images_d{d}_b{bucket:05d}", lineage, metrics)
+    if "pages" in parts:
+        store.commit(pages, f"pages_d{d}_b{bucket:05d}", lineage, metrics)
+    if "links" in parts:
+        store.commit(links_tbl, f"links_d{d}_b{bucket:05d}", lineage, metrics)
+    if "images" in parts:
+        store.commit(images_tbl, f"images_d{d}_b{bucket:05d}", lineage, metrics)
     return pa.table(
         {
             "bucket": pa.array([bucket], pa.int64()),
             "urls": pa.array([group.num_rows], pa.int64()),
-            "images": pa.array([images_tbl.num_rows], pa.int64()),
-            "links": pa.array([links_tbl.num_rows], pa.int64()),
+            "images": pa.array([n_images], pa.int64()),
+            "links": pa.array([n_links], pa.int64()),
             "errors": pa.array([errors], pa.int64()),
         }
     )
@@ -435,6 +460,26 @@ def commit_bucket_refs(store_root: str, depth: int, *blocks: pa.Table) -> dict:
     return commit_bucket(group, store_root, depth).to_pylist()[0]
 
 
+@ray.remote
+def commit_bucket_meta_refs(store_root: str, depth: int, *blocks: pa.Table) -> dict:
+    """Pages+links half of the bucket commit — the rows the NEXT round's
+    expand reads; awaited inside the round wall (concat of shared plasma
+    blocks is zero-copy, so building only the metadata tables never touches
+    the image payload buffers)."""
+    group = pa.concat_tables([b for b in blocks if b.num_rows > 0])
+    return commit_bucket(group, store_root, depth, parts=("pages", "links")).to_pylist()[0]
+
+
+@ray.remote
+def commit_bucket_images_refs(store_root: str, depth: int, *blocks: pa.Table) -> dict:
+    """Images half (the binary bulk): drains OFF the round's critical path,
+    overlapped with the next round's expand+fetch. Gathered before the final
+    manifest rollup; resume is safe under any crash ordering because a bucket
+    only skips refetch when pages+links+images are ALL committed."""
+    group = pa.concat_tables([b for b in blocks if b.num_rows > 0])
+    return commit_bucket(group, store_root, depth, parts=("images",)).to_pylist()[0]
+
+
 @dataclass
 class CrawlReport:
     seen: int = 0
@@ -492,6 +537,7 @@ class CrawlPipeline:
         self.bucket_size = bucket_size
         self.max_retries = max_retries
         self._inflight: list[set] = [set() for _ in range(fetch_concurrency)]
+        self._pending_commits: list = []  # off-critical-path images commits
         # pre-warm the pool: actor processes spawn lazily on first .remote()
         # and the first process() call pays ~0.5 s of in-actor import/JIT on
         # top of the spawn, so without this the whole pool's startup
@@ -672,7 +718,13 @@ class CrawlPipeline:
         todo = [
             (b, p, r)
             for b, p, r in all_slices
-            if f"images_d{depth}_b{b:05d}" not in committed
+            # a bucket skips refetch only when ALL THREE fragments are
+            # durable — the meta/images commit halves land independently, so
+            # any single committed pid is not proof the bucket finished
+            if not all(
+                f"{part}_d{depth}_b{b:05d}" in committed
+                for part in ("pages", "links", "images")
+            )
         ]
         if todo:
             # priority scheduler (north_rule): buckets are SUBMITTED to the
@@ -690,11 +742,18 @@ class CrawlPipeline:
                 for sref in bucket_slices[b]:
                     per_bucket.setdefault(b, []).append(self._dispatch_least_loaded(sref))
             t_commit = time.monotonic()
-            commits = [
-                commit_bucket_refs.remote(self.store_root, depth, *refs)
+            # split commit: await only the pages+links half (next round's
+            # expand input); the bulky images half drains concurrently with
+            # the next round and is gathered before the final rollup
+            meta_commits = [
+                commit_bucket_meta_refs.remote(self.store_root, depth, *refs)
                 for b, refs in per_bucket.items()
             ]
-            ray.get(commits)
+            self._pending_commits.extend(
+                commit_bucket_images_refs.remote(self.store_root, depth, *refs)
+                for b, refs in per_bucket.items()
+            )
+            ray.get(meta_commits)
         else:
             t_commit = time.monotonic()
         t_done = time.monotonic()
@@ -739,6 +798,38 @@ class CrawlPipeline:
         if self.store.committed():
             self._reseed_from_checkpoint()
         raw = rd.from_arrow(self._seed_table())
+        try:
+            depth, seq_base = self._rounds(raw, depth, seq_base, report)
+        finally:
+            # ALWAYS drain the off-critical-path images commits before run()
+            # exits — on the crash path too: a background commit task
+            # outliving run() could race a same-process resume on the same
+            # partition_id (both see it uncommitted and write the same .tmp).
+            # A real crash kills the driver and its tasks with it; this
+            # finally closes the in-process window the kill/resume tests
+            # exercise. Timed into wall_fetch_s: the residual is the LAST
+            # round's images writes — genuine fetch-phase work.
+            t0 = time.monotonic()
+            if self._pending_commits:
+                ray.wait(self._pending_commits, num_returns=len(self._pending_commits))
+            report.wall_fetch_s += time.monotonic() - t0
+        # propagate any commit-task error (instant: tasks already drained)
+        if self._pending_commits:
+            ray.get(self._pending_commits)
+            self._pending_commits = []
+        report.seen = seq_base
+        # roll up metrics from the manifest
+        for pid, rec in self.store.committed().items():
+            if pid.startswith("pages_"):
+                report.fetched += rec["rows"]
+                report.errors += rec["fetch_errors"]
+            elif pid.startswith("images_"):
+                report.images += rec["rows"]
+            elif pid.startswith("links_"):
+                report.links += rec["rows"]
+        return report
+
+    def _rounds(self, raw, depth, seq_base, report):
         while depth <= self.max_depth:
             t0 = time.monotonic()
             refs, n_rows, max_seq = self._build_frontier_refs(raw, depth, seq_base)
@@ -774,17 +865,7 @@ class CrawlPipeline:
                 override_num_blocks=nblocks,
             )
             depth += 1
-        report.seen = seq_base
-        # roll up metrics from the manifest
-        for pid, rec in self.store.committed().items():
-            if pid.startswith("pages_"):
-                report.fetched += rec["rows"]
-                report.errors += rec["fetch_errors"]
-            elif pid.startswith("images_"):
-                report.images += rec["rows"]
-            elif pid.startswith("links_"):
-                report.links += rec["rows"]
-        return report
+        return depth, seq_base
 
 
 # ---------------------------------------------------------------- readers

@@ -43,6 +43,42 @@ def test_manifest_gates_visibility(tmp_path):
     assert store.committed_paths() == [store.fragment_path("real")]
 
 
+def test_resume_refetches_bucket_with_partial_split_commit(tmp_path):
+    """The bucket-commit halves (pages+links vs images) land independently, so
+    a crash can leave a bucket with ONLY its images fragment committed. The
+    done-check must require ALL THREE fragments — keying on images alone (the
+    pre-split behavior) would skip the refetch and lose the bucket's pages and
+    links forever (the next round's expand reads the links)."""
+    import pyarrow.parquet as pq
+
+    oracle = crawl_oracle(CFG)
+    root_a = str(tmp_path / "a")
+    crawl(CFG, root_a, fetch_concurrency=2, bucket_size=16, seen_shards=2)
+    store_a = ParquetFragmentStore(root_a)
+    img_pid = next(p for p in sorted(store_a.committed()) if p.startswith("images_d0_b"))
+
+    # fresh store holding ONLY that images fragment (a crash between the
+    # commit halves): resume must refetch the bucket, idempotently skip the
+    # already-committed images, and write the missing pages+links
+    root_b = str(tmp_path / "b")
+    store_b = ParquetFragmentStore(root_b)
+    store_b.commit(pq.read_table(store_a.fragment_path(img_pid)), img_pid)
+
+    crawl(CFG, root_b, fetch_concurrency=2, bucket_size=16, seen_shards=2)
+    committed = ParquetFragmentStore(root_b).committed()
+    for part in ("pages", "links"):
+        assert img_pid.replace("images", part) in committed
+    pages = load_pages(root_b).to_pandas()
+    assert set(int(x) for x in pages.url_hash) == oracle.seen_hashes
+    imgs = load_images(root_b, canonical_order=True).to_pandas()
+    golden = oracle.rows.to_pandas()
+    assert list(imgs.image_id) == list(golden.image_id)
+    # the pre-committed fragment was reused, not rewritten (idempotent)
+    with open(os.path.join(root_b, "_manifest.jsonl")) as f:
+        pids = [json.loads(l)["partition_id"] for l in f if l.strip()]
+    assert pids.count(img_pid) == 1
+
+
 def test_resume_after_mid_crawl_kill(tmp_path):
     oracle = crawl_oracle(CFG)
     root = str(tmp_path / "store")
