@@ -4496,3 +4496,194 @@ def checksum_orders_table(sf_dir: str):
         ).astype("int64")
 
     return relops.hash_partition_apply(parts, ["__g"], final, n_partitions=1)
+
+
+# ====================================================== ordered string agg
+
+
+@query(
+    "string_agg_user_paths",
+    sql="WITH e AS (SELECT user_id, event_type, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+    "FROM events), "
+    "p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path "
+    "FROM e WHERE rn <= 8 GROUP BY user_id) "
+    "SELECT path, COUNT(*) AS n_users FROM p GROUP BY path "
+    "ORDER BY n_users DESC, path LIMIT 20",
+)
+def string_agg_user_paths(sf_dir: str):
+    """Ordered string aggregation (SQL string_agg ... ORDER BY): each user's
+    first-8 chronological event-type path, then the top-20 most common
+    paths — the user-journey digest behind funnel mining. Engine: ONE
+    hash-partition shuffle on user_id (each user's events land in one merge
+    task; ordering by (ts, event_id) is total, so the concat is
+    deterministic), per-batch path-count partials, and a topk whose exchange
+    moves at most 20 rows per block. Beyond-reference op; the pandas
+    str-join runs once per user on an already co-partitioned frame — no
+    driver gather at any step."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def paths(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"path": pd.Series([], dtype="object")})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        rn = df.groupby("user_id", sort=False).cumcount()
+        head = df[rn < 8]
+        p = head.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        return pd.DataFrame({"path": p.to_numpy()})
+
+    per_user = relops.hash_partition_apply(ds, ["user_id"], paths)
+    counts = relops.preagg_group_sum(per_user, ["path"], count_as="n_users")
+    return relops.topk(counts, [("n_users", True), ("path", False)], 20)
+
+
+# ====================================================== grouped regression
+
+
+@query(
+    "regr_order_price_trend",
+    # identical float64 expression SHAPE both sides (the corr_chars_tokens
+    # recipe): daily revenue is exact int cents, day is exact int epoch-days,
+    # all sufficient statistics are exact ints, converted to double at the
+    # same two points before one division, one *1e6, banker's rounding.
+    sql="WITH d AS (SELECT o_orderpriority AS pri, "
+    "CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day, "
+    "SUM(CAST(round_even(o_totalprice*100, 0) AS BIGINT)) AS rev "
+    "FROM orders GROUP BY 1, 2), "
+    "a AS (SELECT pri, COUNT(*) AS n, SUM(day) AS sx, SUM(rev) AS sy, "
+    "SUM(day*day) AS sxx, SUM(day*rev) AS sxy FROM d GROUP BY pri) "
+    "SELECT pri, CAST(n AS BIGINT) AS n_days, "
+    "CAST(round_even(CAST(n*sxy - sx*sy AS DOUBLE) / "
+    "CAST(n*sxx - sx*sx AS DOUBLE) * 1000000, 0) AS BIGINT) AS slope_e6 "
+    "FROM a",
+)
+def regr_order_price_trend(sf_dir: str):
+    """Per-priority least-squares trend of daily revenue vs time (SQL
+    regr_slope semantics, replayed exactly): per-batch (priority, day)
+    revenue partials in int cents → one co-partitioned merge that folds the
+    partials and finishes the closed-form slope from five integer sufficient
+    statistics. The trend-dashboard pattern at 100 TB: rows never shuffle,
+    only (groups × days) partial rows and five ints per group move."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def daily(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["o_orderdate"].astype("int64") // 86_400_000_000).astype("int64")
+        cents = np.round(df["o_totalprice"].to_numpy(np.float64) * 100).astype(np.int64)
+        t = pd.DataFrame({"pri": df["o_orderpriority"].to_numpy(), "day": day,
+                          "rev": cents})
+        return t.groupby(["pri", "day"], as_index=False, sort=False)["rev"].sum()
+
+    partials = ds.map_batches(daily, batch_format="pandas", batch_size=None)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["pri", "day"], as_index=False)["rev"].sum()
+        rows = []
+        for pri, sub in g.groupby("pri", sort=False):
+            x = sub["day"].to_numpy(np.int64)
+            y = sub["rev"].to_numpy(np.int64)
+            # python ints: exact at any magnitude (SQL side is HUGEINT)
+            n = len(x)
+            sx, sy = int(x.sum()), int(y.sum())
+            sxx = int(np.sum(x * x, dtype=np.int64))
+            sxy = int(np.sum(x * y, dtype=np.int64))
+            slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+            rows.append((pri, n, int(np.round(slope * 1e6))))
+        return pd.DataFrame(rows, columns=["pri", "n_days", "slope_e6"]).astype(
+            {"n_days": "int64", "slope_e6": "int64"})
+
+    return relops.hash_partition_apply(partials, ["pri"], final)
+
+
+# ====================================================== Benford digit audit
+
+
+@query(
+    "benford_price_digits",
+    sql="WITH c AS (SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) "
+    "AS VARCHAR), 1, 1) AS BIGINT) AS digit, COUNT(*) AS n "
+    "FROM orders GROUP BY 1), "
+    "t AS (SELECT SUM(n) AS total FROM c) "
+    "SELECT digit, CAST(n AS BIGINT) AS n, "
+    "CAST(round_even((CAST(n AS DOUBLE)/CAST(total AS DOUBLE) - "
+    "log10(1.0 + 1.0/CAST(digit AS DOUBLE))) * 1000000, 0) AS BIGINT) AS dev_e6 "
+    "FROM c, t WHERE digit >= 1",
+)
+def benford_price_digits(sf_dir: str):
+    """Benford's-law audit of order prices: leading-digit counts (exact —
+    digit taken from the int64 decimal string, not float log10, so boundary
+    values like 999.99→floor 999 agree with SQL bit-for-bit) plus each
+    digit's deviation from the Benford share (same float64 expression shape
+    both sides; np.log10 and DuckDB log10 are the same libm call — the PMI
+    precedent). Engine: 10-int bincount partials per batch, one single-row
+    merge — the data-quality fraud screen at any scale, zero row shuffle."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.floor(df["o_totalprice"].to_numpy(np.float64)).astype(np.int64)
+        first = v.astype("U19").astype("U1")
+        d = first.astype(np.int64)
+        cnt = np.bincount(d, minlength=10)
+        return pd.DataFrame({"__g": np.zeros(10, np.int64),
+                             "digit": np.arange(10, dtype=np.int64),
+                             "n": cnt.astype(np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("digit", as_index=False)["n"].sum()
+        # total over EVERY occurring digit (incl. a possible 0 row from
+        # sub-1.0 prices) BEFORE the display filter — the SQL total is
+        # SUM(n) over the whole counts CTE
+        total = float(int(g["n"].sum()))
+        g = g[(g["digit"] >= 1) & (g["n"] > 0)]
+        d = g["digit"].to_numpy(np.float64)
+        dev = g["n"].to_numpy(np.float64) / total - np.log10(1.0 + 1.0 / d)
+        return pd.DataFrame({"digit": g["digit"].to_numpy(np.int64),
+                             "n": g["n"].to_numpy(np.int64),
+                             "dev_e6": np.round(dev * 1e6).astype(np.int64)})
+
+    return relops.hash_partition_apply(partials, ["__g"], final, n_partitions=1)
+
+
+# ====================================================== burst-rate anomaly
+
+
+@query(
+    "burst_user_minutes",
+    sql="WITH c AS (SELECT user_id, "
+    "CAST(epoch_us(ts) // 60000000 * 60000000 AS BIGINT) AS peak_minute_us, "
+    "COUNT(*) AS n FROM events GROUP BY 1, 2), "
+    "r AS (SELECT user_id, peak_minute_us, n, ROW_NUMBER() OVER "
+    "(PARTITION BY user_id ORDER BY n DESC, peak_minute_us) AS rk FROM c) "
+    "SELECT user_id, peak_minute_us, CAST(n AS BIGINT) AS peak_per_min "
+    "FROM r WHERE rk = 1 AND n >= 2",
+)
+def burst_user_minutes(sf_dir: str):
+    """Per-user peak request rate (events in any one minute) with the peak
+    minute — the rate-anomaly screen a politeness-aware crawler runs over
+    its own fetch logs to spot hot clients/hosts. Engine: per-batch
+    (user, minute) count partials, one hash-partition merge per user that
+    folds counts and takes each user's (max n, earliest minute) row; only
+    users at ≥2 events/min survive. Minute-grain partials bound the shuffle
+    to the distinct (user, minute) domain, not the event log."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mu = (df["ts"].astype("int64") // 60_000_000 * 60_000_000).astype("int64")
+        t = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "peak_minute_us": mu})
+        g = t.groupby(["user_id", "peak_minute_us"], as_index=False, sort=False).size()
+        return g.rename(columns={"size": "n"})
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "peak_minute_us"], as_index=False)["n"].sum()
+        g = g.sort_values(["n", "peak_minute_us"], ascending=[False, True],
+                          kind="stable")
+        top = g.drop_duplicates("user_id")
+        top = top[top["n"] >= 2]
+        return pd.DataFrame({"user_id": top["user_id"].to_numpy(np.int64),
+                             "peak_minute_us": top["peak_minute_us"].to_numpy(np.int64),
+                             "peak_per_min": top["n"].to_numpy(np.int64)})
+
+    return relops.hash_partition_apply(partials, ["user_id"], final)
