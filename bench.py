@@ -265,6 +265,16 @@ def run_queries(sf_dir: str) -> dict:
 def main() -> None:
     import ray
 
+    # STDOUT CONTRACT: exactly one JSON line. log_to_driver=False silences
+    # worker logs, but raylet advisories (e.g. "128 PYTHON worker processes
+    # have been started...") are forwarded at the FD level and land in the
+    # driver's stdout mid-run regardless. Point fd 1 at stderr for the whole
+    # run and restore it only for the final JSON print — nothing Ray writes
+    # can pollute the contract line.
+    real_stdout = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
+
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     if not ray.is_initialized():
         ray.init(
@@ -298,22 +308,24 @@ def main() -> None:
     # the full query suite runs in the normal per-round bench
     queries = {} if os.environ.get("GRAFT_SCALING") else run_queries(SF_DIR)
     total = crawl_stats["crawl_sec"] + sum(queries.values())
-    print(
-        json.dumps(
-            {
-                "metric": "crawl+query wall seconds (headline: synthetic-web crawl; "
-                "see fetched_urls_per_sec / frontier_rows_per_sec)",
-                "value": round(total, 2),
-                "unit": "sec",
-                "queries": queries,
-                "sf": SF_DIR,
-                "num_cpus": NUM_CPUS,
-                "crawl": crawl_stats,
-                "expand": expand_stats,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "crawl+query wall seconds (headline: synthetic-web crawl; "
+            "see fetched_urls_per_sec / frontier_rows_per_sec)",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "crawl": crawl_stats,
+            "expand": expand_stats,
+        }
     )
-    ray.shutdown()
+    ray.shutdown()  # before restoring fd 1: shutdown-time raylet chatter → stderr
+    sys.stdout.flush()
+    os.dup2(real_stdout, 1)
+    os.close(real_stdout)
+    print(line)
 
 
 def _probe_work(iters: int) -> float:
