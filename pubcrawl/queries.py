@@ -4687,3 +4687,149 @@ def burst_user_minutes(sf_dir: str):
                              "peak_per_min": top["n"].to_numpy(np.int64)})
 
     return relops.hash_partition_apply(partials, ["user_id"], final)
+
+
+# ====================================================== TPC-H Q5 composition
+
+
+@query(
+    "q5_local_supplier_volume",
+    sql="SELECT n_name, "
+    f"CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_e4 "
+    "FROM customer, orders, lineitem, supplier, nation, region "
+    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+    "AND r_name = 'ASIA' "
+    "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o_orderdate < TIMESTAMP '2000-01-01' "
+    "GROUP BY n_name",
+)
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 analogue — the 6-table join composition: region→nation
+    (driver-tiny, 5+25 rows) prunes to one region; supplier→nationkey ships
+    once as a broadcast map (the standard Q5 dimension broadcast — at a
+    scale where suppliers outgrow worker heaps, swap the merge for a third
+    co-partitioned hash_join, same semantics); customers join orders on the
+    CO-PARTITIONED custkey shuffle, lineitem joins that on the co-partitioned
+    orderkey shuffle; the local-supplier predicate (c_nationkey =
+    s_nationkey) filters AFTER both large joins, and the revenue aggregate
+    is a combiner groupby on the 5-nation domain. Two large-large shuffles
+    total — the canonical snowflake plan."""
+    nat = _read(sf_dir, "nation").to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    rkey = reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].iloc[0]
+    nat = nat[nat["n_regionkey"] == rkey]
+    nation_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    nkeys = pa.array(list(nation_names), pa.int64())
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sup = sup.map_batches(
+        lambda t: t.filter(pc.is_in(t["s_nationkey"], value_set=nkeys)),
+        batch_format="pyarrow", batch_size=None,
+    ).to_pandas().rename(columns={"s_suppkey": "l_suppkey"})
+    sup_ref = ray.put(sup)
+
+    lo, hi = (pa.scalar(pd.Timestamp(d), pa.timestamp("us"))
+              for d in ("1996-01-01", "2000-01-01"))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                                   pc.less(t["o_orderdate"], hi)))
+        .select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=nkeys))
+        .rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    oc = relops.hash_join(orders, cust, on="o_custkey",
+                          left_cols=["o_orderkey"], right_cols=["c_nationkey"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def li_sup(df: pd.DataFrame) -> pd.DataFrame:
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        rev = _revenue_e4(t).to_numpy(zero_copy_only=False)
+        out = pd.DataFrame({"o_orderkey": df["l_orderkey"].to_numpy(),
+                            "l_suppkey": df["l_suppkey"].to_numpy(),
+                            "revenue_e4": rev})
+        return out.merge(ray.get(sup_ref), on="l_suppkey")[
+            ["o_orderkey", "s_nationkey", "revenue_e4"]]
+
+    li = li.map_batches(li_sup, batch_format="pandas", batch_size=None)
+    joined = relops.hash_join(oc, li, on="o_orderkey",
+                              left_cols=["c_nationkey"],
+                              right_cols=["s_nationkey", "revenue_e4"])
+
+    def local_only(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_nationkey"] == df["s_nationkey"]]
+        names = df["s_nationkey"].map(nation_names)
+        return pd.DataFrame({"n_name": names.to_numpy(),
+                             "revenue_e4": df["revenue_e4"].to_numpy(np.int64)})
+
+    out = joined.map_batches(local_only, batch_format="pandas", batch_size=None)
+    return relops.preagg_group_sum(out, ["n_name"],
+                                   sum_cols={"revenue_e4": "revenue_e4"})
+
+
+# ====================================================== time-weighted average
+
+
+@query(
+    "twa_event_value",
+    # carry-forward integral in exact integer units: v in e2 cents, dt in
+    # microseconds; Σ v·dt and the span are exact ints (HUGEINT / python
+    # int), one double division at the same point both sides, e6 output
+    sql="WITH e AS (SELECT user_id, epoch_us(ts) AS t, "
+    "CAST(round_even(value*100, 0) AS BIGINT) AS v, "
+    "LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt "
+    "FROM events), "
+    "a AS (SELECT user_id, SUM(v*(nt-t)) AS svdt, SUM(nt - t) AS span "
+    "FROM e WHERE nt IS NOT NULL GROUP BY user_id) "
+    "SELECT user_id, CAST(svdt AS BIGINT) AS svdt, CAST(span AS BIGINT) AS span_us, "
+    "CAST(round_even(CAST(svdt AS DOUBLE) / CAST(span AS DOUBLE) * 10000, 0) "
+    "AS BIGINT) AS twa_e6 FROM a WHERE span > 0",
+)
+def twa_event_value(sf_dir: str):
+    """Time-weighted average of the event value per user — the telemetry
+    integral (value carries forward between observations; a sample that
+    held for an hour weighs 3600× one that held a second), which a plain
+    AVG gets wrong under irregular sampling. Engine: ONE user-hash shuffle,
+    per-user total-order (ts, event_id) sort, vectorized shift for the
+    next-timestamp, exact-int Σv·dt and span, one float division matching
+    the oracle's expression shape. Beyond-reference op."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def twa(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "svdt": "int64", "span_us": "int64",
+                "twa_e6": "int64"}
+        if df.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy(np.int64)
+        t = df["ts"].astype("int64").to_numpy()
+        v = np.round(df["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        nt = np.empty_like(t)
+        nt[:-1] = t[1:]
+        # last event of each user has no successor: mask where the NEXT row
+        # belongs to a different user (and the final row overall)
+        last = np.ones(len(t), dtype=bool)
+        last[:-1] = uid[1:] != uid[:-1]
+        dt = np.where(last, 0, nt - t)
+        g = pd.DataFrame({"user_id": uid, "vdt": v * dt, "t": t})
+        a = g.groupby("user_id", as_index=False, sort=False).agg(
+            svdt=("vdt", "sum"), tmin=("t", "min"), tmax=("t", "max"))
+        a["span_us"] = a["tmax"] - a["tmin"]
+        a = a[a["span_us"] > 0]
+        twa_e6 = np.round(a["svdt"].to_numpy(np.float64)
+                          / a["span_us"].to_numpy(np.float64) * 10000)
+        return pd.DataFrame({"user_id": a["user_id"].to_numpy(np.int64),
+                             "svdt": a["svdt"].to_numpy(np.int64),
+                             "span_us": a["span_us"].to_numpy(np.int64),
+                             "twa_e6": twa_e6.astype(np.int64)})
+
+    return relops.hash_partition_apply(ds, ["user_id"], twa)
