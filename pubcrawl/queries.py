@@ -4833,3 +4833,57 @@ def twa_event_value(sf_dir: str):
                              "twa_e6": twa_e6.astype(np.int64)})
 
     return relops.hash_partition_apply(ds, ["user_id"], twa)
+
+
+# ====================================================== rolling distinct
+
+
+@query(
+    "rolling7d_distinct_users",
+    sql="WITH du AS (SELECT DISTINCT CAST(epoch_us(date_trunc('day', ts)) "
+    "AS BIGINT) AS day_us, user_id FROM events), "
+    "days AS (SELECT DISTINCT day_us FROM du) "
+    "SELECT d.day_us, COUNT(DISTINCT e.user_id) AS n_users_7d "
+    "FROM days d JOIN du e ON e.day_us "
+    "BETWEEN d.day_us - 6*86400000000 AND d.day_us "
+    "GROUP BY d.day_us",
+)
+def rolling7d_distinct_users(sf_dir: str):
+    """7-day rolling DISTINCT user count per day — the windowed-distinct
+    shape (trailing WAU) that a plain windowed SUM cannot express because
+    distincts don't subtract. Engine: distinct (day,user) combiner (the
+    shuffle is bounded by the active-pair domain, not the event log), each
+    pair exploded to the ≤7 observed target days it covers (observed-day
+    set ships once — it is bounded by the calendar, not the data), second
+    distinct to collapse multi-day actives, per-day combiner count. No
+    window state, no per-day rescans of the log."""
+    DAY = 86_400_000_000
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def day_user(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df["ts"].astype("int64") // DAY * DAY).astype("int64")
+        return pd.DataFrame({"day_us": d, "user_id": df["user_id"].to_numpy()}
+                            ).drop_duplicates()
+
+    pairs = relops.distinct(
+        ds.map_batches(day_user, batch_format="pandas", batch_size=None),
+        ["day_us", "user_id"],
+    )
+    days = sorted(pairs.select_columns(["day_us"]).to_pandas()["day_us"].unique())
+    days_ref = ray.put(np.asarray(days, dtype=np.int64))
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"day_us": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64")})
+        obs = ray.get(days_ref)
+        src = df["day_us"].to_numpy(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        tgt = (src[:, None] + np.arange(7, dtype=np.int64)[None, :] * DAY).ravel()
+        u = np.repeat(uid, 7)
+        keep = np.isin(tgt, obs)
+        return pd.DataFrame({"day_us": tgt[keep], "user_id": u[keep]})
+
+    covered = pairs.map_batches(explode, batch_format="pandas", batch_size=None)
+    dedup = relops.distinct(covered, ["day_us", "user_id"])
+    return relops.preagg_group_sum(dedup, ["day_us"], count_as="n_users_7d")
