@@ -4887,3 +4887,106 @@ def rolling7d_distinct_users(sf_dir: str):
     covered = pairs.map_batches(explode, batch_format="pandas", batch_size=None)
     dedup = relops.distinct(covered, ["day_us", "user_id"])
     return relops.preagg_group_sum(dedup, ["day_us"], count_as="n_users_7d")
+
+
+# ====================================================== skew diagnostics
+
+
+@query(
+    "gini_customer_orders",
+    # exact integer sufficient statistics (k, Σn, Σ i·n over the n-asc total
+    # order), one float expression with identical shape both sides
+    sql="WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1), "
+    "r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n, o_custkey) AS i FROM c), "
+    "a AS (SELECT COUNT(*) AS k, SUM(n) AS s, SUM(i*n) AS sin FROM r) "
+    "SELECT CAST(k AS BIGINT) AS k, CAST(s AS BIGINT) AS s, "
+    "CAST(round_even((2.0*CAST(sin AS DOUBLE)/"
+    "(CAST(k AS DOUBLE)*CAST(s AS DOUBLE)) - "
+    "(CAST(k AS DOUBLE)+1.0)/CAST(k AS DOUBLE)) * 1000000, 0) AS BIGINT) "
+    "AS gini_e6 FROM a",
+)
+def gini_customer_orders(sf_dir: str):
+    """Gini coefficient of the orders-per-customer distribution — the skew
+    diagnostic this engine's own shuffle planning cares about (a high Gini
+    on a join key is the 'salt this key' signal; cf. hash_join_salted).
+    Engine: per-key combiner counts, distributed total-order rank over
+    (n asc, custkey asc) via relops.global_rank (range partition + offset
+    prefix sums — rows never gather), then THREE integer partials per block
+    (k, Σn, Σi·n) into a one-row closed form."""
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    counts = relops.preagg_group_sum(ds, ["o_custkey"], count_as="n")
+    ranked = relops.global_rank(counts, [("n", False), ("o_custkey", False)],
+                                rank_col="i")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        i = df["i"].to_numpy(np.int64)
+        return pd.DataFrame({"__g": np.array([0], np.int64),
+                             "k": np.array([len(n)], np.int64),
+                             "s": np.array([int(n.sum())], np.int64),
+                             "sin": np.array([int(np.sum(i * n, dtype=np.int64))],
+                                             np.int64)})
+
+    parts = ranked.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        k = float(int(df["k"].sum()))
+        s = float(int(df["s"].sum()))
+        sin = float(int(df["sin"].sum()))
+        gini = 2.0 * sin / (k * s) - (k + 1.0) / k
+        return pd.DataFrame({"k": [int(df["k"].sum())], "s": [int(df["s"].sum())],
+                             "gini_e6": [int(np.round(gini * 1e6))]}).astype("int64")
+
+    return relops.hash_partition_apply(parts, ["__g"], final, n_partitions=1)
+
+
+# ====================================================== conversion latency
+
+
+@query(
+    "time_to_purchase_quantiles",
+    sql="WITH f AS (SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events "
+    "GROUP BY 1), "
+    "p AS (SELECT user_id, MIN(epoch_us(ts)) AS tp FROM events "
+    "WHERE event_type = 'purchase' GROUP BY 1), "
+    "d AS (SELECT tp - t0 AS dt FROM f JOIN p USING (user_id) WHERE tp > t0) "
+    "SELECT COUNT(*) AS n_converted, "
+    "CAST(quantile_disc(dt, 0.25) AS BIGINT) AS p25_us, "
+    "CAST(quantile_disc(dt, 0.5) AS BIGINT) AS p50_us, "
+    "CAST(quantile_disc(dt, 0.9) AS BIGINT) AS p90_us FROM d",
+)
+def time_to_purchase_quantiles(sf_dir: str):
+    """Conversion-latency quantiles: per-user first-seen vs first-purchase
+    timestamps in ONE combiner pass (two min partials per user per batch —
+    the purchase min rides a sentinel for batches with no purchase), strict
+    converters only, then exact discrete quantiles over the per-user deltas
+    via the distributed histogram (relops.group_quantile_disc). Nothing but
+    per-user partials and (value,count) rows ever move."""
+    SENT = np.int64(2**62)
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy(np.int64)
+        is_p = (df["event_type"] == "purchase").to_numpy()
+        g = pd.DataFrame({"user_id": uid, "t0": t,
+                          "tp": np.where(is_p, t, SENT)})
+        return g.groupby("user_id", as_index=False, sort=False).min()
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).min()
+        g = g[(g["tp"] < SENT) & (g["tp"] > g["t0"])]
+        return pd.DataFrame({"__g": np.zeros(len(g), np.int64),
+                             "dt": (g["tp"] - g["t0"]).to_numpy(np.int64)})
+
+    d = relops.hash_partition_apply(parts, ["user_id"], deltas)
+    q = relops.group_quantile_disc(
+        d, ["__g"], "dt", {"p25_us": 0.25, "p50_us": 0.5, "p90_us": 0.9})
+    n = relops.preagg_group_sum(d, ["__g"], count_as="n_converted")
+
+    qd = q.to_pandas()
+    nd = n.to_pandas()
+    out = nd.merge(qd, on="__g")[["n_converted", "p25_us", "p50_us", "p90_us"]]
+    return out.astype("int64")
