@@ -843,3 +843,76 @@ def semantic_dedup(
         return pd.concat(frames, ignore_index=True)
 
     return relops.hash_partition_apply(av, ["cluster"], dedup_cluster, n_partitions)
+
+
+# --------------------------------------------- PCA via distributed power iteration
+
+
+def pca_power(
+    ds: rd.Dataset,
+    emb_col: str = "embedding",
+    iters: int = 6,
+) -> tuple[np.ndarray, np.ndarray, float, int]:
+    """Top principal component of an embedding column via distributed power
+    iteration — the classic out-of-core PCA building block (Halko et al.
+    2011 §4's one-vector specialization): the d×d covariance is NEVER
+    formed; every pass streams the corpus once and moves only d floats per
+    block.
+
+    Per iteration, with the current direction v (broadcast via closure —
+    d floats, driver-small): each block computes its centered slice
+    ``Xc = X - mu``, the projections ``s = Xc @ v`` and the PARTIAL
+    ``Xc.T @ s`` (one d-vector per block); the driver folds the partials,
+    normalizes, and re-broadcasts. ``iters+1`` passes total (one for the
+    mean) — the honest cost of exact power iteration; at 100 TB each pass is
+    a single map_batches wave with k·d bytes of partials per block.
+
+    Exact-replay protocol (what makes the SQL oracle bit-exact, the
+    kmeans_lloyd_ds recipe): the mean is quantized to 1e-9 and the direction
+    to 1e-6 after every normalize, so both engines start every iteration
+    from the SAME float64 values; engine-vs-SQL float drift (~1e-15
+    relative, from differing summation order) sits orders below every
+    quantum. Init v0 = ones/sqrt(d) (exactly representable for power-of-two
+    d). The covariance X'X is PSD, so the iterate's sign never flips and no
+    sign convention is needed.
+
+    Returns (mu (d,) exact multiples of 1e-9, v (d,) exact multiples of
+    1e-6, lam = ||w_final|| / (n-1) — the top-eigenvalue / variance-explained
+    estimate BEFORE the final normalize — and n)."""
+
+    def mean_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"vsum": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        m = _stack(df[emb_col])
+        return pd.DataFrame({"vsum": [m.sum(axis=0).tobytes()], "n": [len(m)]})
+
+    mat = ds.select_columns([emb_col]).materialize()  # reused every pass
+    parts = mat.map_batches(mean_partial, batch_format="pandas",
+                            batch_size=None).to_pandas()
+    n = int(parts["n"].sum())
+    tot = np.sum([np.frombuffer(b, dtype=np.float64) for b in parts["vsum"]],
+                 axis=0)
+    mu = np.round(tot / n * 1e9) / 1e9
+    d = mu.shape[0]
+
+    v = np.full(d, 1.0 / np.sqrt(d), dtype=np.float64)
+    nrm = 1.0
+    for _ in range(iters):
+        ref = ray.put((mu, v))
+
+        def w_partial(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"wsum": pd.Series([], dtype="object")})
+            mu_, v_ = ray.get(_ref)
+            xc = _stack(df[emb_col]) - mu_
+            s = xc @ v_
+            return pd.DataFrame({"wsum": [(xc.T @ s).tobytes()]})
+
+        wp = mat.map_batches(w_partial, batch_format="pandas",
+                             batch_size=None).to_pandas()
+        w = np.sum([np.frombuffer(b, dtype=np.float64) for b in wp["wsum"]],
+                   axis=0)
+        nrm = float(np.sqrt(np.sum(w * w)))
+        v = np.round(w / nrm * 1e6) / 1e6
+    return mu, v, nrm / max(n - 1, 1), n

