@@ -5266,3 +5266,124 @@ def kmv_jaccard_users(sf_dir: str):
         "n_both": np.array([n_both], dtype=np.int64),
         "jaccard_e6": np.array([int(np.round(n_both * 1e6 / m))], dtype=np.int64),
     })
+
+
+# ============================================== power-law degree-distribution fit
+
+
+@query(
+    "powerlaw_degree_fit",
+    sql="WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, "
+    "b.l_partkey AS dst FROM lineitem a "
+    "JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+    "AND a.l_partkey <> b.l_partkey "
+    "WHERE year(a.l_shipdate) = 1995 AND year(b.l_shipdate) = 1995), "
+    "d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src), "
+    "t AS (SELECT CAST(round_even(ln(2.0*deg)*1e9, 0) AS BIGINT) AS lt FROM d) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+    "CAST(round_even((1.0 + COUNT(*)/(SUM(lt)/1e9))*1e6, 0) AS BIGINT) AS alpha_e6 "
+    "FROM t",
+)
+def powerlaw_degree_fit(sf_dir: str):
+    """Power-law exponent MLE over the co-purchase degree distribution
+    (Clauset-Shalizi-Newman 2009 eq. 3.5, continuous approximation with
+    d_min = 1: alpha = 1 + n / Σ ln(d_i / 0.5)) — the hub-skew diagnostic
+    that tells a crawl/shuffle planner whether key salting is needed.
+    Distinct-neighbor degrees via one combiner group-count; each ln term is
+    rounded to integer NANO-units before summing (the
+    entropy_event_types_daily recipe), so the Σ is an int64 sum —
+    summation-order-free on both engines, bit-exact at any partitioning."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_shipdate"])
+
+    def y95(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(pc.year(t["l_shipdate"]), 1995))
+        return keep.select(["l_orderkey", "l_partkey"])
+
+    lp = li.map_batches(y95, batch_format="pyarrow")
+    a = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "src"]),
+                       batch_format="pyarrow")
+    b = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "dst"]),
+                       batch_format="pyarrow")
+    edges = relops.hash_join(a, b, on="l_orderkey",
+                             left_cols=["src"], right_cols=["dst"])
+    edges = edges.map_batches(
+        lambda df: df.loc[df["src"] != df["dst"], ["src", "dst"]],
+        batch_format="pandas", batch_size=None,
+    )
+    deg = relops.preagg_group_sum(relops.distinct(edges, ["src", "dst"]),
+                                  ["src"], count_as="deg")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        lt = np.round(np.log(2.0 * df["deg"].to_numpy(np.float64)) * 1e9
+                      ).astype(np.int64)
+        return pd.DataFrame({"s": [int(lt.sum())], "n": [len(lt)]})
+
+    p = deg.map_batches(part, batch_format="pandas", batch_size=None).to_pandas()
+    n = int(p["n"].sum())
+    s = int(p["s"].sum())
+    alpha = 1.0 + n / (s / 1e9)
+    return pd.DataFrame({"n_nodes": np.array([n], dtype=np.int64),
+                         "alpha_e6": np.array([int(np.round(alpha * 1e6))],
+                                              dtype=np.int64)})
+
+
+# ================================= all-pairs TF-IDF cosine similarity join
+
+
+@query(
+    "simjoin_tfidf_docs",
+    sql="WITH s AS MATERIALIZED (SELECT doc_id, lower(text) AS text "
+    "FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '2'), "
+    "fd AS MATERIALIZED (SELECT doc_id, text FROM s UNION ALL "
+    "SELECT doc_id + 10000000 AS doc_id, "
+    "substr(text, 1, CAST((4*length(text))//5 AS INT)) AS text FROM s), "
+    "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM fd), "
+    "wl AS MATERIALIZED (SELECT doc_id, "
+    "regexp_extract_all(text, '[a-z0-9]+') AS ws FROM fd), "
+    "g AS MATERIALIZED (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS term "
+    "FROM wl, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2), "
+    "tf AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf "
+    "FROM g GROUP BY doc_id, term), "
+    "dfq AS MATERIALIZED (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+    "w AS MATERIALIZED (SELECT tf.doc_id, tf.term, "
+    "CAST(round_even(tf.tf * (round_even(ln(nn.n / dfq.df)*1e9, 0)/1e9) * 1e6, 0) "
+    "AS BIGINT) AS we6 FROM tf JOIN dfq USING (term), nn "
+    "WHERE dfq.df >= 2 AND dfq.df <= CAST(ceil(0.5 * nn.n) AS BIGINT)), "
+    "nrm AS MATERIALIZED (SELECT doc_id, SQRT(CAST(SUM(we6*we6) AS DOUBLE)) "
+    "AS nrm FROM w GROUP BY doc_id HAVING SUM(we6*we6) > 0), "
+    "wnn AS MATERIALIZED (SELECT w.doc_id, w.term, w.we6 / nrm.nrm AS wn "
+    "FROM w JOIN nrm USING (doc_id)), "
+    "p AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(round_even(a.wn * b.wn * 1e12, 0) AS BIGINT) AS prod "
+    "FROM wnn a JOIN wnn b ON a.term = b.term AND a.doc_id < b.doc_id), "
+    "d AS (SELECT doc_a, doc_b, SUM(prod) AS dot FROM p GROUP BY doc_a, doc_b) "
+    "SELECT doc_a, doc_b, CAST(round_even(dot/1e6, 0) AS BIGINT) AS cos_e6 "
+    "FROM d WHERE dot >= 800000000000",
+)
+def simjoin_tfidf_docs(sf_dir: str):
+    """All-pairs TF-IDF cosine similarity join (text.tfidf_cosine_pairs —
+    Bayardo et al. 2007's inverted-index algorithm as four key-hash
+    shuffles: term/df+weights, doc/norm, term/partial products, pair/dot
+    combiner). Feature space = word bigrams. Input = a deterministic md5
+    1/8 doc sample (bounds the dense synthetic corpus's quadratic pair
+    volume — the sample_hash_orders recipe) UNION planted 80%-prefix
+    near-copies (doc_id + 10⁷), so provable high-cosine pairs exist at
+    every SF with doc-dependent, non-degenerate cosines. The weight/norm/
+    product protocol is integer-exact end-to-end (no float drift, not just
+    sub-quantum): the SQL chain replays the ESTIMATOR bit-for-bit."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = relops.sample_by_hash(ds, "doc_id", "2")
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df["text"].fillna("").str.lower()
+        ids = df["doc_id"].to_numpy(np.int64)
+        cut = (4 * lo.str.len().to_numpy(np.int64)) // 5
+        return pd.concat([
+            pd.DataFrame({"doc_id": ids, "text": lo.to_numpy()}),
+            pd.DataFrame({"doc_id": ids + 10_000_000,
+                          "text": [t[:c] for t, c in zip(lo, cut)]}),
+        ], ignore_index=True)
+
+    fd = ds.map_batches(plant, batch_format="pandas", batch_size=None)
+    return text.tfidf_cosine_pairs(fd, ngram=2, min_df=2, max_df_frac=0.5,
+                                   tau_e12=800_000_000_000)

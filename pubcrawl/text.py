@@ -789,3 +789,127 @@ def mask_repeated_ngrams(
         )
 
     return relops.hash_partition_apply(docs_t.union(flags_t), [id_col], mask, n_partitions)
+
+
+# ----------------------------- all-pairs TF-IDF cosine (sparse similarity join)
+
+
+def tfidf_cosine_pairs(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 2,
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+    tau_e12: int = 800_000_000_000,
+    token_pattern: str = r"[a-z0-9]+",
+    n_partitions: int | None = None,
+) -> rd.Dataset:
+    """All-pairs TF-IDF cosine similarity join via the inverted index
+    (Bayardo et al. 2007 "Scaling Up All Pairs Similarity Search", shaped
+    for Ray Data) → (doc_a, doc_b, cos_e6) rows with cosine ≥ tau.
+
+    Four key-hash shuffles of (id, term, weight) triples — document text
+    never moves after tokenization:
+      1. by term: exact document frequency is the partition-local count
+         (no df join); the df guard (min_df ≤ df ≤ max_df_frac·N) is the
+         posting-list blowup bound — a term's pair fan-out is df², so the
+         guard caps per-term work exactly like dedup's max_shingle_df;
+      2. by doc: the L2 norm over the FILTERED vocabulary;
+      3. by term again: each posting list emits its upper-triangle partial
+         products (vectorized outer product per term);
+      4. by (doc_a, doc_b): combiner sum folds partial products into the
+         final dot — the only stage whose key domain is pairs, and it only
+         ever sees pairs that share ≥1 surviving term.
+
+    Exact-replay protocol — ZERO float drift anywhere, not just below a
+    quantum: idf is e9-quantized; the weight w_e6 = round(tf·idf·1e6) is an
+    int64 (identical on both engines since tf and the quantized idf are);
+    the norm is √(Σ w_e6²) of an EXACT integer sum (order-free; int64-safe
+    while Σ(tf·idf·1e6)² < 2^63 — holds for docs up to ~10⁴ distinct terms
+    at these idf ranges; beyond that, chunk docs or drop to e4 units);
+    normalized weights and their pairwise products are then bit-identical
+    doubles, each product is e12-rounded to an int, and the dot is an int64
+    sum. DuckDB replays every step bit-for-bit."""
+    from . import relops
+
+    n_docs = ds.count()
+    max_df = int(np.ceil(max_df_frac * n_docs))
+    pat = re.compile(token_pattern)
+
+    def tf_of(df: pd.DataFrame) -> pd.DataFrame:
+        rows_id, rows_term = [], []
+        for did, txt in zip(df[id_col].to_numpy(), df[text_col].fillna("")):
+            ws = pat.findall(txt.lower())
+            if len(ws) < ngram:
+                continue
+            grams = [" ".join(ws[i:i + ngram]) for i in range(len(ws) - ngram + 1)]
+            rows_id.extend([did] * len(grams))
+            rows_term.extend(grams)
+        t = pd.DataFrame({id_col: np.asarray(rows_id, dtype=np.int64),
+                          "term": rows_term})
+        return (t.groupby([id_col, "term"], as_index=False, sort=False)
+                .size().rename(columns={"size": "tf"}))
+
+    tf = ds.select_columns([id_col, text_col]).map_batches(
+        tf_of, batch_format="pandas", batch_size=None)
+
+    def weigh(df: pd.DataFrame) -> pd.DataFrame:
+        dfreq = df.groupby("term")["term"].transform("size").to_numpy()
+        keep = (dfreq >= min_df) & (dfreq <= max_df)
+        d = df[keep]
+        idf = np.round(np.log(n_docs / dfreq[keep]) * 1e9) / 1e9
+        we6 = np.round(d["tf"].to_numpy(np.float64) * idf * 1e6).astype(np.int64)
+        return pd.DataFrame({id_col: d[id_col].to_numpy(),
+                             "term": d["term"].to_numpy(), "we6": we6})
+
+    w = relops.hash_partition_apply(tf, ["term"], weigh,
+                                    n_partitions=n_partitions)
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        we6 = df["we6"].to_numpy(np.int64)
+        s = df.assign(__sq=we6 * we6).groupby(id_col)["__sq"].transform("sum")
+        ok = s.to_numpy() > 0
+        d = df[ok]
+        wn = d["we6"].to_numpy(np.int64) / np.sqrt(s.to_numpy(np.float64)[ok])
+        return pd.DataFrame({id_col: d[id_col].to_numpy(),
+                             "term": d["term"].to_numpy(), "wn": wn})
+
+    wn = relops.hash_partition_apply(w, [id_col], norm,
+                                     n_partitions=n_partitions)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("term", sort=False):
+            ids = g[id_col].to_numpy(np.int64)
+            o = np.argsort(ids, kind="stable")
+            ids, v = ids[o], g["wn"].to_numpy(np.float64)[o]
+            if len(ids) < 2:
+                continue
+            iu, ju = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({
+                "doc_a": ids[iu], "doc_b": ids[ju],
+                "prod": np.round(v[iu] * v[ju] * 1e12).astype(np.int64),
+            }))
+        if not outs:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "prod": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    pp = relops.hash_partition_apply(wn, ["term"], pairs,
+                                     n_partitions=n_partitions)
+    dots = relops.preagg_group_sum(pp, ["doc_a", "doc_b"],
+                                   {"prod": "dot_e12"},
+                                   n_partitions=n_partitions)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["dot_e12"] >= tau_e12]
+        return pd.DataFrame({
+            "doc_a": d["doc_a"].to_numpy(np.int64),
+            "doc_b": d["doc_b"].to_numpy(np.int64),
+            "cos_e6": np.round(d["dot_e12"].to_numpy(np.float64) / 1e6
+                               ).astype(np.int64),
+        })
+
+    return dots.map_batches(finish, batch_format="pandas", batch_size=None)

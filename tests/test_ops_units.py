@@ -2393,3 +2393,85 @@ def test_kmv_jaccard_exact_when_k_covers_union():
 
     assert est(10_000) == true_j  # k covers the union: exact
     assert abs(est(256) - true_j) < 4 / np.sqrt(256)  # sampling bound
+
+
+def test_tfidf_cosine_pairs_matches_brute_force():
+    """The inverted-index all-pairs TF-IDF cosine join equals a brute-force
+    dense numpy replay of the same integer-exact protocol (e9 idf, e6
+    weights, integer norm, e12 products) bit-for-bit, across block layouts;
+    planted exact copies score cos_e6 == 1000000."""
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [" ".join(rng.choice(vocab, rng.integers(8, 20)))
+            for _ in range(24)]
+    docs += docs[:4]  # planted exact copies (ids 24..27 duplicate 0..3)
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+
+    # dense replay of the exact protocol (bigram features, same guards)
+    n = len(df)
+    tf: dict[tuple[int, str], int] = {}
+    for did, txt in zip(df["doc_id"], df["text"]):
+        ws = txt.lower().split()
+        for i in range(len(ws) - 1):
+            g = ws[i] + " " + ws[i + 1]
+            tf[(did, g)] = tf.get((did, g), 0) + 1
+    dfreq: dict[str, int] = {}
+    for (_, g) in tf:
+        dfreq[g] = dfreq.get(g, 0) + 1
+    max_df = int(np.ceil(0.5 * n))
+    terms = sorted(t for t, c in dfreq.items() if 2 <= c <= max_df)
+    tix = {t: j for j, t in enumerate(terms)}
+    m = np.zeros((n, len(terms)))
+    for (did, g), c in tf.items():
+        if g in tix:
+            idf = np.round(np.log(n / dfreq[g]) * 1e9) / 1e9
+            m[did, tix[g]] = np.round(c * idf * 1e6)
+    s = (m * m).sum(axis=1)
+    keep = s > 0
+    mn = m[keep] / np.sqrt(s[keep])[:, None]
+    ids = df["doc_id"].to_numpy()[keep]
+    exp_rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            dot = int(np.round(mn[i] * mn[j] * 1e12).sum())
+            if dot >= 700_000_000_000:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                exp_rows.append((a, b, int(np.round(dot / 1e6))))
+    exp = (pd.DataFrame(exp_rows, columns=["doc_a", "doc_b", "cos_e6"])
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert len(exp) >= 4  # the planted copies must survive the threshold
+    assert (exp["cos_e6"] == 1_000_000).sum() >= 4
+
+    for parts in (3, 6):
+        got = (text.tfidf_cosine_pairs(
+            rd.from_pandas(df).repartition(parts),
+            tau_e12=700_000_000_000, n_partitions=3)
+            .to_pandas().astype("int64")
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+        assert got.shape == exp.shape
+        assert (got.to_numpy() == exp.to_numpy()).all()
+
+
+def test_powerlaw_alpha_recovers_planted_exponent():
+    """The Clauset discrete-approximation MLE shape used by
+    powerlaw_degree_fit — alpha = 1 + n / Σ ln(d_i / (x_min - 0.5)) with
+    integer-nano-unit terms — recovers a planted exponent on degrees
+    sampled from a discrete power law (tested at x_min = 10, where the
+    x_min - 1/2 approximation is accurate per Clauset et al. 2009 §3.2;
+    the registry query instantiates the same shape at x_min = 1 and is
+    certified value-exact against SQL by the oracle)."""
+    rng = np.random.default_rng(2)
+    alpha_true, x_min = 2.5, 10
+    u = rng.random(50_000)
+    c = (x_min - 0.5) * (1 - u) ** (-1 / (alpha_true - 1))
+    d = np.maximum(x_min, np.round(c)).astype(np.int64)
+    lt = np.round(np.log(d / (x_min - 0.5)) * 1e9).astype(np.int64)
+    alpha = 1.0 + len(lt) / (lt.sum() / 1e9)
+    assert 2.45 < alpha < 2.55
+    # heavier tail -> smaller alpha (monotonicity of the estimator)
+    u2 = rng.random(50_000)
+    c2 = (x_min - 0.5) * (1 - u2) ** (-1 / (1.8 - 1))
+    d2 = np.maximum(x_min, np.round(c2)).astype(np.int64)
+    lt2 = np.round(np.log(d2 / (x_min - 0.5)) * 1e9).astype(np.int64)
+    assert 1.0 + len(lt2) / (lt2.sum() / 1e9) < alpha
