@@ -341,49 +341,90 @@ def hits(
     Exact-replay protocol (SQL-oracle-ready, the kmeans/pagerank recipe):
     scores are quantized to 1e-9 after every normalize, so both engines
     start each half-step from identical float64 values; init h0 = 1.0 on
-    every distinct src. Returned scores are exact multiples of 1e-9."""
-    e = edges.select_columns([src, dst]).materialize()  # reused every iteration
+    every distinct src. Returned scores are exact multiples of 1e-9.
+
+    Plan per half-step (pagerank's fused contribs shape, not a generic
+    join + group-sum composition): edges are tagged ONCE per direction
+    before the loop (uniform int64/float64 schema on both union sides — the
+    pagerank NaN-promotion discipline); state tags lazily and
+    co-partitions with the pre-tagged edges by the sending endpoint; the
+    merge task joins AND emits per-receiver PARTIAL sums, so the second
+    shuffle moves one row per (partition, receiver); a final co-partitioned
+    sum yields the raw scores, one scalar (the squared norm) reaches the
+    driver, and the quantize map stays lazy (consumed once by the next
+    tag)."""
+    e = edges.select_columns([src, dst]).materialize()
     if n_partitions is None:
         n_partitions = relops.auto_partitions(relops._count_refs(e.to_arrow_refs()))
+
+    def tag_edges(k: str, o: str) -> rd.Dataset:
+        return e.map_batches(
+            lambda df, _k=k, _o=o: pd.DataFrame(
+                {"__k": df[_k].to_numpy(np.int64), "__o": df[_o].to_numpy(np.int64),
+                 "__v": np.float64(0.0), "__side": np.int8(0)}
+            ),
+            batch_format="pandas", batch_size=None,
+        ).materialize()  # reused every iteration
+
+    e_by_src = tag_edges(src, dst)
+    e_by_dst = tag_edges(dst, src)
+
+    def tag_state(state: rd.Dataset, key: str, val: str) -> rd.Dataset:
+        return state.map_batches(
+            lambda df, _k=key, _v=val: pd.DataFrame(
+                {"__k": df[_k].to_numpy(np.int64), "__o": np.int64(0),
+                 "__v": df[_v].to_numpy(np.float64), "__side": np.int8(1)}
+            ),
+            batch_format="pandas", batch_size=None,
+        )
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        ed = df.loc[df["__side"] == 0, ["__k", "__o"]]
+        st = df.loc[df["__side"] == 1, ["__k", "__v"]]
+        m = ed.merge(st, on="__k", how="inner")
+        p = m.groupby("__o", as_index=False, sort=False)["__v"].sum()
+        return pd.DataFrame({"id": p["__o"].to_numpy(np.int64),
+                             "raw": p["__v"].to_numpy(np.float64)})
+
+    def half_step(e_tagged: rd.Dataset, state: rd.Dataset, key: str,
+                  val: str) -> rd.Dataset:
+        partials = relops.hash_partition_apply(
+            e_tagged.union(tag_state(state, key, val)), ["__k"], fuse,
+            n_partitions=n_partitions,
+        )
+        return relops.hash_partition_apply(
+            partials, ["id"],
+            lambda df: df.groupby("id", as_index=False, sort=False)["raw"].sum(),
+            n_partitions=n_partitions,
+        ).materialize()  # consumed twice: norm gather + quantize
+
+    def _l2(ds: rd.Dataset) -> float:
+        sq = ds.map_batches(
+            lambda df: pd.DataFrame({"sq": df["raw"].to_numpy(np.float64) ** 2}),
+            batch_format="pandas", batch_size=None,
+        )
+        return float(np.sqrt(_scalar_sum(sq, "sq")))
+
+    def quantized(raw: rd.Dataset, out_key: str, out_val: str,
+                  nrm: float) -> rd.Dataset:
+        return raw.map_batches(
+            lambda df, _n=nrm: pd.DataFrame(
+                {out_key: df["id"].to_numpy(np.int64),
+                 out_val: np.round(df["raw"].to_numpy(np.float64) / _n * 1e9) / 1e9}
+            ),
+            batch_format="pandas", batch_size=None,
+        )
 
     hubs = relops.distinct(e, [src]).map_batches(
         lambda df: pd.DataFrame({src: df[src], "h": np.float64(1.0)}),
         batch_format="pandas", batch_size=None,
     ).materialize()
     auths = None
-
-    def _l2(ds: rd.Dataset, col: str) -> float:
-        sq = ds.map_batches(
-            lambda df, _c=col: pd.DataFrame({"sq": df[_c].to_numpy(np.float64) ** 2}),
-            batch_format="pandas", batch_size=None,
-        )
-        return float(np.sqrt(_scalar_sum(sq, "sq")))
-
     for _ in range(iters):
-        ar = relops.preagg_group_sum(
-            relops.hash_join(e, hubs, on=src, left_cols=[dst], right_cols=["h"],
-                             n_buckets=n_partitions),
-            [dst], {"h": "a"}, n_partitions=n_partitions,
-        ).materialize()
-        an = _l2(ar, "a")
-        auths = ar.map_batches(
-            lambda df, _n=an: pd.DataFrame(
-                {dst: df[dst], "a": np.round(df["a"].to_numpy(np.float64) / _n * 1e9) / 1e9}
-            ),
-            batch_format="pandas", batch_size=None,
-        ).materialize()
-        hr = relops.preagg_group_sum(
-            relops.hash_join(e, auths, on=dst, left_cols=[src], right_cols=["a"],
-                             n_buckets=n_partitions),
-            [src], {"a": "h"}, n_partitions=n_partitions,
-        ).materialize()
-        hn = _l2(hr, "h")
-        hubs = hr.map_batches(
-            lambda df, _n=hn: pd.DataFrame(
-                {src: df[src], "h": np.round(df["h"].to_numpy(np.float64) / _n * 1e9) / 1e9}
-            ),
-            batch_format="pandas", batch_size=None,
-        ).materialize()
+        ar = half_step(e_by_src, hubs, src, "h")
+        auths = quantized(ar, dst, "a", _l2(ar))
+        hr = half_step(e_by_dst, auths, dst, "a")
+        hubs = quantized(hr, src, "h", _l2(hr))
     return hubs, auths
 
 
