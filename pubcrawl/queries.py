@@ -5387,3 +5387,269 @@ def simjoin_tfidf_docs(sf_dir: str):
     fd = ds.map_batches(plant, batch_format="pandas", batch_size=None)
     return text.tfidf_cosine_pairs(fd, ngram=2, min_df=2, max_df_frac=0.5,
                                    tau_e12=800_000_000_000)
+
+
+# ======================================= greedy max-coverage corpus selection
+
+
+def _greedy_cover_sql(rounds: int = 5) -> str:
+    """Unrolled greedy set cover as MATERIALIZED CTEs: per round, marginal
+    gain = count of still-uncovered bigrams per unselected doc, argmax with
+    doc_id tie-break, covered set grows by the winner's grams."""
+    cte = [
+        "wl AS MATERIALIZED (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents)",
+        "g AS MATERIALIZED (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] "
+        "AS term FROM wl, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2)",
+        "gain1 AS MATERIALIZED (SELECT doc_id, COUNT(*) AS gain "
+        "FROM g GROUP BY doc_id)",
+        "sel1 AS MATERIALIZED (SELECT doc_id, gain FROM gain1 "
+        "ORDER BY gain DESC, doc_id LIMIT 1)",
+        "cov1 AS MATERIALIZED (SELECT DISTINCT term FROM g "
+        "JOIN sel1 USING (doc_id))",
+        "ex1 AS MATERIALIZED (SELECT doc_id FROM sel1)",
+    ]
+    for k in range(2, rounds + 1):
+        cte += [
+            f"gain{k} AS MATERIALIZED (SELECT doc_id, COUNT(*) AS gain FROM g "
+            f"WHERE term NOT IN (SELECT term FROM cov{k-1}) "
+            f"AND doc_id NOT IN (SELECT doc_id FROM ex{k-1}) GROUP BY doc_id)",
+            f"sel{k} AS MATERIALIZED (SELECT doc_id, gain FROM gain{k} "
+            f"ORDER BY gain DESC, doc_id LIMIT 1)",
+            f"cov{k} AS MATERIALIZED (SELECT term FROM cov{k-1} UNION "
+            f"SELECT term FROM g JOIN sel{k} USING (doc_id))",
+            f"ex{k} AS MATERIALIZED (SELECT doc_id FROM ex{k-1} UNION "
+            f"SELECT doc_id FROM sel{k})",
+        ]
+    parts = [f"SELECT CAST({k} AS BIGINT) AS rnd, doc_id, "
+             f"CAST(gain AS BIGINT) AS gain FROM sel{k}"
+             for k in range(1, rounds + 1)]
+    return "WITH " + ", ".join(cte) + " " + " UNION ALL ".join(parts)
+
+
+@query("greedy_cover_docs", sql=_greedy_cover_sql(5))
+def greedy_cover_docs(sf_dir: str):
+    """Greedy maximum-coverage corpus selection (the submodular
+    data-selection primitive of training-data curation — pick the k
+    documents that together cover the most distinct word bigrams,
+    1 - 1/e-approximate by Nemhauser et al. 1978): per round, every doc's
+    marginal gain (|its grams − covered|) is computed batch-locally against
+    the BROADCAST covered set (≤ k docs' grams — driver-small by
+    construction, the stopword-broadcast pattern), the argmax moves ≤1 row
+    per block through the topk combiner, and only the winner's gram set is
+    fetched. k passes over the corpus, zero shuffles of corpus text. The
+    unrolled SQL chain replays every round."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pat = re.compile(r"[a-z0-9]+")
+
+    def grams_of(df: pd.DataFrame) -> pd.DataFrame:
+        rows_id, rows_g = [], []
+        for did, txt in zip(df["doc_id"].to_numpy(), df["text"].fillna("")):
+            ws = pat.findall(txt.lower())
+            gs = {" ".join(ws[i:i + 2]) for i in range(len(ws) - 1)}
+            rows_id.extend([did] * len(gs))
+            rows_g.extend(sorted(gs))
+        return pd.DataFrame({"doc_id": np.asarray(rows_id, dtype=np.int64),
+                             "term": rows_g})
+
+    g = ds.map_batches(grams_of, batch_format="pandas",
+                       batch_size=None).materialize()  # k passes read this
+
+    covered: frozenset = frozenset()
+    selected: set[int] = set()
+    out_rows = []
+    for rnd in range(1, 6):
+        cov_ref = ray.put((covered, frozenset(selected)))
+
+        # per-batch gains are FINAL (a doc's grams live in one block by
+        # construction of grams_of), so each block's LOCAL argmax is a
+        # candidate for the global one — and the winner is always some
+        # block's local winner, so shipping the local winner's (still
+        # uncovered) gram set with its candidacy makes the round ONE pass:
+        # no second fetch of the chosen doc's terms
+        def local_best(df: pd.DataFrame, _ref=cov_ref) -> pd.DataFrame:
+            cov, sel = ray.get(_ref)
+            d = df[~df["doc_id"].isin(sel)]
+            d = d[~d["term"].isin(cov)]
+            if len(d) == 0:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                     "gain": pd.Series([], dtype="int64"),
+                                     "terms": pd.Series([], dtype="object")})
+            sz = d.groupby("doc_id", sort=False).size()
+            # deterministic tie-break: max gain, then min doc_id
+            best_gain = int(sz.max())
+            did = int(min(i for i, v in sz.items() if v == best_gain))
+            terms = "\x00".join(sorted(d.loc[d["doc_id"] == did, "term"]))
+            return pd.DataFrame({"doc_id": [did], "gain": [best_gain],
+                                 "terms": [terms]})
+
+        cand = g.map_batches(local_best, batch_format="pandas",
+                             batch_size=None).to_pandas()  # ≤1 row per block
+        cand = cand.sort_values(["gain", "doc_id"],
+                                ascending=[False, True], kind="mergesort")
+        did, gain = int(cand["doc_id"].iloc[0]), int(cand["gain"].iloc[0])
+        covered = frozenset(covered | set(cand["terms"].iloc[0].split("\x00")))
+        selected.add(did)
+        out_rows.append((rnd, did, gain))
+    return pd.DataFrame(out_rows, columns=["rnd", "doc_id", "gain"]
+                        ).astype("int64")
+
+
+# ======================================================= RFM customer segments
+
+
+@query(
+    "rfm_segments",
+    sql="WITH a AS (SELECT o_custkey, MAX(o_orderdate) AS r, "
+    "CAST(COUNT(*) AS BIGINT) AS f, "
+    "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS m "
+    "FROM orders GROUP BY o_custkey), "
+    "q AS (SELECT quantile_disc(r, 0.25) AS r25, quantile_disc(r, 0.5) AS r50, "
+    "quantile_disc(r, 0.75) AS r75, quantile_disc(f, 0.25) AS f25, "
+    "quantile_disc(f, 0.5) AS f50, quantile_disc(f, 0.75) AS f75, "
+    "quantile_disc(m, 0.25) AS m25, quantile_disc(m, 0.5) AS m50, "
+    "quantile_disc(m, 0.75) AS m75 FROM a) "
+    "SELECT o_custkey, r_score, f_score, m_score, "
+    "r_score*100 + f_score*10 + m_score AS segment FROM ("
+    "SELECT o_custkey, "
+    "CAST(1 + CAST(r > q.r25 AS INT) + CAST(r > q.r50 AS INT) "
+    "+ CAST(r > q.r75 AS INT) AS BIGINT) AS r_score, "
+    "CAST(1 + CAST(f > q.f25 AS INT) + CAST(f > q.f50 AS INT) "
+    "+ CAST(f > q.f75 AS INT) AS BIGINT) AS f_score, "
+    "CAST(1 + CAST(m > q.m25 AS INT) + CAST(m > q.m50 AS INT) "
+    "+ CAST(m > q.m75 AS INT) AS BIGINT) AS m_score FROM a, q)",
+)
+def rfm_segments(sf_dir: str):
+    """RFM customer segmentation (recency/frequency/monetary quartile codes
+    — the classic CRM scoring op): per-customer (max date, count, int-cents
+    sum) via one combiner shuffle; the nine quartile thresholds come from
+    the exact distributed histogram quantile (relops.group_quantile_disc —
+    distinct values move, not rows; nine scalars reach the driver); scores
+    are stamped in one broadcast-threshold pass. Money in integer cents,
+    dates compared as int64 — every boundary decision replays exactly."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(np.int64),
+            "r": df["o_orderdate"].astype("int64").to_numpy(),
+            "f": np.int64(1),
+            "m": np.round(df["o_totalprice"].to_numpy(np.float64) * 100
+                          ).astype(np.int64),
+        })
+        return d.groupby("o_custkey", as_index=False, sort=False).agg(
+            r=("r", "max"), f=("f", "sum"), m=("m", "sum"))
+
+    parts = ds.map_batches(part, batch_format="pandas", batch_size=None)
+    agg = relops.hash_partition_apply(
+        parts, ["o_custkey"],
+        lambda df: df.groupby("o_custkey", as_index=False).agg(
+            r=("r", "max"), f=("f", "sum"), m=("m", "sum")),
+    ).materialize()  # consumed 4x: three quantile passes + the score stamp
+
+    thr = {}
+    for col in ("r", "f", "m"):
+        qd = relops.group_quantile_disc(
+            agg.map_batches(lambda df, _c=col: pd.DataFrame(
+                {"__g": np.zeros(len(df), np.int64), "v": df[_c]}),
+                batch_format="pandas", batch_size=None),
+            ["__g"], "v", {"p25": 0.25, "p50": 0.5, "p75": 0.75},
+        ).to_pandas()
+        thr[col] = (int(qd["p25"].iloc[0]), int(qd["p50"].iloc[0]),
+                    int(qd["p75"].iloc[0]))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"o_custkey": df["o_custkey"].to_numpy(np.int64)}
+        for col in ("r", "f", "m"):
+            v = df[col].to_numpy(np.int64)
+            t = thr[col]
+            out[f"{col}_score"] = (1 + (v > t[0]).astype(np.int64)
+                                   + (v > t[1]) + (v > t[2]))
+        out["segment"] = (out["r_score"] * 100 + out["f_score"] * 10
+                          + out["m_score"])
+        return pd.DataFrame(out)
+
+    return agg.map_batches(score, batch_format="pandas", batch_size=None)
+
+
+# ===================================================== RRF hybrid search fusion
+
+
+@query(
+    "rrf_hybrid_search",
+    # list 1 = the bm25_keyword_search oracle verbatim (same grammar, same
+    # float evaluation order); list 2 = length-prior ranking over the same
+    # candidate pool; fusion = reciprocal-rank with the standard k = 60
+    sql="WITH d AS (SELECT doc_id, n_chars, lang, "
+    "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
+    "st AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl, "
+    "SUM(CASE WHEN list_contains(toks,'batch') THEN 1 ELSE 0 END) AS df_b, "
+    "SUM(CASE WHEN list_contains(toks,'window') THEN 1 ELSE 0 END) AS df_w FROM d), "
+    "sc AS (SELECT doc_id, "
+    "CAST(len(list_filter(toks, x -> x = 'batch')) AS DOUBLE) AS tf_b, "
+    "CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf_w, "
+    "CAST(len(toks) AS DOUBLE) AS dl, lang, n_chars FROM d), "
+    "s2 AS (SELECT doc_id, n_chars, "
+    "ln(1 + (n - df_b + 0.5)/(df_b + 0.5)) * tf_b * (1.2 + 1) / "
+    "(tf_b + 1.2*(1 - 0.75 + 0.75*dl/avgdl)) "
+    "+ ln(1 + (n - df_w + 0.5)/(df_w + 0.5)) * tf_w * (1.2 + 1) / "
+    "(tf_w + 1.2*(1 - 0.75 + 0.75*dl/avgdl)) AS raw "
+    "FROM sc, st WHERE lang = 'en' AND tf_b > 0 AND tf_w > 0), "
+    "b AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY raw DESC, doc_id) "
+    "AS BIGINT) AS rank FROM s2 ORDER BY raw DESC, doc_id LIMIT 20), "
+    "l AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) "
+    "AS BIGINT) AS rank FROM s2 ORDER BY n_chars DESC, doc_id LIMIT 20), "
+    "u AS (SELECT doc_id FROM b UNION SELECT doc_id FROM l), "
+    "f AS (SELECT u.doc_id, "
+    "COALESCE(1.0/(60 + b.rank), 0) + COALESCE(1.0/(60 + l.rank), 0) AS raw, "
+    "COALESCE(b.rank, 0) AS rank_bm25, COALESCE(l.rank, 0) AS rank_len "
+    "FROM u LEFT JOIN b USING (doc_id) LEFT JOIN l USING (doc_id)) "
+    "SELECT doc_id, CAST(round_even(raw*1e9, 0) AS BIGINT) AS rrf_e9, "
+    "rank_bm25, rank_len FROM f ORDER BY raw DESC, doc_id LIMIT 10",
+)
+def rrf_hybrid_search(sf_dir: str):
+    """Reciprocal-rank-fusion hybrid search (Cormack et al. 2009, the
+    standard k=60 constant — how production search stacks merge a lexical
+    and a second ranking): list 1 = the BM25 conjunctive search
+    (search.keyword_search — df/avgdl aggregate broadcast, per-batch scoring,
+    top-k combiner); list 2 = a length-prior ranking over the same candidate
+    pool via the ≤k-rows-per-block topk combiner. Both lists are k-bounded
+    driver-small BY CONSTRUCTION (k=20), so the fusion itself is a bounded
+    driver step — the only stage whose input doesn't scale with the corpus."""
+    from . import search as searchmod
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    l1 = searchmod.keyword_search(ds, 'lang:en "window" batch',
+                                  id_col="doc_id", k=20)[["doc_id", "rank"]]
+    pat = re.compile(r"[a-z0-9]+")
+
+    def pool(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(pat)
+        m = toks.apply(lambda L: "window" in L and "batch" in L) \
+            & (df["lang"] == "en")
+        return df.loc[m, ["doc_id", "n_chars"]]
+
+    l2 = relops.topk(
+        ds.map_batches(pool, batch_format="pandas", batch_size=None),
+        [("n_chars", True), ("doc_id", False)], 20,
+    ).to_pandas().sort_values(["n_chars", "doc_id"],
+                              ascending=[False, True], kind="mergesort")
+    l2 = pd.DataFrame({"doc_id": l2["doc_id"].to_numpy(np.int64),
+                       "rank": np.arange(1, len(l2) + 1, dtype=np.int64)})
+
+    f = l1.merge(l2, on="doc_id", how="outer", suffixes=("_bm25", "_len"))
+    r1 = f["rank_bm25"].fillna(0).to_numpy(np.int64)
+    r2 = f["rank_len"].fillna(0).to_numpy(np.int64)
+    raw = (np.where(r1 > 0, 1.0 / (60 + r1), 0.0)
+           + np.where(r2 > 0, 1.0 / (60 + r2), 0.0))
+    out = pd.DataFrame({"doc_id": f["doc_id"].to_numpy(np.int64),
+                        "raw": raw, "rank_bm25": r1, "rank_len": r2})
+    out = out.sort_values(["raw", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(10)
+    return pd.DataFrame({
+        "doc_id": out["doc_id"].to_numpy(np.int64),
+        "rrf_e9": np.round(out["raw"].to_numpy(np.float64) * 1e9
+                           ).astype(np.int64),
+        "rank_bm25": out["rank_bm25"].to_numpy(np.int64),
+        "rank_len": out["rank_len"].to_numpy(np.int64),
+    })
