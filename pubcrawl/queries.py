@@ -5653,3 +5653,99 @@ def rrf_hybrid_search(sf_dir: str):
         "rank_bm25": out["rank_bm25"].to_numpy(np.int64),
         "rank_len": out["rank_len"].to_numpy(np.int64),
     })
+
+
+# ================================================ CUSUM change-point detection
+
+
+@query(
+    "cusum_daily_revenue",
+    sql="WITH RECURSIVE d AS (SELECT CAST(date_trunc('day', o_orderdate) AS DATE) "
+    "AS day, SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS x "
+    "FROM orders WHERE year(o_orderdate) = 2001 GROUP BY 1), "
+    "i AS (SELECT day, x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i "
+    "FROM d), "
+    "kk AS (SELECT SUM(x)//COUNT(*) AS k FROM i), "
+    "rec AS (SELECT i.i, i.x, GREATEST(0, i.x - kk.k) AS s FROM i, kk "
+    "WHERE i.i = 1 UNION ALL "
+    "SELECT i.i, i.x, GREATEST(0, rec.s + i.x - kk.k) FROM rec "
+    "JOIN i ON i.i = rec.i + 1, kk) "
+    "SELECT i AS day_idx, CAST(x AS BIGINT) AS rev_e2, "
+    "CAST(s AS BIGINT) AS cusum_e2 FROM rec",
+)
+def cusum_daily_revenue(sf_dir: str):
+    """One-sided CUSUM drift statistic over 2001 daily revenue (Page 1954 —
+    the pipeline-metric change-point monitor: s_t = max(0, s_{t-1} + x_t - k)
+    with reference level k = the integer-division mean): the heavy reduction
+    (per-day int-cents revenue) is a distributed combiner; the recursion
+    itself runs over the TIME AXIS, which is driver-small by construction
+    after aggregation (≤ a few hundred days regardless of corpus size — the
+    rrf-fusion bounded-driver-step pattern). Pure int64 arithmetic
+    end-to-end, so the DuckDB recursive-CTE replay is bit-exact trivially."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["o_orderdate"].dt.year == 2001]
+        return pd.DataFrame({
+            "day": keep["o_orderdate"].dt.normalize(),
+            "x": np.round(keep["o_totalprice"].to_numpy(np.float64) * 100
+                          ).astype(np.int64),
+        })
+
+    daily = relops.preagg_group_sum(
+        ds.map_batches(part, batch_format="pandas", batch_size=None),
+        ["day"], {"x": "x"},
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    x = daily["x"].to_numpy(np.int64)
+    k = int(x.sum()) // len(x)
+    s = np.zeros(len(x), dtype=np.int64)
+    run = 0
+    for t in range(len(x)):
+        run = max(0, run + int(x[t]) - k)
+        s[t] = run
+    return pd.DataFrame({"day_idx": np.arange(1, len(x) + 1, dtype=np.int64),
+                         "rev_e2": x, "cusum_e2": s})
+
+
+# ================================================== grouped geometric mean
+
+
+@query(
+    "geomean_price_by_priority",
+    sql="SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(round_even(exp(SUM(CAST(round_even("
+    "ln(CAST(ROUND(o_totalprice*100) AS BIGINT))*1e9, 0) AS BIGINT))"
+    "/COUNT(*)/1e9), 0) AS BIGINT) AS geomean_cents "
+    "FROM orders GROUP BY o_orderpriority",
+)
+def geomean_price_by_priority(sf_dir: str):
+    """Grouped geometric mean of order value (the multiplicative-average
+    aggregate for right-skewed money columns): each ln(cents) term is
+    rounded to integer nano-units BEFORE summing (the entropy recipe), so
+    the per-group Σ is an order-free int64 and the only floats are one
+    division and one libm exp on identical inputs — bit-exact replay at e0
+    cents."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy(np.float64) * 100
+                         ).astype(np.int64)
+        t = np.round(np.log(cents) * 1e9).astype(np.int64)
+        return pd.DataFrame({"o_orderpriority": df["o_orderpriority"],
+                             "t": t, "one": np.int64(1)})
+
+    agg = relops.preagg_group_sum(
+        ds.map_batches(part, batch_format="pandas", batch_size=None),
+        ["o_orderpriority"], {"t": "s", "one": "n"},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["s"].to_numpy(np.float64)
+        n = df["n"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"],
+            "n": df["n"].to_numpy(np.int64),
+            "geomean_cents": np.round(np.exp(s / n / 1e9)).astype(np.int64),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas", batch_size=None)

@@ -2475,3 +2475,26 @@ def test_powerlaw_alpha_recovers_planted_exponent():
     d2 = np.maximum(x_min, np.round(c2)).astype(np.int64)
     lt2 = np.round(np.log(d2 / (x_min - 0.5)) * 1e9).astype(np.int64)
     assert 1.0 + len(lt2) / (lt2.sum() / 1e9) < alpha
+
+
+def test_cusum_statistic_flags_planted_level_shift():
+    """The integer CUSUM recursion used by cusum_daily_revenue: zero under
+    the pre-change level, climbs after a planted upward shift, and the
+    argmax lands at the series end (cumulative drift), while a symmetric
+    no-shift series stays bounded near zero."""
+    rng = np.random.default_rng(8)
+    base = rng.integers(90, 111, 120).astype(np.int64)
+    shifted = base.copy()
+    shifted[60:] += 40  # planted step change
+    for x, has_shift in ((base, False), (shifted, True)):
+        k = int(x.sum()) // len(x)
+        run, s = 0, []
+        for v in x:
+            run = max(0, run + int(v) - k)
+            s.append(run)
+        s = np.asarray(s)
+        if has_shift:
+            assert s[-1] == s.max() and s.max() > 20 * (x.max() - k)
+            assert (s[:50] < s.max() // 10).all()
+        else:
+            assert s.max() <= 25 * (x.max() - k)
