@@ -482,3 +482,148 @@ def bfs_hops(
                                  batch_size=None)
         ).materialize()
     return visited
+
+
+# --------------------------------------- ALS matrix factorization (implicit, k=2)
+
+
+def als_implicit(
+    edges: rd.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    lam: float = 0.1,
+    alpha: float = 10.0,
+    n_partitions: int | None = None,
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """Implicit-feedback alternating least squares over a bipartite
+    interaction edge list (Hu/Koren/Volinsky 2008, rank k=2: every
+    unobserved pair is a 0 at confidence 1, every observed pair a 1 at
+    confidence 1+α) → (user factors (src, f1, f2), item factors (dst, f1,
+    f2)). The confidence split is what makes the factorization informative
+    — a positive-only least squares would fit the all-ones matrix and
+    collapse every score to ~1.
+
+    Each half-step solves one side's per-entity system
+
+        (λI + YᵀY + α·Σ_{observed} y yᵀ) x = (1+α)·Σ_{observed} y
+
+    in closed 2×2 form. YᵀY is the paper's Gram trick — the global 2×2
+    over ALL fixed-side factors, a 3-float driver scalar gathered once per
+    half-step (the pagerank dangling-mass contract); the observed-pair
+    sums run as TWO co-partitioned waves (the :func:`hits` fused-contribs
+    plan): edges pre-tagged by the fixed endpoint union the factor rows,
+    the merge task joins AND emits the five PARTIAL sufficient statistics
+    per solving entity, and a second co-partitioned task folds partials,
+    adds ridge+Gram, solves, and e9-quantizes. Neither factor table is
+    ever broadcast or gathered — both sides flow as (id, f1, f2) rows.
+
+    Exact-replay protocol: item factors init to the integer-arithmetic tape
+    ``(1.0, ((id·2654435761) mod 1000)/1000)``; factors are e9-quantized
+    after every solve, so both engines start each half-step from identical
+    doubles and the closed-form expression shape is shared; the ~1e-15
+    relative drift from differing summation order sits far below the e9
+    quantum at these factor magnitudes."""
+    e = edges.select_columns([src, dst]).materialize()
+    if n_partitions is None:
+        n_partitions = relops.auto_partitions(relops._count_refs(e.to_arrow_refs()))
+
+    def tag_edges(k: str, o: str) -> rd.Dataset:
+        return e.map_batches(
+            lambda df, _k=k, _o=o: pd.DataFrame(
+                {"__k": df[_k].to_numpy(np.int64), "__o": df[_o].to_numpy(np.int64),
+                 "__f1": np.float64(0.0), "__f2": np.float64(0.0),
+                 "__side": np.int8(0)}
+            ),
+            batch_format="pandas", batch_size=None,
+        ).materialize()  # reused every half-step
+
+    e_by_dst = tag_edges(dst, src)  # user solve: join factors by item
+    e_by_src = tag_edges(src, dst)  # item solve: join factors by user
+
+    def tag_factors(state: rd.Dataset, key: str) -> rd.Dataset:
+        return state.map_batches(
+            lambda df, _k=key: pd.DataFrame(
+                {"__k": df[_k].to_numpy(np.int64), "__o": np.int64(0),
+                 "__f1": df["f1"].to_numpy(np.float64),
+                 "__f2": df["f2"].to_numpy(np.float64), "__side": np.int8(1)}
+            ),
+            batch_format="pandas", batch_size=None,
+        )
+
+    def suffstats(df: pd.DataFrame) -> pd.DataFrame:
+        ed = df.loc[df["__side"] == 0, ["__k", "__o"]]
+        st = df.loc[df["__side"] == 1, ["__k", "__f1", "__f2"]]
+        m = ed.merge(st, on="__k", how="inner")
+        f1 = m["__f1"].to_numpy(np.float64)
+        f2 = m["__f2"].to_numpy(np.float64)
+        p = pd.DataFrame({
+            "id": m["__o"].to_numpy(np.int64),
+            "a11": f1 * f1, "a12": f1 * f2, "a22": f2 * f2,
+            "b1": f1, "b2": f2,
+        })
+        return p.groupby("id", as_index=False, sort=False).sum()
+
+    def make_solve(gram: tuple[float, float, float]):
+        g11, g12, g22 = gram
+
+        def solve(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("id", as_index=False, sort=False).sum()
+            a11 = lam + g11 + alpha * g["a11"].to_numpy(np.float64)
+            a12 = g12 + alpha * g["a12"].to_numpy(np.float64)
+            a22 = lam + g22 + alpha * g["a22"].to_numpy(np.float64)
+            b1 = (1.0 + alpha) * g["b1"].to_numpy(np.float64)
+            b2 = (1.0 + alpha) * g["b2"].to_numpy(np.float64)
+            det = a11 * a22 - a12 * a12
+            return pd.DataFrame({
+                "id": g["id"].to_numpy(np.int64),
+                "f1": np.round((b1 * a22 - b2 * a12) / det * 1e9) / 1e9,
+                "f2": np.round((b2 * a11 - b1 * a12) / det * 1e9) / 1e9,
+            })
+
+        return solve
+
+    def gram_of(factors: rd.Dataset) -> tuple[float, float, float]:
+        p = factors.map_batches(
+            lambda df: pd.DataFrame(
+                {"g11": [float((df["f1"].to_numpy(np.float64) ** 2).sum())],
+                 "g12": [float((df["f1"].to_numpy(np.float64)
+                                * df["f2"].to_numpy(np.float64)).sum())],
+                 "g22": [float((df["f2"].to_numpy(np.float64) ** 2).sum())]}
+            ),
+            batch_format="pandas", batch_size=None,
+        ).to_pandas()  # 3 floats per block
+        return (float(p["g11"].sum()), float(p["g12"].sum()),
+                float(p["g22"].sum()))
+
+    def half_step(e_tagged: rd.Dataset, factors: rd.Dataset, fkey: str,
+                  out_key: str) -> rd.Dataset:
+        gram = gram_of(factors)
+        partials = relops.hash_partition_apply(
+            e_tagged.union(tag_factors(factors, fkey)), ["__k"], suffstats,
+            n_partitions=n_partitions,
+        )
+        solved = relops.hash_partition_apply(
+            partials, ["id"], make_solve(gram), n_partitions=n_partitions,
+        )
+        return solved.map_batches(
+            lambda df, _k=out_key: pd.DataFrame(
+                {_k: df["id"].to_numpy(np.int64), "f1": df["f1"],
+                 "f2": df["f2"]}
+            ),
+            batch_format="pandas", batch_size=None,
+        ).materialize()  # consumed by the next half-step AND the caller
+
+    item_f = relops.distinct(e, [dst]).map_batches(
+        lambda df: pd.DataFrame({
+            dst: df[dst].to_numpy(np.int64),
+            "f1": np.float64(1.0),
+            "f2": ((df[dst].to_numpy(np.int64) * 2654435761) % 1000) / 1000.0,
+        }),
+        batch_format="pandas", batch_size=None,
+    ).materialize()
+    user_f = None
+    for _ in range(iters):
+        user_f = half_step(e_by_dst, item_f, dst, src)
+        item_f = half_step(e_by_src, user_f, src, dst)
+    return user_f, item_f

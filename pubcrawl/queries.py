@@ -5749,3 +5749,117 @@ def geomean_price_by_priority(sf_dir: str):
         })
 
     return agg.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+# ========================================= ALS matrix factorization (implicit)
+
+
+def _als_sql(iters: int = 2, lam: float = 0.1, alpha: float = 10.0) -> str:
+    """Unrolled implicit-feedback ALS as MATERIALIZED CTEs: per half-step,
+    the fixed side's global 2×2 Gram (Hu et al.'s trick for the
+    every-unobserved-pair-is-a-weak-zero objective), the five observed-pair
+    sufficient statistics per solving entity, the closed ridge 2×2 solve,
+    and an e9 factor quantize — the pagerank/kmeans exact-replay recipe
+    applied to factorization. Item factors init to an integer-arithmetic
+    tape."""
+    opa = repr(1.0 + alpha)
+    cte = [
+        "e AS MATERIALIZED (SELECT DISTINCT o_custkey AS u, l_partkey AS p "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE year(o_orderdate) = 1995)",
+        "y0 AS MATERIALIZED (SELECT DISTINCT p AS id, 1.0 AS f1, "
+        "((p * 2654435761) % 1000)/1000.0 AS f2 FROM e)",
+    ]
+
+    def solve(name: str, gname: str, stats: str) -> list[str]:
+        return [
+            stats,
+            f"{name} AS MATERIALIZED (SELECT id, "
+            f"round_even((b1*a22 - b2*a12)/(a11*a22 - a12*a12)*1e9, 0)/1e9 AS f1, "
+            f"round_even((b2*a11 - b1*a12)/(a11*a22 - a12*a12)*1e9, 0)/1e9 AS f2 "
+            f"FROM (SELECT id, {lam} + g.g11 + {alpha}*sa11 AS a11, "
+            f"g.g12 + {alpha}*sa12 AS a12, {lam} + g.g22 + {alpha}*sa22 AS a22, "
+            f"{opa}*sb1 AS b1, {opa}*sb2 AS b2 FROM {name}s, {gname} g))",
+        ]
+
+    def gram(gname: str, ftab: str) -> str:
+        return (f"{gname} AS MATERIALIZED (SELECT SUM(f1*f1) AS g11, "
+                f"SUM(f1*f2) AS g12, SUM(f2*f2) AS g22 FROM {ftab})")
+
+    yprev = "y0"
+    uname = "u0"
+    for k in range(1, iters + 1):
+        uname = f"uf{k}"
+        cte.append(gram(f"g{uname}", yprev))
+        cte += solve(
+            uname, f"g{uname}",
+            f"{uname}s AS MATERIALIZED (SELECT e.u AS id, "
+            f"SUM(y.f1*y.f1) AS sa11, SUM(y.f1*y.f2) AS sa12, "
+            f"SUM(y.f2*y.f2) AS sa22, SUM(y.f1) AS sb1, SUM(y.f2) AS sb2 "
+            f"FROM e JOIN {yprev} y ON e.p = y.id GROUP BY e.u)",
+        )
+        yprev = f"y{k}"
+        cte.append(gram(f"g{yprev}", uname))
+        cte += solve(
+            yprev, f"g{yprev}",
+            f"{yprev}s AS MATERIALIZED (SELECT e.p AS id, "
+            f"SUM(x.f1*x.f1) AS sa11, SUM(x.f1*x.f2) AS sa12, "
+            f"SUM(x.f2*x.f2) AS sa22, SUM(x.f1) AS sb1, SUM(x.f2) AS sb2 "
+            f"FROM e JOIN {uname} x ON e.u = x.id GROUP BY e.p)",
+        )
+    return (
+        "WITH " + ", ".join(cte) +
+        f" SELECT 'user' AS side, id, "
+        f"CAST(round_even(f1*1e9, 0) AS BIGINT) AS f1_e9, "
+        f"CAST(round_even(f2*1e9, 0) AS BIGINT) AS f2_e9 FROM {uname} "
+        f"UNION ALL SELECT 'item' AS side, id, "
+        f"CAST(round_even(f1*1e9, 0) AS BIGINT), "
+        f"CAST(round_even(f2*1e9, 0) AS BIGINT) FROM {yprev}"
+    )
+
+
+@query("als_factorize_purchases", sql=_als_sql(2, 0.1, 10.0))
+def als_factorize_purchases(sf_dir: str):
+    """Rank-2 implicit-feedback ALS over the 1995 customer×part purchase
+    matrix (graph.als_implicit — Hu/Koren/Volinsky 2008 with unit
+    confidence): each half-step is two co-partitioned waves (fused
+    join+sufficient-statistics merge, then fold+ridge+closed-form 2×2
+    solve); neither factor table is ever broadcast or gathered. The full
+    2-iteration fit — init tape, every solve, every quantize — is
+    re-derived bit-exactly by the unrolled SQL chain."""
+    from . import graph
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def y95(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["o_orderdate"].dt.year == 1995]
+        return pd.DataFrame({"o_orderkey": keep["o_orderkey"],
+                             "src": keep["o_custkey"]})
+
+    ok = o.map_batches(y95, batch_format="pandas", batch_size=None)
+    lk = li.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "dst"]), batch_format="pyarrow")
+    edges = relops.distinct(
+        relops.hash_join(ok, lk, on="o_orderkey",
+                         left_cols=["src"], right_cols=["dst"]),
+        ["src", "dst"],
+    )
+    user_f, item_f = graph.als_implicit(edges, iters=2, lam=0.1, alpha=10.0,
+                                        n_partitions=4)
+
+    def out(side: str, key: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "side": side, "id": df[key].to_numpy(np.int64),
+                "f1_e9": np.round(df["f1"].to_numpy(np.float64) * 1e9
+                                  ).astype(np.int64),
+                "f2_e9": np.round(df["f2"].to_numpy(np.float64) * 1e9
+                                  ).astype(np.int64),
+            })
+        return fn
+
+    return (user_f.map_batches(out("user", "src"), batch_format="pandas",
+                               batch_size=None)
+            .union(item_f.map_batches(out("item", "dst"),
+                                      batch_format="pandas", batch_size=None)))

@@ -2498,3 +2498,77 @@ def test_cusum_statistic_flags_planted_level_shift():
             assert (s[:50] < s.max() // 10).all()
         else:
             assert s.max() <= 25 * (x.max() - k)
+
+
+def test_als_implicit_matches_dense_replay_and_separates_blocks():
+    """Distributed ALS equals the sequential dense replay of the same
+    protocol (integer init tape, ridge closed-form 2×2 solve, e9 quantize
+    per half-step) bit-for-bit across block layouts; on a planted 2-block
+    interaction matrix, the learned factors score in-block pairs above
+    cross-block pairs."""
+    from pubcrawl import graph
+
+    rng = np.random.default_rng(6)
+    rows = []
+    for u in range(30):
+        items = range(0, 10) if u < 15 else range(10, 20)
+        for i in items:
+            if rng.random() < 0.8:
+                rows.append((u, 100 + i))
+    edges = pd.DataFrame(rows, columns=["src", "dst"]).astype("int64")
+
+    lam, alpha, iters = 0.1, 10.0, 4
+    us = np.sort(edges["src"].unique())
+    its = np.sort(edges["dst"].unique())
+    y = {int(i): np.array([1.0, ((i * 2654435761) % 1000) / 1000.0])
+         for i in its}
+    x = {}
+
+    def solve_side(fixed, group_on, other):
+        m = np.stack(list(fixed.values()))
+        g11 = float((m[:, 0] * m[:, 0]).sum())
+        g12 = float((m[:, 0] * m[:, 1]).sum())
+        g22 = float((m[:, 1] * m[:, 1]).sum())
+        out = {}
+        for gid, grp in edges.groupby(group_on):
+            vs = np.stack([fixed[int(v)] for v in grp[other]])
+            a11 = lam + g11 + alpha * (vs[:, 0] * vs[:, 0]).sum()
+            a12 = g12 + alpha * (vs[:, 0] * vs[:, 1]).sum()
+            a22 = lam + g22 + alpha * (vs[:, 1] * vs[:, 1]).sum()
+            b1 = (1.0 + alpha) * vs[:, 0].sum()
+            b2 = (1.0 + alpha) * vs[:, 1].sum()
+            det = a11 * a22 - a12 * a12
+            out[int(gid)] = np.round(np.array([
+                (b1 * a22 - b2 * a12) / det, (b2 * a11 - b1 * a12) / det,
+            ]) * 1e9) / 1e9
+        return out
+
+    for _ in range(iters):
+        x = solve_side(y, "src", "dst")
+        y = solve_side(x, "dst", "src")
+
+    for parts in (2, 5):
+        uf, itf = graph.als_implicit(
+            rd.from_pandas(edges).repartition(parts), iters=iters, lam=lam,
+            alpha=alpha, n_partitions=3)
+        ug = uf.to_pandas().sort_values("src").reset_index(drop=True)
+        ig = itf.to_pandas().sort_values("dst").reset_index(drop=True)
+        assert (ug["src"].to_numpy() == us).all()
+        assert (ig["dst"].to_numpy() == its).all()
+        for col, ref, ids in (("f1", x, ug["src"]), ("f2", x, ug["src"])):
+            got = ug[col].to_numpy()
+            exp = np.array([ref[int(i)][0 if col == "f1" else 1] for i in ids])
+            assert np.array_equal(np.round(got * 1e9), np.round(exp * 1e9))
+        for col in ("f1", "f2"):
+            got = ig[col].to_numpy()
+            exp = np.array([y[int(i)][0 if col == "f1" else 1]
+                            for i in ig["dst"]])
+            assert np.array_equal(np.round(got * 1e9), np.round(exp * 1e9))
+
+    # planted structure: in-block predicted scores dominate cross-block
+    xu = np.stack([x[u] for u in range(30)])
+    yi = np.stack([y[100 + i] for i in range(20)])
+    scores = xu @ yi.T
+    in_block = np.concatenate([scores[:15, :10].ravel(), scores[15:, 10:].ravel()])
+    cross = np.concatenate([scores[:15, 10:].ravel(), scores[15:, :10].ravel()])
+    assert in_block.mean() > 3 * abs(cross.mean())
