@@ -627,3 +627,53 @@ def als_implicit(
         user_f = half_step(e_by_dst, item_f, dst, src)
         item_f = half_step(e_by_src, user_f, src, dst)
     return user_f, item_f
+
+
+# ------------------------------------------------------------ k-core peeling
+
+
+def kcore_peel(
+    edges: rd.Dataset,
+    k: int,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    n_partitions: int = 4,
+) -> rd.Dataset:
+    """Fixed-round k-core peeling over a symmetric edge list → Dataset of
+    (id, deg) for nodes surviving ``rounds`` prune passes (Seidman 1983;
+    Batagelj-Zaversnik's iterative formulation, shaped for Ray Data): each
+    round keeps only edges whose BOTH endpoints are alive (two partitioned
+    SEMI joins — the anti-join machinery run positively), recounts degrees
+    with the group-count combiner, and drops nodes below k. A fixed round
+    budget instead of a convergence probe keeps the computation
+    deterministic and SQL-replayable — once the peel has converged the
+    remaining rounds are no-ops in both engines, and before convergence
+    both engines replay the identical prefix."""
+    e = edges.select_columns([src, dst]).materialize()
+    deg = relops.preagg_group_sum(e, [src], count_as="deg",
+                                  n_partitions=n_partitions)
+    alive = deg.map_batches(
+        lambda df, _k=k: df.loc[df["deg"] >= _k, [src, "deg"]]
+        .rename(columns={src: "id"}),
+        batch_format="pandas", batch_size=None,
+    ).materialize()
+    for _ in range(rounds):
+        a_src = alive.map_batches(
+            lambda df: pd.DataFrame({src: df["id"]}),
+            batch_format="pandas", batch_size=None)
+        a_dst = alive.map_batches(
+            lambda df: pd.DataFrame({dst: df["id"]}),
+            batch_format="pandas", batch_size=None)
+        ea = relops.semi_join_partitioned(
+            relops.semi_join_partitioned(e, a_src, on=src,
+                                         n_partitions=n_partitions),
+            a_dst, on=dst, n_partitions=n_partitions)
+        deg = relops.preagg_group_sum(ea, [src], count_as="deg",
+                                      n_partitions=n_partitions)
+        alive = deg.map_batches(
+            lambda df, _k=k: df.loc[df["deg"] >= _k, [src, "deg"]]
+            .rename(columns={src: "id"}),
+            batch_format="pandas", batch_size=None,
+        ).materialize()  # consumed by both next-round semi joins
+    return alive

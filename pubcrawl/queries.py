@@ -5863,3 +5863,87 @@ def als_factorize_purchases(sf_dir: str):
                                batch_size=None)
             .union(item_f.map_batches(out("item", "dst"),
                                       batch_format="pandas", batch_size=None)))
+
+
+# ===================================================== k-core decomposition
+
+
+def _kcore_sql(rounds: int = 8) -> str:
+    """Unrolled k-core peeling as MATERIALIZED CTEs: k = the median initial
+    degree (data-dependent, so the core is non-trivial at every SF), then
+    ``rounds`` prune passes of degree-within-alive-subgraph >= k."""
+    cte = [
+        "e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey <> b.l_partkey "
+        "WHERE year(a.l_shipdate) = 1995 AND year(b.l_shipdate) = 1995)",
+        "ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e)",
+        "d0 AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg "
+        "FROM ed GROUP BY src)",
+        "kk AS MATERIALIZED (SELECT CAST(quantile_disc(deg, 0.5) AS BIGINT) "
+        "AS k FROM d0)",
+        "a0 AS MATERIALIZED (SELECT id FROM d0, kk WHERE deg >= kk.k)",
+    ]
+    prev = "a0"
+    for r in range(1, rounds + 1):
+        cte += [
+            f"d{r} AS MATERIALIZED (SELECT ed.src AS id, COUNT(*) AS deg "
+            f"FROM ed JOIN {prev} x ON ed.src = x.id "
+            f"JOIN {prev} y ON ed.dst = y.id GROUP BY ed.src)",
+            f"a{r} AS MATERIALIZED (SELECT id, deg FROM d{r}, kk "
+            f"WHERE deg >= kk.k)",
+        ]
+        prev = f"a{r}"
+    return ("WITH " + ", ".join(cte) +
+            f" SELECT id, CAST(deg AS BIGINT) AS deg FROM a{rounds}")
+
+
+@query("kcore_copurchase", sql=_kcore_sql(5))
+def kcore_copurchase(sf_dir: str):
+    """k-core of the symmetric 1995 co-purchase graph (graph.kcore_peel,
+    Seidman 1983 — the dense-subgraph extractor behind community seeds and
+    crawl-frontier prioritization), k = the median initial degree: 5 fixed
+    peeling rounds, each two partitioned SEMI joins (both endpoints alive)
+    + a group-count combiner; fixed rounds instead of a convergence probe
+    keep both engines on the identical deterministic prefix (post-
+    convergence rounds are no-ops). Output = surviving nodes with their
+    within-core degrees."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_shipdate"])
+
+    def y95(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(pc.year(t["l_shipdate"]), 1995))
+        return keep.select(["l_orderkey", "l_partkey"])
+
+    lp = li.map_batches(y95, batch_format="pyarrow")
+    a = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "src"]),
+                       batch_format="pyarrow")
+    b = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "dst"]),
+                       batch_format="pyarrow")
+    edges = relops.hash_join(a, b, on="l_orderkey",
+                             left_cols=["src"], right_cols=["dst"])
+    edges = relops.distinct(
+        edges.map_batches(
+            lambda df: df.loc[df["src"] != df["dst"], ["src", "dst"]],
+            batch_format="pandas", batch_size=None,
+        ),
+        ["src", "dst"],
+    ).materialize()
+
+    from . import graph
+
+    deg0 = relops.preagg_group_sum(edges, ["src"], count_as="deg")
+    k = int(
+        relops.group_quantile_disc(
+            deg0.map_batches(
+                lambda df: pd.DataFrame({"__g": np.zeros(len(df), np.int64),
+                                         "deg": df["deg"]}),
+                batch_format="pandas", batch_size=None),
+            ["__g"], "deg", {"p50": 0.5},
+        ).to_pandas()["p50"].iloc[0]
+    )
+    core = graph.kcore_peel(edges, k=k, rounds=5, n_partitions=4)
+    return core.map_batches(
+        lambda df: pd.DataFrame({"id": df["id"].astype("int64"),
+                                 "deg": df["deg"].astype("int64")}),
+        batch_format="pandas", batch_size=None,
+    )

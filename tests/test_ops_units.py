@@ -2572,3 +2572,43 @@ def test_als_implicit_matches_dense_replay_and_separates_blocks():
     in_block = np.concatenate([scores[:15, :10].ravel(), scores[15:, 10:].ravel()])
     cross = np.concatenate([scores[:15, 10:].ravel(), scores[15:, :10].ravel()])
     assert in_block.mean() > 3 * abs(cross.mean())
+
+
+def test_kcore_peel_matches_sequential_peeling():
+    """graph.kcore_peel equals a sequential Python replay of fixed-round
+    peeling on a planted clique-plus-fringe graph (the clique survives, the
+    fringe dies), across block layouts."""
+    from pubcrawl import graph
+
+    rng = np.random.default_rng(12)
+    rows = []
+    clique = list(range(8))
+    for i in clique:           # K8 core
+        for j in clique:
+            if i != j:
+                rows.append((i, j))
+    for f in range(8, 40):     # sparse fringe hanging off the clique
+        tgt = int(rng.integers(0, 8))
+        rows.append((f, tgt)), rows.append((tgt, f))
+    edges = pd.DataFrame(rows, columns=["src", "dst"]).astype("int64"
+                                                              ).drop_duplicates()
+
+    k, rounds = 4, 5
+    alive = None
+    deg = edges.groupby("src").size()
+    alive = set(deg[deg >= k].index)
+    for _ in range(rounds):
+        ea = edges[edges["src"].isin(alive) & edges["dst"].isin(alive)]
+        deg = ea.groupby("src").size()
+        alive = set(deg[deg >= k].index)
+    exp = (pd.DataFrame({"id": sorted(alive),
+                         "deg": [int(deg[i]) for i in sorted(alive)]})
+           .astype("int64"))
+    assert set(exp["id"]) == set(clique)  # fringe peeled, clique survives
+
+    for parts in (2, 5):
+        got = graph.kcore_peel(
+            rd.from_pandas(edges).repartition(parts), k=k, rounds=rounds,
+            n_partitions=3,
+        ).to_pandas().astype("int64").sort_values("id").reset_index(drop=True)
+        assert (got.to_numpy() == exp.to_numpy()).all()
