@@ -5947,3 +5947,102 @@ def kcore_copurchase(sf_dir: str):
                                  "deg": df["deg"].astype("int64")}),
         batch_format="pandas", batch_size=None,
     )
+
+
+# ============================================ semi-supervised label propagation
+
+
+def _labelprop_sql(rounds: int = 3) -> str:
+    """Unrolled clamped label propagation as MATERIALIZED CTEs: per round,
+    per-neighbor label votes, majority with (count DESC, label ASC)
+    tie-break, seeds stay fixed. Pure integer/string arithmetic — no float
+    anywhere, so the replay is exact by construction."""
+    cte = [
+        "e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey <> b.l_partkey "
+        "WHERE year(a.l_shipdate) = 1995 AND year(b.l_shipdate) = 1995)",
+        "ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e)",
+        "seeds AS MATERIALIZED (SELECT p_partkey AS id, p_brand AS label "
+        "FROM part WHERE p_partkey % 7 = 0)",
+        "l0 AS MATERIALIZED (SELECT id, label FROM seeds)",
+    ]
+    for r in range(1, rounds + 1):
+        cte += [
+            f"m{r} AS MATERIALIZED (SELECT ed.dst AS id, l.label, COUNT(*) AS c "
+            f"FROM ed JOIN l{r-1} l ON ed.src = l.id GROUP BY ed.dst, l.label)",
+            f"v{r} AS MATERIALIZED (SELECT id, label FROM ("
+            f"SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id "
+            f"ORDER BY c DESC, label) AS rn FROM m{r}) WHERE rn = 1)",
+            f"l{r} AS MATERIALIZED (SELECT id, label FROM seeds UNION ALL "
+            f"SELECT id, label FROM v{r} WHERE id % 7 <> 0)",
+        ]
+    return ("WITH " + ", ".join(cte) +
+            f" SELECT id, label FROM l{rounds}")
+
+
+@query("labelprop_brand_parts", sql=_labelprop_sql(3))
+def labelprop_brand_parts(sf_dir: str):
+    """Clamped (semi-supervised) label propagation over the symmetric 1995
+    co-purchase graph (Zhu-Ghahramani 2002 majority-vote variant: seeds =
+    every 7th part's brand, 3 rounds): per round, one co-partitioned
+    edges⋈labels message wave, a (node, label) count combiner, and the
+    topk-per-group argmax with (count DESC, label ASC) tie-break; seeds
+    re-clamp by a pure key predicate (id % 7), so no seed table is ever
+    broadcast. Integer/string-exact end-to-end — the SQL replay needs no
+    quantization protocol at all."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_shipdate"])
+
+    def y95(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(pc.year(t["l_shipdate"]), 1995))
+        return keep.select(["l_orderkey", "l_partkey"])
+
+    lp = li.map_batches(y95, batch_format="pyarrow")
+    a = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "src"]),
+                       batch_format="pyarrow")
+    b = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "dst"]),
+                       batch_format="pyarrow")
+    edges = relops.distinct(
+        relops.hash_join(a, b, on="l_orderkey",
+                         left_cols=["src"], right_cols=["dst"])
+        .map_batches(lambda df: df.loc[df["src"] != df["dst"], ["src", "dst"]],
+                     batch_format="pandas", batch_size=None),
+        ["src", "dst"],
+    ).materialize()
+
+    seeds = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"id": df.loc[df["p_partkey"] % 7 == 0, "p_partkey"].to_numpy(np.int64),
+             "label": df.loc[df["p_partkey"] % 7 == 0, "p_brand"]}),
+        batch_format="pandas", batch_size=None,
+    ).materialize()
+
+    labels = seeds
+    for _ in range(3):
+        lsrc = labels.map_batches(
+            lambda df: pd.DataFrame({"src": df["id"], "label": df["label"]}),
+            batch_format="pandas", batch_size=None)
+        msgs = relops.hash_join(edges, lsrc, on="src",
+                                left_cols=["dst"], right_cols=["label"],
+                                n_buckets=4)
+        # per-batch partial (dst, label) counts, then count-fold + argmax +
+        # seed-predicate filter fused into ONE co-partitioned task by dst —
+        # a separate group-sum + topk composition would shuffle twice
+        partial = msgs.map_batches(
+            lambda df: df.groupby(["dst", "label"], as_index=False, sort=False)
+            .size().rename(columns={"size": "c"}),
+            batch_format="pandas", batch_size=None)
+
+        def vote(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(["dst", "label"], as_index=False)["c"].sum()
+            g = g.sort_values(["dst", "c", "label"],
+                              ascending=[True, False, True], kind="mergesort")
+            w = g.drop_duplicates("dst", keep="first")
+            w = w[w["dst"] % 7 != 0]
+            return pd.DataFrame({"id": w["dst"].to_numpy(np.int64),
+                                 "label": w["label"]})
+
+        new = relops.hash_partition_apply(partial, ["dst"], vote,
+                                          n_partitions=4)
+        labels = seeds.union(new).materialize()
+    return labels
