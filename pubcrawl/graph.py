@@ -677,3 +677,73 @@ def kcore_peel(
             batch_format="pandas", batch_size=None,
         ).materialize()  # consumed by both next-round semi joins
     return alive
+
+
+# ------------------------------------------- weighted SSSP (Bellman-Ford rounds)
+
+
+def sssp_rounds(
+    edges: rd.Dataset,
+    seed_mod: int = 101,
+    weight_mod: int = 9,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    n_partitions: int = 4,
+) -> rd.Dataset:
+    """Multi-source weighted single-source-shortest-paths via ``rounds``
+    synchronous Bellman-Ford relaxation waves → (id, dist) for every node
+    reached within that many hops (distances are exact for paths of ≤
+    ``rounds`` edges — the distributed Δ-free Bellman-Ford of Lipton et al.
+    / the Pregel SSSP example, integer-exact end to end).
+
+    Seeds are the nodes with ``id % seed_mod == 0`` at distance 0; the edge
+    weight is the pure key function ``(src + dst) % weight_mod + 1``, so a
+    relaxation wave ships only (id, dist) int64 pairs — weights rematerialize
+    from the keys on the consuming side and are never stored or shuffled
+    (the same key-column-only discipline as the crawl frontier). Per round:
+    one co-partitioned dist⋈edges join emits candidate distances, a
+    per-batch min combiner prunes them to one row per (block × node), and a
+    key-hash min-fold against the current state keeps the smaller of
+    old/new — two shuffles per round, no driver-side state."""
+    e = edges.select_columns([src, dst]).materialize()
+
+    seeds = relops.distinct(
+        e.map_batches(
+            lambda df, _m=seed_mod: pd.DataFrame(
+                {"id": df.loc[df[src] % _m == 0, src].to_numpy(np.int64)}),
+            batch_format="pandas", batch_size=None),
+        ["id"],
+    ).map_batches(
+        lambda df: pd.DataFrame({"id": df["id"].to_numpy(np.int64),
+                                 "dist": np.zeros(len(df), dtype=np.int64)}),
+        batch_format="pandas", batch_size=None,
+    )
+    dist = seeds.materialize()
+
+    for _ in range(rounds):
+        dsrc = dist.map_batches(
+            lambda df: pd.DataFrame({src: df["id"].to_numpy(np.int64),
+                                     "d": df["dist"].to_numpy(np.int64)}),
+            batch_format="pandas", batch_size=None)
+        msgs = relops.hash_join(e, dsrc, on=src, left_cols=[dst],
+                                right_cols=["d"], n_buckets=n_partitions)
+
+        def relax(df: pd.DataFrame, _m=weight_mod) -> pd.DataFrame:
+            s = df[src].to_numpy(np.int64)
+            t = df[dst].to_numpy(np.int64)
+            cand = df["d"].to_numpy(np.int64) + (s + t) % _m + 1
+            p = pd.DataFrame({"id": t, "dist": cand})
+            return p.groupby("id", as_index=False, sort=False)["dist"].min()
+
+        partial = msgs.map_batches(relax, batch_format="pandas", batch_size=None)
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("id", as_index=False, sort=False)["dist"].min()
+            return pd.DataFrame({"id": g["id"].to_numpy(np.int64),
+                                 "dist": g["dist"].to_numpy(np.int64)})
+
+        dist = relops.hash_partition_apply(
+            dist.union(partial), ["id"], fold, n_partitions=n_partitions
+        ).materialize()
+    return dist

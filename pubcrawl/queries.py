@@ -6046,3 +6046,336 @@ def labelprop_brand_parts(sf_dir: str):
                                           n_partitions=4)
         labels = seeds.union(new).materialize()
     return labels
+
+
+# ======================================================================
+# session-6 wave: statistical tests, classical ML fits, positional search,
+# weighted shortest paths
+# ======================================================================
+
+
+@query(
+    "chi2_lang_source",
+    # per-cell contributions are e9-quantized doubles computed from exact
+    # integer margins with an identical expression tree on both sides, so
+    # the statistic is an exact integer sum (the corr/PMI recipe)
+    sql="WITH o AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM documents GROUP BY 1, 2), "
+    "r AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS rc FROM o GROUP BY 1), "
+    "cl AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cc FROM o GROUP BY 1), "
+    "n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM o), "
+    "grid AS (SELECT r.lang, cl.source, r.rc, cl.cc, COALESCE(o.c, 0) AS obs "
+    "FROM r CROSS JOIN cl LEFT JOIN o ON o.lang = r.lang AND o.source = cl.source), "
+    "cell AS (SELECT CAST(round_even(((obs - (rc*cc)/CAST(n.n AS DOUBLE)) "
+    "* (obs - (rc*cc)/CAST(n.n AS DOUBLE))) / ((rc*cc)/CAST(n.n AS DOUBLE)) "
+    "* 1e9, 0) AS BIGINT) AS chi_e9 FROM grid, n) "
+    "SELECT n.n AS n, CAST((SELECT COUNT(*) FROM r) - 1 AS BIGINT) "
+    "* CAST((SELECT COUNT(*) FROM cl) - 1 AS BIGINT) AS dof, "
+    "CAST(SUM(chi_e9) AS BIGINT) AS chi2_e9 FROM cell, n GROUP BY n.n",
+)
+def chi2_lang_source(sf_dir: str):
+    """Pearson chi-square test of independence between document language and
+    source — the dataset-audit statistic that tells a corpus curator whether
+    sources are language-skewed. Distributed shape: the contingency table is
+    a (lang, source) combiner count (the only pass over data); margins,
+    expected counts and the statistic run on the ~100-cell result. Per-cell
+    (O-E)^2/E contributions are e9-quantized before the sum, so the
+    statistic is an exact integer total."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    counts = relops.preagg_group_sum(ds, ["lang", "source"], count_as="c")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        piv = (df.pivot_table(index="lang", columns="source", values="c",
+                              aggfunc="sum", fill_value=0).astype(np.int64))
+        obs = piv.to_numpy()
+        rc = obs.sum(axis=1)
+        cc = obs.sum(axis=0)
+        n = int(obs.sum())
+        e = (rc[:, None] * cc[None, :]).astype(np.float64) / float(n)
+        diff = obs - e
+        chi_e9 = np.round((diff * diff) / e * 1e9).astype(np.int64)
+        dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
+        return pd.DataFrame({"n": [np.int64(n)], "dof": [np.int64(dof)],
+                             "chi2_e9": [np.int64(chi_e9.sum())]})
+
+    tiny = counts.map_batches(lambda df: df.assign(__g=np.int64(0)),
+                              batch_format="pandas", batch_size=None)
+    return relops.hash_partition_apply(
+        tiny, ["__g"], lambda df: finish(df), n_partitions=1)
+
+
+@query(
+    "dow_revenue_index",
+    sql="WITH daily AS (SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d, "
+    "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_e2 "
+    "FROM orders GROUP BY 1), "
+    "dw AS (SELECT CAST(isodow(d) AS BIGINT) AS dow, "
+    "CAST(SUM(rev_e2) AS BIGINT) AS rev_e2, CAST(COUNT(*) AS BIGINT) AS days "
+    "FROM daily GROUP BY 1), "
+    "tot AS (SELECT CAST(SUM(rev_e2) AS BIGINT) AS trev, "
+    "CAST(SUM(days) AS BIGINT) AS tdays FROM dw) "
+    "SELECT dow, rev_e2, days, CAST(round_even((rev_e2 / CAST(days AS DOUBLE)) "
+    "/ (tot.trev / CAST(tot.tdays AS DOUBLE)) * 1e6, 0) AS BIGINT) AS index_e6 "
+    "FROM dw, tot",
+)
+def dow_revenue_index(sf_dir: str):
+    """Day-of-week seasonality index (mean daily revenue per ISO weekday ÷
+    overall mean daily revenue, ×1e6): the two-level aggregate where the
+    fact-table pass reduces to calendar days (combiner) and everything after
+    runs on the tiny day table — revenue in exact e2 integer units."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    ds = relops.with_columns(ds, {"rev_e2": relops.money_to_units("o_totalprice")})
+
+    def by_day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"d": df["o_orderdate"].dt.floor("D"),
+                             "rev_e2": df["rev_e2"].to_numpy(np.int64)})
+
+    daily = relops.preagg_group_sum(
+        ds.map_batches(by_day, batch_format="pandas", batch_size=None),
+        ["d"], sum_cols={"rev_e2": "rev_e2"})
+
+    def by_dow(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "dow": (df["d"].dt.dayofweek + 1).astype(np.int64),  # ISO: Mon=1
+            "rev_e2": df["rev_e2"].to_numpy(np.int64),
+            "days": np.ones(len(df), dtype=np.int64),
+        })
+
+    dw = relops.preagg_group_sum(
+        daily.map_batches(by_dow, batch_format="pandas", batch_size=None),
+        ["dow"], sum_cols={"rev_e2": "rev_e2", "days": "days"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        trev, tdays = int(df["rev_e2"].sum()), int(df["days"].sum())
+        rev = df["rev_e2"].to_numpy(np.int64)
+        days = df["days"].to_numpy(np.int64)
+        idx = (rev / days.astype(np.float64)) / (float(trev) / float(tdays)) * 1e6
+        return pd.DataFrame({"dow": df["dow"].to_numpy(np.int64),
+                             "rev_e2": rev, "days": days,
+                             "index_e6": np.round(idx).astype(np.int64)})
+
+    tiny = dw.map_batches(lambda df: df.assign(__g=np.int64(0)),
+                          batch_format="pandas", batch_size=None)
+    return relops.hash_partition_apply(
+        tiny, ["__g"], lambda df: finish(df.drop(columns="__g")), n_partitions=1)
+
+
+@query(
+    "phrase_search_docs",
+    sql="WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') "
+    "AS toks FROM documents) "
+    "SELECT doc_id, CAST(len(list_filter(range(1, len(toks)), "
+    "i -> toks[i] = 'stream' AND toks[i+1] = 'window')) AS BIGINT) AS n_hits "
+    "FROM d WHERE len(list_filter(range(1, len(toks)), "
+    "i -> toks[i] = 'stream' AND toks[i+1] = 'window')) > 0",
+)
+def phrase_search_docs(sf_dir: str):
+    """Exact phrase search ("stream window") in token space — K6's FTS
+    surface extended to positional adjacency (FTS5 phrase queries,
+    /root/reference/src/search/search_service.py:125-151). Per-batch
+    vectorized shifted-mask AND over the flattened token stream with a
+    document-boundary guard; no shuffle (a doc's tokens live in its row)."""
+    return text.phrase_hits(_read(sf_dir, "documents", ["doc_id", "text"]),
+                            "stream", "window")
+
+
+def _sssp_sql(rounds: int = 3, seed_mod: int = 101, weight_mod: int = 9) -> str:
+    parts = [
+        "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem "
+        "WHERE year(l_shipdate) = 1995), "
+        "edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM lp a JOIN lp b USING (l_orderkey) WHERE a.l_partkey <> b.l_partkey), "
+        f"d0 AS (SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS dist "
+        f"FROM edges WHERE src % {seed_mod} = 0)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", m{i} AS (SELECT e.dst AS id, MIN(d.dist + (e.src + e.dst) % "
+            f"{weight_mod} + 1) AS dist FROM edges e JOIN d{i-1} d ON e.src = d.id "
+            f"GROUP BY 1), d{i} AS (SELECT id, CAST(MIN(dist) AS BIGINT) AS dist "
+            f"FROM (SELECT * FROM d{i-1} UNION ALL SELECT * FROM m{i}) GROUP BY 1)"
+        )
+    parts.append(f" SELECT id, dist FROM d{rounds}")
+    return "".join(parts)
+
+
+@query("sssp_copurchase", sql=_sssp_sql(3))
+def sssp_copurchase(sf_dir: str):
+    """Weighted multi-source shortest paths over the symmetric 1995
+    co-purchase part graph (seeds = parts % 101 == 0; edge weight = the pure
+    key function (src+dst)%9+1): three synchronous Bellman-Ford relaxation
+    waves, each one co-partitioned dist⋈edges join + per-batch min combiner
+    + key-hash min-fold — integer-exact, replayed round-for-round by the
+    unrolled SQL chain. The weighted generalization of bfs_hops_copurchase
+    (crawl-frontier loop with per-link costs)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_shipdate"])
+
+    def y95(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(pc.year(t["l_shipdate"]), 1995))
+        return keep.select(["l_orderkey", "l_partkey"])
+
+    lp = li.map_batches(y95, batch_format="pyarrow")
+    a = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "src"]),
+                       batch_format="pyarrow")
+    b = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "dst"]),
+                       batch_format="pyarrow")
+    edges = relops.distinct(
+        relops.hash_join(a, b, on="l_orderkey",
+                         left_cols=["src"], right_cols=["dst"])
+        .map_batches(lambda df: df.loc[df["src"] != df["dst"], ["src", "dst"]],
+                     batch_format="pandas", batch_size=None),
+        ["src", "dst"],
+    )
+    from . import graph
+
+    return graph.sssp_rounds(edges, seed_mod=101, weight_mod=9, rounds=3)
+
+
+@query(
+    "nb_classify_docs",
+    sql="WITH train AS (SELECT doc_id, lang, lower(text) AS t FROM documents "
+    "WHERE doc_id % 3 <> 0), "
+    "test AS (SELECT doc_id, lang, lower(text) AS t FROM documents "
+    "WHERE doc_id % 3 = 0), "
+    "ttok AS (SELECT lang, unnest(regexp_extract_all(t, '[a-z0-9]+')) AS term "
+    "FROM train), "
+    "cnt AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c FROM ttok "
+    "GROUP BY 1, 2), "
+    "vocab AS (SELECT DISTINCT term FROM cnt), "
+    "langs AS (SELECT DISTINCT lang FROM train), "
+    "tc AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY 1), "
+    "v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab), "
+    "model AS (SELECT l.lang AS cls, vo.term, "
+    "CAST(round_even(ln((COALESCE(cnt.c, 0) + 1) / CAST(tc.tot + v.v AS DOUBLE)) "
+    "* 1e9, 0) AS BIGINT) AS lnp_e9 "
+    "FROM langs l CROSS JOIN vocab vo CROSS JOIN v "
+    "LEFT JOIN cnt ON cnt.lang = l.lang AND cnt.term = vo.term "
+    "JOIN tc ON tc.lang = l.lang), "
+    "nd AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM train GROUP BY 1), "
+    "ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM train), "
+    "prior AS (SELECT nd.lang AS cls, CAST(round_even(ln(nd.n / "
+    "CAST(ndt.n AS DOUBLE)) * 1e9, 0) AS BIGINT) AS pr_e9 FROM nd, ndt), "
+    "stok AS (SELECT doc_id, lang, unnest(regexp_extract_all(t, '[a-z0-9]+')) "
+    "AS term FROM test), "
+    "stf AS (SELECT doc_id, lang, term, CAST(COUNT(*) AS BIGINT) AS tf "
+    "FROM stok GROUP BY 1, 2, 3), "
+    "contrib AS (SELECT s.doc_id, s.lang, m.cls, "
+    "CAST(SUM(s.tf * m.lnp_e9) AS BIGINT) AS sc "
+    "FROM stf s JOIN model m USING (term) GROUP BY 1, 2, 3), "
+    "score AS (SELECT c.doc_id, c.lang, c.cls, "
+    "CAST(c.sc + p.pr_e9 AS BIGINT) AS score_e9 "
+    "FROM contrib c JOIN prior p USING (cls)), "
+    "win AS (SELECT doc_id, lang, cls, score_e9, ROW_NUMBER() OVER "
+    "(PARTITION BY doc_id ORDER BY score_e9 DESC, cls ASC) AS rn FROM score) "
+    "SELECT doc_id, lang, cls AS pred_lang, score_e9 FROM win WHERE rn = 1",
+)
+def nb_classify_docs(sf_dir: str):
+    """Multinomial Naive Bayes (add-one smoothing) fit on 2/3 of documents
+    and scored on the held-out 1/3, entirely distributed: (class, term)
+    combiner counts → per-term-partition model with zero-filled class rows →
+    one term-hash join against test tf rows → (doc, class) combiner sum →
+    argmax. Every ln term is e9-quantized BEFORE summation, so scores are
+    exact integer sums and the argmax (tie-break class ASC) replays
+    bit-for-bit in SQL. Accuracy is incidental (the synthetic langs share a
+    vocabulary, like langid_confusion) — the operator is the point."""
+    return text.nb_fit_predict(_read(sf_dir, "documents",
+                                     ["doc_id", "lang", "text"]))
+
+
+@query(
+    "ridge_regr_price",
+    # 3x3 ridge normal equations solved by Cramer cofactor expansion: the
+    # nine sufficient statistics are exact int64 sums; both sides convert
+    # them to double at the same points and evaluate the SAME expression
+    # tree (IEEE ops are exactly specified, so the doubles are bit-identical)
+    sql="WITH x AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x1, "
+    "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS x2 "
+    "FROM lineitem GROUP BY 1), "
+    "xy AS (SELECT x.x1, x.x2, CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS y "
+    "FROM x JOIN orders o ON o.o_orderkey = x.l_orderkey), "
+    "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x1) AS BIGINT) AS sx1, "
+    "CAST(SUM(x2) AS BIGINT) AS sx2, CAST(SUM(x1*x1) AS BIGINT) AS s11, "
+    "CAST(SUM(x1*x2) AS BIGINT) AS s12, CAST(SUM(x2*x2) AS BIGINT) AS s22, "
+    "CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x1*y) AS BIGINT) AS s1y, "
+    "CAST(SUM(x2*y) AS BIGINT) AS s2y FROM xy), "
+    "d AS (SELECT n, CAST(n AS DOUBLE) AS dn, CAST(sx1 AS DOUBLE) AS dx1, "
+    "CAST(sx2 AS DOUBLE) AS dx2, CAST(s11 + 10000 AS DOUBLE) AS a11, "
+    "CAST(s12 AS DOUBLE) AS a12, CAST(s22 + 10000 AS DOUBLE) AS a22, "
+    "CAST(sy AS DOUBLE) AS dy, CAST(s1y AS DOUBLE) AS d1y, "
+    "CAST(s2y AS DOUBLE) AS d2y FROM s), "
+    "k AS (SELECT n, "
+    "dn*(a11*a22 - a12*a12) - dx1*(dx1*a22 - a12*dx2) + dx2*(dx1*a12 - a11*dx2) AS det, "
+    "dy*(a11*a22 - a12*a12) - dx1*(d1y*a22 - a12*d2y) + dx2*(d1y*a12 - a11*d2y) AS det0, "
+    "dn*(d1y*a22 - a12*d2y) - dy*(dx1*a22 - a12*dx2) + dx2*(dx1*d2y - d1y*dx2) AS det1, "
+    "dn*(a11*d2y - d1y*a12) - dx1*(dx1*d2y - d1y*dx2) + dy*(dx1*a12 - a11*dx2) AS det2 "
+    "FROM d) "
+    "SELECT n, CAST(round_even(det0/det*1e6, 0) AS BIGINT) AS beta0_e6, "
+    "CAST(round_even(det1/det*1e6, 0) AS BIGINT) AS beta1_e6, "
+    "CAST(round_even(det2/det*1e6, 0) AS BIGINT) AS beta2_e6 FROM k",
+)
+def ridge_regr_price(sf_dir: str):
+    """Ridge regression (λ=10000 on the feature diagonal) of order total
+    price (e2 units) on two per-order features — line count and total
+    quantity — via distributed normal equations: per-order features are one
+    combiner groupby of lineitem; the nine sufficient statistics (n, Σx,
+    Σxx, Σxy, Σy) are exact int64 per-batch partials folded once; the 3×3
+    solve is a closed-form Cramer cofactor expansion evaluated identically
+    on both sides. The classical-ML fit shape at 100 TB: one pass, nine
+    integers to the driver, no gradient iterations."""
+    lam = 10000
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "x2": np.round(df["l_quantity"].to_numpy(np.float64)).astype(np.int64),
+            "x1": np.ones(len(df), dtype=np.int64),
+        })
+
+    x = relops.preagg_group_sum(
+        li.map_batches(feats, batch_format="pandas", batch_size=None),
+        ["l_orderkey"], sum_cols={"x1": "x1", "x2": "x2"})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    orders = relops.with_columns(orders, {"y": relops.money_to_units("o_totalprice")})
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_totalprice", "y"]),
+        batch_format="pyarrow").select_columns(["l_orderkey", "y"])
+    xy = relops.hash_join(x, orders, on="l_orderkey",
+                          left_cols=["x1", "x2"], right_cols=["y"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x1 = df["x1"].to_numpy(np.int64)
+        x2 = df["x2"].to_numpy(np.int64)
+        y = df["y"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n": [np.int64(len(df))], "sx1": [x1.sum()], "sx2": [x2.sum()],
+            "s11": [(x1 * x1).sum()], "s12": [(x1 * x2).sum()],
+            "s22": [(x2 * x2).sum()], "sy": [y.sum()],
+            "s1y": [(x1 * y).sum()], "s2y": [(x2 * y).sum()],
+            "__g": [np.int64(0)],
+        })
+
+    partials = xy.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].sum())
+        dn, dx1, dx2 = float(n), float(int(df["sx1"].sum())), float(int(df["sx2"].sum()))
+        a11 = float(int(df["s11"].sum()) + lam)
+        a12 = float(int(df["s12"].sum()))
+        a22 = float(int(df["s22"].sum()) + lam)
+        dy = float(int(df["sy"].sum()))
+        d1y = float(int(df["s1y"].sum()))
+        d2y = float(int(df["s2y"].sum()))
+        det = dn*(a11*a22 - a12*a12) - dx1*(dx1*a22 - a12*dx2) + dx2*(dx1*a12 - a11*dx2)
+        det0 = dy*(a11*a22 - a12*a12) - dx1*(d1y*a22 - a12*d2y) + dx2*(d1y*a12 - a11*d2y)
+        det1 = dn*(d1y*a22 - a12*d2y) - dy*(dx1*a22 - a12*dx2) + dx2*(dx1*d2y - d1y*dx2)
+        det2 = dn*(a11*d2y - d1y*a12) - dx1*(dx1*d2y - d1y*dx2) + dy*(dx1*a12 - a11*dx2)
+        return pd.DataFrame({
+            "n": [np.int64(n)],
+            "beta0_e6": [np.int64(np.round(det0 / det * 1e6))],
+            "beta1_e6": [np.int64(np.round(det1 / det * 1e6))],
+            "beta2_e6": [np.int64(np.round(det2 / det * 1e6))],
+        })
+
+    return relops.hash_partition_apply(partials, ["__g"], solve, n_partitions=1)

@@ -913,3 +913,169 @@ def tfidf_cosine_pairs(
         })
 
     return dots.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+# ---------------------------------------- multinomial Naive Bayes classifier
+
+
+def nb_fit_predict(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    holdout_mod: int = 3,
+    token_pattern: str = r"[a-z0-9]+",
+    n_partitions: int | None = None,
+) -> rd.Dataset:
+    """Multinomial Naive Bayes with add-one smoothing, fit and scored in one
+    distributed plan (McCallum & Nigam 1998): train = rows with
+    ``id % holdout_mod != 0``, test = the rest → (id, true label, predicted
+    label, winning score).
+
+    Exact-replay protocol: every log term is quantized to an e9 integer
+    (``round_even(ln((c+1)/(tot_c+V))·1e9)``) BEFORE any summation, so
+    per-doc scores are exact integer sums — argmax ties break by label ASC
+    and the SQL oracle replays bit-for-bit (the perplexity/PMI nano-unit
+    recipe).
+
+    Distributed shape: train token counts are a (label, term) combiner
+    aggregate; the model materializes per TERM partition (zero counts
+    filled per class inside the term group — classes/totals/vocab-size are
+    three tiny driver scalars broadcast into the closure, never a shuffle);
+    scoring is one term-hash join of test tf rows against the model and one
+    (doc, class) combiner sum — OOV test terms drop out of the inner join
+    on both sides, the standard multinomial-NB treatment."""
+    from . import relops
+
+    pat = re.compile(token_pattern)
+
+    base = ds.select_columns([id_col, label_col, text_col])
+    train = base.map_batches(
+        lambda df, _m=holdout_mod: df[df[id_col] % _m != 0],
+        batch_format="pandas", batch_size=None)
+    test = base.map_batches(
+        lambda df, _m=holdout_mod: df[df[id_col] % _m == 0],
+        batch_format="pandas", batch_size=None)
+
+    def tok_counts(keys: list[str]):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            e = df[text_col].fillna("").str.lower().str.findall(pat).explode()
+            e = e[e.notna()]
+            t = pd.DataFrame({k: df.loc[e.index, k].to_numpy() for k in keys})
+            t["term"] = e.to_numpy()
+            return (t.groupby([*keys, "term"], as_index=False, sort=False)
+                    .size().rename(columns={"size": "tf"}))
+        return fn
+
+    # -- fit: (label, term) counts; per-class token totals; vocab size; priors
+    cnt = relops.preagg_group_sum(
+        train.map_batches(tok_counts([label_col]), batch_format="pandas",
+                          batch_size=None),
+        [label_col, "term"], sum_cols={"tf": "c"}, n_partitions=n_partitions,
+    ).materialize()
+    tc = {r[label_col]: int(r["c"])
+          for _, r in relops.preagg_group_sum(
+              cnt, [label_col], sum_cols={"c": "c"}).to_pandas().iterrows()}
+    vocab_n = int(relops.distinct(cnt, ["term"]).count())
+    nd = relops.preagg_group_sum(
+        train, [label_col], count_as="n").to_pandas()
+    n_train = int(nd["n"].sum())
+    prior_e9 = {r[label_col]: int(np.round(np.log(int(r["n"]) / float(n_train)) * 1e9))
+                for _, r in nd.iterrows()}
+    classes = sorted(tc)
+
+    def mk_model(df: pd.DataFrame) -> pd.DataFrame:
+        # zero-fill the (term × class) grid inside the term partition
+        terms = df["term"].drop_duplicates().to_numpy()
+        grid = pd.MultiIndex.from_product(
+            [terms, classes], names=["term", "cls"]).to_frame(index=False)
+        have = df.rename(columns={label_col: "cls"})[["term", "cls", "c"]]
+        g = grid.merge(have, on=["term", "cls"], how="left")
+        c = g["c"].fillna(0).to_numpy(np.int64)
+        den = np.array([tc[k] + vocab_n for k in g["cls"]], dtype=np.float64)
+        g["lnp_e9"] = np.round(np.log((c + 1) / den) * 1e9).astype(np.int64)
+        return g[["term", "cls", "lnp_e9"]]
+
+    model = relops.hash_partition_apply(cnt, ["term"], mk_model,
+                                        n_partitions=n_partitions)
+
+    # -- score: term-hash join, (doc, class) combiner sum, argmax per doc
+    stf = test.map_batches(tok_counts([id_col, label_col]),
+                           batch_format="pandas", batch_size=None)
+    joined = relops.hash_join(stf, model, on="term",
+                              left_cols=[id_col, label_col, "tf"],
+                              right_cols=["cls", "lnp_e9"],
+                              n_buckets=n_partitions)
+    contrib = joined.map_batches(
+        lambda df: pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            label_col: df[label_col].to_numpy(),
+            "cls": df["cls"].to_numpy(),
+            "sc": df["tf"].to_numpy(np.int64) * df["lnp_e9"].to_numpy(np.int64),
+        }),
+        batch_format="pandas", batch_size=None)
+    score = relops.preagg_group_sum(
+        contrib, [id_col, label_col, "cls"], sum_cols={"sc": "sc"},
+        n_partitions=n_partitions,
+    ).map_batches(
+        lambda df: df.assign(score_e9=(df["sc"].to_numpy(np.int64)
+                                       + np.array([prior_e9[k] for k in df["cls"]],
+                                                  dtype=np.int64)))
+        .drop(columns=["sc"]),
+        batch_format="pandas", batch_size=None)
+    win = relops.topk_per_group(score, [id_col],
+                                order=[("score_e9", True), ("cls", False)], k=1,
+                                n_partitions=n_partitions)
+    return win.map_batches(
+        lambda df: pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            label_col: df[label_col].to_numpy(),
+            "pred_" + label_col: df["cls"].to_numpy(),
+            "score_e9": df["score_e9"].to_numpy(np.int64),
+        }),
+        batch_format="pandas", batch_size=None)
+
+
+# ------------------------------------------------- phrase (adjacency) search
+
+
+def phrase_hits(
+    ds: rd.Dataset,
+    first: str,
+    second: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_pattern: str = r"[a-z0-9]+",
+) -> rd.Dataset:
+    """Exact two-word phrase search in token space → (id, n_hits) for
+    documents containing the token ``first`` immediately followed by
+    ``second`` (K6's FTS index generalized to positional adjacency — the
+    reference's FTS5 table supports phrase queries the same way,
+    /root/reference/src/search/search_service.py:125-151).
+
+    Embarrassingly parallel: a document's token stream lives entirely in its
+    row, so adjacency is one vectorized pass per batch — flatten the token
+    lists, AND the shifted equality masks, guard the document boundary with
+    the parent-index array, bincount per doc. No shuffle, no positions
+    materialized."""
+
+    pat = re.compile(token_pattern)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[text_col].fillna("").str.lower().str.findall(pat)
+        counts = e.str.len().to_numpy(np.int64)
+        ex = e.explode()
+        flat = ex[ex.notna()].to_numpy()  # explode emits one NaN per empty list
+        doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), counts)
+        if len(flat) < 2:
+            return pd.DataFrame({id_col: np.array([], dtype=np.int64),
+                                 "n_hits": np.array([], dtype=np.int64)})
+        hit = ((flat[:-1] == first) & (flat[1:] == second)
+               & (doc_idx[:-1] == doc_idx[1:]))
+        per_doc = np.bincount(doc_idx[:-1][hit], minlength=len(df))
+        keep = per_doc > 0
+        return pd.DataFrame({id_col: df[id_col].to_numpy(np.int64)[keep],
+                             "n_hits": per_doc[keep].astype(np.int64)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pandas", batch_size=None)
