@@ -6379,3 +6379,191 @@ def ridge_regr_price(sf_dir: str):
         })
 
     return relops.hash_partition_apply(partials, ["__g"], solve, n_partitions=1)
+
+
+# ========================== GBDT histogram split finding (one stump round)
+
+
+@query(
+    "stump_split_discount",
+    # exact-rational argmax: gain = S_L^2/n_L + S_R^2/n_R compared across the
+    # 11 candidate thresholds by HUGEINT cross-multiplication (never a float),
+    # tie broken toward the smaller threshold — bit-exact by construction
+    sql="WITH h AS (SELECT CAST(ROUND(l_discount*100) AS BIGINT) AS b, "
+    "CAST(COUNT(*) AS HUGEINT) AS n, "
+    "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS HUGEINT) AS s "
+    "FROM lineitem GROUP BY 1), "
+    "t AS (SELECT SUM(n) AS nt, SUM(s) AS st FROM h), "
+    "p AS (SELECT b, SUM(n) OVER (ORDER BY b) AS nl, "
+    "SUM(s) OVER (ORDER BY b) AS sl FROM h), "
+    "g AS (SELECT p.b, p.nl, p.sl, t.nt - p.nl AS nr, t.st - p.sl AS sr, "
+    "p.sl*p.sl*(t.nt-p.nl) + (t.st-p.sl)*(t.st-p.sl)*p.nl AS gnum, "
+    "p.nl*(t.nt-p.nl) AS gden FROM p, t WHERE p.nl < t.nt) "
+    "SELECT CAST(g.b AS BIGINT) AS split_disc_e2, CAST(g.nl AS BIGINT) AS n_left, "
+    "CAST(g.sl AS BIGINT) AS sum_left_qty, CAST(g.nr AS BIGINT) AS n_right, "
+    "CAST(g.sr AS BIGINT) AS sum_right_qty FROM g "
+    "WHERE NOT EXISTS (SELECT 1 FROM g h2 WHERE h2.gnum*g.gden > g.gnum*h2.gden "
+    "OR (h2.gnum*g.gden = g.gnum*h2.gden AND h2.b < g.b))",
+)
+def stump_split_discount(sf_dir: str):
+    """Histogram-based best-split finding — the inner loop of every
+    distributed GBDT (XGBoost/LightGBM's approximate split algorithm): the
+    fact table reduces to per-feature-bucket gradient histograms (count +
+    target sum per discount centile — one tiny partial per batch), and the
+    split scan runs over the 11-bucket histogram, maximizing the SSE-
+    reduction surrogate S_L^2/n_L + S_R^2/n_R with exact python-int rational
+    comparison (no float gain, no argmax drift). At 100 TB this is the shape
+    that matters: rows never shuffle — only (buckets x blocks) int partials
+    move, and the threshold scan is O(buckets) on one reducer regardless of
+    data size."""
+    ds = _read(sf_dir, "lineitem", ["l_discount", "l_quantity"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "b": np.round(df["l_discount"].to_numpy(np.float64) * 100).astype(np.int64),
+            "q": np.round(df["l_quantity"].to_numpy(np.float64)).astype(np.int64),
+        })
+
+    hist = relops.preagg_group_sum(
+        ds.map_batches(part, batch_format="pandas", batch_size=None),
+        ["b"], {"q": "s"}, count_as="n",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("b").reset_index(drop=True)
+        b = df["b"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        s = df["s"].to_numpy(np.int64)
+        nt, st = int(n.sum()), int(s.sum())
+        best = None  # (gnum, gden, b, nl, sl, nr, sr) — python ints, exact
+        nl = sl = 0
+        for i in range(len(b)):
+            nl += int(n[i])
+            sl += int(s[i])
+            nr, sr = nt - nl, st - sl
+            if nr == 0:
+                break
+            gnum, gden = sl * sl * nr + sr * sr * nl, nl * nr
+            if best is None or gnum * best[1] > best[0] * gden:
+                best = (gnum, gden, int(b[i]), nl, sl, nr, sr)
+        return pd.DataFrame({
+            "split_disc_e2": [np.int64(best[2])],
+            "n_left": [np.int64(best[3])], "sum_left_qty": [np.int64(best[4])],
+            "n_right": [np.int64(best[5])], "sum_right_qty": [np.int64(best[6])],
+        })
+
+    # the histogram is O(buckets) rows — one merge task finishes the scan
+    one = hist.map_batches(lambda df: df.assign(__g=np.int64(0)),
+                           batch_format="pandas", batch_size=None)
+    return relops.hash_partition_apply(one, ["__g"], finish, n_partitions=1)
+
+
+# =============================== exponential smoothing (EWMA) over daily revenue
+
+
+@query(
+    "ewma_daily_revenue",
+    # alpha=1/4: both 0.25 and 0.75 are exact binary, x fits 2^53, so each
+    # step is ONE float rounding on identical inputs; round_even re-integers
+    # the state every step (the cusum recursive-CTE driver-small-axis recipe)
+    sql="WITH RECURSIVE d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 "
+    "AS BIGINT) AS day, SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS x "
+    "FROM orders WHERE year(o_orderdate) = 2001 GROUP BY 1), "
+    "i AS (SELECT day, x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i "
+    "FROM d), "
+    "rec AS (SELECT i.i, i.x, i.x AS s FROM i WHERE i.i = 1 UNION ALL "
+    "SELECT i.i, i.x, CAST(round_even(0.25*CAST(i.x AS DOUBLE) + "
+    "0.75*CAST(rec.s AS DOUBLE), 0) AS BIGINT) FROM rec JOIN i ON i.i = rec.i + 1) "
+    "SELECT i AS day_idx, CAST(x AS BIGINT) AS rev_e2, "
+    "CAST(s AS BIGINT) AS ewma_e2 FROM rec",
+)
+def ewma_daily_revenue(sf_dir: str):
+    """Exponentially-weighted moving average of 2001 daily revenue (the
+    monitoring smoother: s_t = alpha*x_t + (1-alpha)*s_{t-1}, alpha=1/4,
+    state re-quantized to int cents every step). The heavy reduction
+    (per-day revenue) is a distributed combiner; the recursion runs over the
+    time axis, driver-small by construction after aggregation (<=366 rows
+    regardless of corpus size — the cusum pattern). Each step's float
+    expression shape is identical in both engines, and 0.25/0.75 are exact
+    binary scalars, so the replay is bit-exact."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["o_orderdate"].dt.year == 2001]
+        return pd.DataFrame({
+            "day": (keep["o_orderdate"].astype("int64") // 86_400_000_000).astype("int64"),
+            "x": np.round(keep["o_totalprice"].to_numpy(np.float64) * 100
+                          ).astype(np.int64),
+        })
+
+    daily = relops.preagg_group_sum(
+        ds.map_batches(part, batch_format="pandas", batch_size=None),
+        ["day"], {"x": "x"},
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    x = daily["x"].to_numpy(np.int64)
+    s = np.zeros(len(x), dtype=np.int64)
+    run = int(x[0])
+    s[0] = run
+    for t in range(1, len(x)):
+        run = int(np.round(0.25 * float(x[t]) + 0.75 * float(run)))
+        s[t] = run
+    return pd.DataFrame({"day_idx": np.arange(1, len(x) + 1, dtype=np.int64),
+                         "rev_e2": x, "ewma_e2": s})
+
+
+# ====================== rolling z-score anomaly screen (integer-exact, no sqrt)
+
+
+@query(
+    "anomaly_daily_revenue",
+    # |x - mean| > 3*sigma over the trailing-28-day window, decided WITHOUT
+    # floats: (n*x - S)^2 > 9*(n*Sxx - S^2) — the squared form clears both
+    # the division and the sqrt, so the flag is exact integer arithmetic
+    sql="WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) "
+    "AS day, SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS x "
+    "FROM orders GROUP BY 1), "
+    "w AS (SELECT day, x, COUNT(*) OVER win AS n, "
+    "CAST(SUM(x) OVER win AS HUGEINT) AS s, "
+    "CAST(SUM(CAST(x AS HUGEINT)*x) OVER win AS HUGEINT) AS sxx FROM d "
+    "WINDOW win AS (ORDER BY day ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)) "
+    "SELECT day AS day_idx, CAST(x AS BIGINT) AS rev_e2 FROM w "
+    "WHERE n = 28 AND (28*CAST(x AS HUGEINT) - s)*(28*CAST(x AS HUGEINT) - s) "
+    "> 9*(28*sxx - s*s) ORDER BY day",
+)
+def anomaly_daily_revenue(sf_dir: str):
+    """Rolling z-score anomaly screen over daily revenue: a day is flagged
+    when it sits more than 3 population-sigmas from the mean of the 28
+    PRIOR days (out-of-window test, the monitoring convention). The
+    comparison is algebraically cleared of the division and the sqrt —
+    (n*x-S)^2 > 9*(n*Sxx-S^2) in exact python/HUGEINT integers — so there is
+    no float anywhere and no quantization protocol at all. Distributed
+    shape: daily int-cents revenue is a combiner reduction; the rolling scan
+    runs over the driver-small time axis (the cusum/ewma pattern)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": (df["o_orderdate"].astype("int64") // 86_400_000_000).astype("int64"),
+            "x": np.round(df["o_totalprice"].to_numpy(np.float64) * 100
+                          ).astype(np.int64),
+        })
+
+    daily = relops.preagg_group_sum(
+        ds.map_batches(part, batch_format="pandas", batch_size=None),
+        ["day"], {"x": "x"},
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    days = daily["day"].to_numpy(np.int64)
+    xs = [int(v) for v in daily["x"].to_numpy(np.int64)]  # python ints: exact
+    out_day, out_rev = [], []
+    for t in range(len(xs)):
+        lo = max(0, t - 28)
+        win = xs[lo:t]
+        if len(win) != 28:
+            continue
+        n, s = 28, sum(win)
+        sxx = sum(v * v for v in win)
+        if (n * xs[t] - s) ** 2 > 9 * (n * sxx - s * s):
+            out_day.append(int(days[t]))
+            out_rev.append(xs[t])
+    return pd.DataFrame({"day_idx": np.array(out_day, dtype=np.int64),
+                         "rev_e2": np.array(out_rev, dtype=np.int64)})
