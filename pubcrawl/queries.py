@@ -6567,3 +6567,141 @@ def anomaly_daily_revenue(sf_dir: str):
             out_rev.append(xs[t])
     return pd.DataFrame({"day_idx": np.array(out_day, dtype=np.int64),
                          "rev_e2": np.array(out_rev, dtype=np.int64)})
+
+
+# ============================ lag-k autocorrelation of the daily revenue series
+
+
+@query(
+    "autocorr_daily_revenue",
+    # mean-free deviations via the n-scaled trick (dev_t = n*x_t - S, exact
+    # HUGEINT), so numerator and denominator are order-free integer sums and
+    # the only float is ONE division + e9 round on identical inputs
+    sql="WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) "
+    "AS day, SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS x "
+    "FROM orders GROUP BY 1), "
+    "i AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i FROM d), "
+    "t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS s FROM i), "
+    "v AS (SELECT i.i, t.n*i.x - t.s AS dev FROM i, t), "
+    "den AS (SELECT SUM(dev*dev) AS d0 FROM v), "
+    "l AS (SELECT k.k, SUM(a.dev*b.dev) AS num FROM range(1,8) AS k(k) "
+    "CROSS JOIN v a JOIN v b ON b.i = a.i + k.k GROUP BY k.k) "
+    "SELECT CAST(l.k AS BIGINT) AS lag, CAST(round_even("
+    "CAST(l.num AS DOUBLE)/CAST(den.d0 AS DOUBLE)*1e9, 0) AS BIGINT) AS acf_e9 "
+    "FROM l, den ORDER BY lag",
+)
+def autocorr_daily_revenue(sf_dir: str):
+    """Lag-1..7 autocorrelation of the daily-revenue series (the seasonality
+    screen run before fitting any forecast): r_k = sum(dev_t*dev_{t+k}) /
+    sum(dev_t^2) with dev_t = n*x_t - S — multiplying through by n clears
+    the fractional mean, so both sums are EXACT integers (python ints engine-
+    side, HUGEINT in SQL) and the replay reduces to one identical float
+    division per lag. The daily reduction is a distributed combiner; the lag
+    products run over the driver-small time axis (the cusum pattern)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": (df["o_orderdate"].astype("int64") // 86_400_000_000).astype("int64"),
+            "x": np.round(df["o_totalprice"].to_numpy(np.float64) * 100
+                          ).astype(np.int64),
+        })
+
+    daily = relops.preagg_group_sum(
+        ds.map_batches(part, batch_format="pandas", batch_size=None),
+        ["day"], {"x": "x"},
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    xs = [int(v) for v in daily["x"].to_numpy(np.int64)]
+    n, s = len(xs), sum(xs)
+    dev = [n * v - s for v in xs]  # python ints: exact at any magnitude
+    d0 = sum(d * d for d in dev)
+    lags, acfs = [], []
+    for k in range(1, 8):
+        num = sum(dev[t] * dev[t + k] for t in range(n - k))
+        lags.append(k)
+        acfs.append(int(np.round(float(num) / float(d0) * 1e9)))
+    return pd.DataFrame({"lag": np.array(lags, dtype=np.int64),
+                         "acf_e9": np.array(acfs, dtype=np.int64)})
+
+
+# ===================== Kaplan-Meier survival: time to second purchase
+
+
+@query(
+    "survival_km_repeat",
+    # per-factor ln((n-d)/n) rounded to integer nano-units BEFORE the
+    # cumulative sum (the geomean/entropy recipe), so the running KM
+    # log-survival is an order-free int64; censored-only times carry no term
+    sql="WITH u AS (SELECT o_custkey, CAST(epoch_us(MIN(o_orderdate)) // "
+    "86400000000 AS BIGINT) AS f1 FROM orders GROUP BY 1), "
+    "s2 AS (SELECT o_custkey, CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) "
+    "AS d, ROW_NUMBER() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey) AS rn FROM orders), "
+    "sec AS (SELECT o_custkey, d AS f2 FROM s2 WHERE rn = 2), "
+    "hz AS (SELECT MAX(CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)) AS h "
+    "FROM orders), "
+    "dd AS (SELECT u.o_custkey, COALESCE(sec.f2, hz.h) - u.f1 AS dur, "
+    "CASE WHEN sec.o_custkey IS NULL THEN 0 ELSE 1 END AS ev "
+    "FROM u LEFT JOIN sec ON u.o_custkey = sec.o_custkey, hz), "
+    "g AS (SELECT dur AS t, SUM(ev) AS de, COUNT(*) AS cnt FROM dd GROUP BY 1), "
+    "r AS (SELECT t, de, SUM(cnt) OVER (ORDER BY t DESC) AS n_risk FROM g), "
+    "k AS (SELECT t, de, n_risk, CAST(round_even(ln("
+    "(CAST(n_risk AS DOUBLE) - CAST(de AS DOUBLE))/CAST(n_risk AS DOUBLE))*1e9, 0) "
+    "AS BIGINT) AS term FROM r WHERE de > 0 AND n_risk > de) "
+    "SELECT CAST(t AS BIGINT) AS t_day, CAST(de AS BIGINT) AS d_events, "
+    "CAST(n_risk AS BIGINT) AS n_at_risk, "
+    "CAST(SUM(term) OVER (ORDER BY t) AS BIGINT) AS km_ln_e9 FROM k",
+)
+def survival_km_repeat(sf_dir: str):
+    """Kaplan-Meier estimate of time-to-repeat-purchase: duration = days
+    from a customer's first to second order; single-order customers are
+    right-censored at the corpus horizon (the product-analytics survival
+    curve, censoring handled properly instead of dropped). Output per event
+    time: events d_t, at-risk n_t (all durations >= t, censored included),
+    and the running log-survival sum(ln((n-d)/n)) in exact nano-int units.
+    Distributed shape: first/second order dates via the <=2-rows-per-group
+    top-k shuffle, then (duration, event) counts reduce as a combiner and
+    the KM product runs over the driver-small duration axis. Times where
+    n_risk == d (survival hits exactly 0) are excluded from the curve so
+    every ln is finite — documented convention."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def to_day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "day": (df["o_orderdate"].astype("int64") // 86_400_000_000).astype("int64"),
+            "o_orderkey": df["o_orderkey"].to_numpy(),
+        })
+
+    days = ds.map_batches(to_day, batch_format="pandas", batch_size=None)
+    # global horizon: one scalar to the driver (per-batch max partials)
+    h = int(days.map_batches(
+        lambda df: pd.DataFrame({"m": [df["day"].max()]}),
+        batch_format="pandas", batch_size=None,
+    ).to_pandas()["m"].max())
+    first2 = relops.topk_per_group(
+        days, ["o_custkey"], [("day", False), ("o_orderkey", False)], 2
+    )
+
+    def durations(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "day", "o_orderkey"])
+        rn = df.groupby("o_custkey", sort=False).cumcount()
+        f1 = df[rn == 0].set_index("o_custkey")["day"]
+        f2 = df[rn == 1].set_index("o_custkey")["day"].reindex(f1.index)
+        ev = f2.notna()
+        dur = np.where(ev, f2.to_numpy(np.float64), float(h)) - f1.to_numpy(np.float64)
+        return pd.DataFrame({"dur": dur.astype(np.int64),
+                             "ev": ev.to_numpy().astype(np.int64)})
+
+    de = relops.hash_partition_apply(first2, ["o_custkey"], durations)
+    g = relops.preagg_group_sum(de, ["dur"], {"ev": "de"}, count_as="cnt"
+                                ).to_pandas().sort_values("dur").reset_index(drop=True)
+    t = g["dur"].to_numpy(np.int64)
+    d_ev = g["de"].to_numpy(np.int64)
+    n_risk = g["cnt"].to_numpy(np.int64)[::-1].cumsum()[::-1]
+    keep = (d_ev > 0) & (n_risk > d_ev)
+    t, d_ev, n_risk = t[keep], d_ev[keep], n_risk[keep]
+    term = np.round(np.log((n_risk.astype(np.float64) - d_ev.astype(np.float64))
+                           / n_risk.astype(np.float64)) * 1e9).astype(np.int64)
+    return pd.DataFrame({"t_day": t, "d_events": d_ev, "n_at_risk": n_risk,
+                         "km_ln_e9": np.cumsum(term)})
