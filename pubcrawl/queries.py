@@ -6705,3 +6705,237 @@ def survival_km_repeat(sf_dir: str):
                            / n_risk.astype(np.float64)) * 1e9).astype(np.int64)
     return pd.DataFrame({"t_day": t, "d_events": d_ev, "n_at_risk": n_risk,
                          "km_ln_e9": np.cumsum(term)})
+
+
+# ===================== item-item collaborative filtering (cosine similarity)
+
+
+@query(
+    "itemcf_cosine_parts",
+    sql="WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS u, l_partkey AS p "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE year(o_orderdate) = 1995), "
+    "deg AS MATERIALIZED (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1), "
+    "co AS (SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS co_users "
+    "FROM e a JOIN e b ON a.u = b.u AND a.p < b.p GROUP BY 1, 2) "
+    "SELECT co.p1, co.p2, co.co_users, d1.d AS deg1, d2.d AS deg2, "
+    "CAST(round_even(CAST(co.co_users AS DOUBLE)/"
+    "sqrt(CAST(d1.d*d2.d AS DOUBLE))*1000000, 0) AS BIGINT) AS cos_e6 "
+    "FROM co JOIN deg d1 ON co.p1 = d1.p JOIN deg d2 ON co.p2 = d2.p "
+    "ORDER BY cos_e6 DESC, p1, p2 LIMIT 20",
+)
+def itemcf_cosine_parts(sf_dir: str):
+    """Item-item collaborative filtering (the Sarwar et al. / Amazon
+    item-to-item recommender): cosine similarity of the binary user-item
+    vectors — co_buyers / sqrt(deg_i*deg_j) — top-20 part pairs. Distributed
+    shape: the (user, part) basket table co-partitions by USER, each merge
+    task emits its users' within-basket pairs (baskets are individually
+    small; a per-user pair cap is the documented guard for pathological
+    megabaskets at 100 TB), pair counts reduce as a combiner, and the
+    parts-sized degree table attaches via broadcast — sqrt and one division
+    are the only floats, correctly rounded identically in both engines, then
+    e6-quantized with a full (score, p1, p2) top-k tiebreak."""
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def y95(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["o_orderdate"].dt.year == 1995]
+        return pd.DataFrame({"o_orderkey": keep["o_orderkey"],
+                             "u": keep["o_custkey"]})
+
+    ok = o.map_batches(y95, batch_format="pandas", batch_size=None)
+    lk = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "p"]), batch_format="pyarrow")
+    up = relops.distinct(
+        relops.hash_join(ok, lk, on="o_orderkey", left_cols=["u"], right_cols=["p"]),
+        ["u", "p"],
+    )
+    deg = relops.preagg_group_sum(up, ["p"], count_as="d").to_pandas()
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="u")
+        m = m[m["p_x"] < m["p_y"]]
+        g = m.groupby(["p_x", "p_y"], as_index=False).size()
+        return g.rename(columns={"p_x": "p1", "p_y": "p2", "size": "c"})
+
+    pp = relops.hash_partition_apply(up, ["u"], pairs)
+    co = relops.preagg_group_sum(pp, ["p1", "p2"], {"c": "co_users"})
+    j = relops.broadcast_join(co, deg.rename(columns={"p": "p1", "d": "deg1"}), on="p1")
+    j = relops.broadcast_join(j, deg.rename(columns={"p": "p2", "d": "deg2"}), on="p2")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["co_users"].to_numpy(np.float64)
+        dd = (df["deg1"].to_numpy(np.int64) * df["deg2"].to_numpy(np.int64)
+              ).astype(np.float64)
+        out = df[["p1", "p2", "co_users", "deg1", "deg2"]].copy()
+        out["cos_e6"] = np.round(c / np.sqrt(dd) * 1_000_000).astype(np.int64)
+        return out
+
+    scored = j.map_batches(score, batch_format="pandas", batch_size=None)
+    return relops.topk(scored, [("cos_e6", True), ("p1", False), ("p2", False)], 20)
+
+
+# ===================== harmonic centrality from landmark nodes (labeled BFS)
+
+
+def _harmonic_sql(hops: int = 4, k_lm: int = 8) -> str:
+    """Labeled layered BFS unrolled as MATERIALIZED CTEs (the _bfs_sql shape
+    with a landmark index riding along every frontier row), finished by the
+    harmonic sum Σ 1e9//hop in exact integer division."""
+    cte = [
+        "e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey <> b.l_partkey "
+        "WHERE year(a.l_shipdate) = 1995 AND year(b.l_shipdate) = 1995)",
+        "lm AS MATERIALIZED (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 "
+        "AS BIGINT) AS idx FROM (SELECT DISTINCT src AS id FROM e ORDER BY 1 "
+        f"LIMIT {k_lm}) q)",
+        "f0 AS MATERIALIZED (SELECT idx, id FROM lm)",
+        "v0 AS MATERIALIZED (SELECT idx, id, CAST(0 AS BIGINT) AS hop FROM lm)",
+    ]
+    for k in range(1, hops + 1):
+        cte += [
+            f"f{k} AS MATERIALIZED (SELECT idx, id FROM "
+            f"(SELECT DISTINCT f.idx, e.dst AS id FROM e "
+            f"JOIN f{k-1} f ON e.src = f.id) c ANTI JOIN v{k-1} USING (idx, id))",
+            f"v{k} AS MATERIALIZED (SELECT idx, id, hop FROM v{k-1} UNION ALL "
+            f"SELECT idx, id, CAST({k} AS BIGINT) AS hop FROM f{k})",
+        ]
+    return (
+        "WITH " + ", ".join(cte) +
+        f" SELECT lm.id AS landmark, CAST(COUNT(*) AS BIGINT) AS n_reached, "
+        f"CAST(SUM(1000000000 // hop) AS BIGINT) AS harm_e9 "
+        f"FROM v{hops} JOIN lm USING (idx) WHERE hop > 0 GROUP BY lm.id"
+    )
+
+
+@query("harmonic_centrality_copurchase", sql=_harmonic_sql(4, 8))
+def harmonic_centrality_copurchase(sf_dir: str):
+    """Harmonic centrality of 8 landmark nodes (the Boldi-Vigna axioms'
+    preferred closeness variant, computed the way web-graph toolchains do it
+    at scale: per-landmark BFS rather than all-pairs): centrality(l) =
+    Σ_{v reached} 1/d(l,v), truncated at 4 hops, with 1/d as exact integer
+    nano-units (1e9 // hop — integer division replays bit-for-bit). The 8
+    BFS frontiers run TOGETHER as one labeled frontier (id, landmark-idx) —
+    each level is the same three key-only shuffles as bfs_hops with the
+    label riding along, and the visited set keys on the packed id*8+idx
+    int64, so landmark count multiplies rows, not waves."""
+    from . import graph  # noqa: F401  (same engine family; loop inlined for labels)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_shipdate"])
+
+    def y95(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(pc.year(t["l_shipdate"]), 1995))
+        return keep.select(["l_orderkey", "l_partkey"])
+
+    lp = li.map_batches(y95, batch_format="pyarrow")
+    a = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "src"]),
+                       batch_format="pyarrow")
+    b = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "dst"]),
+                       batch_format="pyarrow")
+    edges = relops.hash_join(a, b, on="l_orderkey",
+                             left_cols=["src"], right_cols=["dst"])
+    edges = edges.map_batches(
+        lambda df: df.loc[df["src"] != df["dst"], ["src", "dst"]],
+        batch_format="pandas", batch_size=None,
+    ).materialize()
+
+    nodes = relops.distinct(edges, ["src"])
+    lm = relops.topk(nodes, [("src", False)], 8).to_pandas()
+    lm_ids = sorted(int(v) for v in lm["src"])
+    seed = pd.DataFrame({
+        "id": np.array(lm_ids, dtype=np.int64),
+        "idx": np.arange(len(lm_ids), dtype=np.int64),
+    })
+    seed["nk"] = seed["id"] * 8 + seed["idx"]
+    frontier = rd.from_pandas(seed[["id", "idx", "nk"]])
+    visited = rd.from_pandas(seed.assign(hop=np.int64(0))).materialize()
+
+    for hop in range(1, 5):
+        fk = frontier.map_batches(
+            lambda df: pd.DataFrame({"src": df["id"], "idx": df["idx"]}),
+            batch_format="pandas", batch_size=None,
+        )
+        nbr = relops.distinct(
+            relops.hash_join(edges, fk, on="src",
+                             left_cols=["dst"], right_cols=["idx"]),
+            ["dst", "idx"],
+        )
+        cand = nbr.map_batches(
+            lambda df: pd.DataFrame({
+                "id": df["dst"].astype("int64"),
+                "idx": df["idx"].astype("int64"),
+                "nk": df["dst"].astype("int64") * 8 + df["idx"].astype("int64"),
+            }),
+            batch_format="pandas", batch_size=None,
+        )
+        frontier = relops.semi_join_partitioned(
+            cand, visited.select_columns(["nk"]), on="nk", anti=True,
+            n_partitions=4,
+        ).materialize()
+        if frontier.count() == 0:
+            break
+        visited = visited.union(
+            frontier.map_batches(lambda df, h=hop: df.assign(hop=np.int64(h)),
+                                 batch_format="pandas", batch_size=None)
+        ).materialize()
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[df["hop"] > 0]
+        return pd.DataFrame({
+            "idx": k["idx"].astype("int64"),
+            "one": np.int64(1),
+            "harm": (10 ** 9 // k["hop"].astype("int64")).astype("int64"),
+        })
+
+    agg = relops.preagg_group_sum(
+        visited.map_batches(contrib, batch_format="pandas", batch_size=None),
+        ["idx"], {"one": "n_reached", "harm": "harm_e9"},
+    ).to_pandas()  # 8 rows
+    agg["landmark"] = np.array(lm_ids, dtype=np.int64)[agg["idx"].to_numpy(np.int64)]
+    return agg[["landmark", "n_reached", "harm_e9"]].astype(
+        {"n_reached": "int64", "harm_e9": "int64"})
+
+
+# ========================= SCD type-2 validity intervals from the change log
+
+
+@query(
+    "scd2_user_state",
+    sql="WITH s AS (SELECT user_id, event_type, event_id, "
+    "CAST(epoch_us(ts) AS BIGINT) AS us, CASE WHEN LAG(event_type) OVER w "
+    "IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "r AS (SELECT user_id, event_type, us, CAST(SUM(chg) OVER "
+    "(PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS run_id FROM s), "
+    "f AS (SELECT user_id, run_id, ANY_VALUE(event_type) AS state, "
+    "MIN(us) AS from_us FROM r GROUP BY 1, 2) "
+    "SELECT user_id, run_id, state, from_us, "
+    "COALESCE(LEAD(from_us) OVER (PARTITION BY user_id ORDER BY run_id), -1) "
+    "AS to_us FROM f",
+)
+def scd2_user_state(sf_dir: str):
+    """Slowly-changing-dimension type-2 build: collapse each user's event
+    stream into validity intervals [from_us, to_us) per run of consecutive
+    equal states (gaps-and-islands), the open current interval marked
+    to_us = -1 — the dimension-table maintenance job every warehouse runs
+    on its change logs. Distributed shape: one hash shuffle by user, then
+    per-partition VECTORIZED change-flag/cumsum/shift — no per-row python,
+    and intervals of one user never straddle partitions."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = df["ts"].astype("int64")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        chg = new_user | df["event_type"].ne(df["event_type"].shift())
+        firsts = pd.DataFrame({
+            "user_id": df.loc[chg, "user_id"].to_numpy(),
+            "state": df.loc[chg, "event_type"].to_numpy(),
+            "from_us": us[chg].to_numpy(np.int64),
+        })
+        g = firsts.groupby("user_id", sort=False)
+        firsts["run_id"] = (g.cumcount() + 1).astype("int64")
+        firsts["to_us"] = g["from_us"].shift(-1).fillna(-1).astype("int64")
+        return firsts[["user_id", "run_id", "state", "from_us", "to_us"]]
+
+    return relops.hash_partition_apply(ds, ["user_id"], build)
