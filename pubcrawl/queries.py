@@ -6939,3 +6939,203 @@ def scd2_user_state(sf_dir: str):
         return firsts[["user_id", "run_id", "state", "from_us", "to_us"]]
 
     return relops.hash_partition_apply(ds, ["user_id"], build)
+
+
+# =================== Dunning log-likelihood-ratio (G-test) collocations
+
+
+def _llr_sql(min_count: int = 5, k: int = 30) -> str:
+    """LLR = 2*(Σ xlx(cells) + xlx(N) - Σ xlx(margins)) with xlx(k) =
+    k * round(ln(k)*1e9) — every term an exact integer (the entropy/geomean
+    nano-ln recipe), so the statistic is an order-free int64 and the replay
+    has NO float accumulation at all."""
+    def xlx(e: str) -> str:
+        return (f"CASE WHEN ({e}) > 0 THEN ({e})*CAST(round_even("
+                f"ln(CAST(({e}) AS DOUBLE))*1000000000, 0) AS BIGINT) "
+                f"ELSE 0 END")
+
+    return (
+        "WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws "
+        "FROM documents), "
+        "big AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 "
+        "FROM tok, unnest(range(1, len(ws))) AS r(i)), "
+        "bcnt AS MATERIALIZED (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM big GROUP BY 1, 2), "
+        "n1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS r FROM bcnt GROUP BY 1), "
+        "n2 AS (SELECT w2, CAST(SUM(c) AS BIGINT) AS s FROM bcnt GROUP BY 1), "
+        "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM bcnt), "
+        "p AS (SELECT b.w1, b.w2, b.c AS k11, n1.r - b.c AS k12, "
+        "n2.s - b.c AS k21, tot.nn - n1.r - n2.s + b.c AS k22, "
+        "n1.r AS r1, tot.nn - n1.r AS r2, n2.s AS c1, tot.nn - n2.s AS c2, "
+        "tot.nn AS nn FROM bcnt b JOIN n1 USING (w1) JOIN n2 USING (w2), tot "
+        f"WHERE b.c >= {min_count}) "
+        f"SELECT w1, w2, k11, 2*({xlx('k11')} + {xlx('k12')} + {xlx('k21')} + "
+        f"{xlx('k22')} + {xlx('nn')} - {xlx('r1')} - {xlx('r2')} - {xlx('c1')} - "
+        f"{xlx('c2')}) AS llr_e9 FROM p "
+        f"ORDER BY llr_e9 DESC, w1, w2 LIMIT {k}"
+    )
+
+
+@query("llr_bigrams", sql=_llr_sql(5, 30))
+def llr_bigrams(sf_dir: str):
+    """Top-30 bigram collocations by Dunning's log-likelihood ratio (the
+    G-test statistic of 'Accurate Methods for the Statistics of Surprise
+    and Coincidence' — the collocation measure that, unlike PMI, does not
+    explode on rare pairs): the 2x2 contingency per bigram comes from three
+    combiner aggregations over the SAME bigram partial stream (pair counts,
+    first-position margins, second-position margins — margins computed over
+    the UNPRUNED stream, candidates pruned at count>=5), margins attach via
+    two co-partitioned hash joins (the pmi_bigrams plan — no vocabulary
+    broadcast), and every xlx(k)=k*round(ln k * 1e9) term is an exact int64,
+    so the whole statistic replays with zero float accumulation."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def big_part(df: pd.DataFrame) -> pd.DataFrame:
+        e = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+").explode()
+        valid = e.notna().to_numpy()
+        words, doc_idx = e.to_numpy()[valid], e.index.to_numpy()[valid]
+        if len(words) < 2:
+            return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                                 "w2": pd.Series([], dtype=object),
+                                 "v": pd.Series([], dtype="int64")})
+        adj = doc_idx[1:] == doc_idx[:-1]  # bigrams never cross documents
+        g = (pd.DataFrame({"w1": words[:-1][adj], "w2": words[1:][adj]})
+             .groupby(["w1", "w2"], sort=False).size().reset_index(name="v"))
+        return g.astype({"v": "int64"})
+
+    bcnt = relops.preagg_group_sum(
+        ds.map_batches(big_part, batch_format="pandas", batch_size=None),
+        ["w1", "w2"], sum_cols={"v": "c"},
+    ).materialize()  # consumed 4x: margins x2, total, candidates
+    n1 = relops.preagg_group_sum(bcnt, ["w1"], {"c": "r"})
+    n2 = relops.preagg_group_sum(bcnt, ["w2"], {"c": "s"})
+    nn = int(n1.map_batches(
+        lambda df: pd.DataFrame({"t": [df["r"].sum()]}),
+        batch_format="pandas", batch_size=None,
+    ).to_pandas()["t"].sum())
+
+    cand = bcnt.map_batches(lambda df: df[df["c"] >= 5],
+                            batch_format="pandas", batch_size=None)
+    j1 = relops.hash_join(cand, n1, on="w1", left_cols=["w2", "c"], right_cols=["r"])
+    j2 = relops.hash_join(j1, n2, on="w2", left_cols=["w1", "c", "r"], right_cols=["s"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        def xlx(k: np.ndarray) -> np.ndarray:
+            k = k.astype(np.int64)
+            t = np.zeros(len(k), dtype=np.int64)
+            pos = k > 0
+            t[pos] = k[pos] * np.round(np.log(k[pos].astype(np.float64)) * 1e9
+                                       ).astype(np.int64)
+            return t
+
+        k11 = df["c"].to_numpy(np.int64)
+        r1 = df["r"].to_numpy(np.int64)
+        c1 = df["s"].to_numpy(np.int64)
+        k12, k21 = r1 - k11, c1 - k11
+        k22 = nn - r1 - c1 + k11
+        r2, c2 = nn - r1, nn - c1
+        nvec = np.full(len(k11), nn, dtype=np.int64)
+        llr = 2 * (xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22) + xlx(nvec)
+                   - xlx(r1) - xlx(r2) - xlx(c1) - xlx(c2))
+        return pd.DataFrame({"w1": df["w1"], "w2": df["w2"],
+                             "k11": k11, "llr_e9": llr})
+
+    scored = j2.map_batches(score, batch_format="pandas", batch_size=None)
+    return relops.topk(scored, [("llr_e9", True), ("w1", False), ("w2", False)], 30)
+
+
+# ================================ OHLC bars (open/high/low/close per day)
+
+
+@query(
+    "ohlc_daily_value",
+    sql="WITH v AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+    "ts, event_id, CAST(ROUND(value*100) AS BIGINT) AS v FROM events), "
+    "w AS (SELECT day, v, FIRST_VALUE(v) OVER ww AS o, LAST_VALUE(v) OVER ww AS c "
+    "FROM v WINDOW ww AS (PARTITION BY day ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) "
+    "SELECT day, ANY_VALUE(o) AS open_e2, CAST(MAX(v) AS BIGINT) AS high_e2, "
+    "CAST(MIN(v) AS BIGINT) AS low_e2, ANY_VALUE(c) AS close_e2, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY day",
+)
+def ohlc_daily_value(sf_dir: str):
+    """Daily OHLC bars over the event-value stream (the time-series
+    compaction every monitoring/market pipeline runs): open/close are the
+    first/last value under the total (ts, event_id) order — deterministic,
+    no ANY-row ambiguity — high/low/count are plain extremes. One hash
+    shuffle by day, then a vectorized sort + groupby first/last/min/max per
+    partition; int-cent values end to end, so the replay is exact with no
+    protocol."""
+    ds = _read(sf_dir, "events", ["ts", "event_id", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": (df["ts"].astype("int64") // 86_400_000_000).astype("int64"),
+            "ts": df["ts"], "event_id": df["event_id"],
+            "v": np.round(df["value"].to_numpy(np.float64) * 100).astype(np.int64),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pandas", batch_size=None)
+
+    def bars(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["day", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("day", sort=False)["v"]
+        out = pd.DataFrame({
+            "open_e2": g.first(), "high_e2": g.max(), "low_e2": g.min(),
+            "close_e2": g.last(), "n": g.size().astype("int64"),
+        }).reset_index()
+        return out[["day", "open_e2", "high_e2", "low_e2", "close_e2", "n"]]
+
+    return relops.hash_partition_apply(prepped, ["day"], bars)
+
+
+# ======================= winsorized mean by group (robust location estimate)
+
+
+@query(
+    "winsor_value_by_type",
+    sql="WITH v AS (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS v "
+    "FROM events), "
+    "q AS (SELECT event_type, quantile_disc(v, 0.05) AS lo, "
+    "quantile_disc(v, 0.95) AS hi FROM v GROUP BY 1) "
+    "SELECT v.event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(LEAST(GREATEST(v.v, q.lo), q.hi)) AS BIGINT) AS winsor_sum_e2, "
+    "CAST(ANY_VALUE(q.lo) AS BIGINT) AS p05_e2, "
+    "CAST(ANY_VALUE(q.hi) AS BIGINT) AS p95_e2 "
+    "FROM v JOIN q USING (event_type) GROUP BY v.event_type",
+)
+def winsor_value_by_type(sf_dir: str):
+    """Winsorized sum/count per event type (the robust mean that survives
+    heavy tails without dropping rows — values clipped to the group's exact
+    [p05, p95] discrete quantiles): quantiles come from the (group, value)
+    histogram combiner (group_quantile_disc — distinct values per batch
+    shuffle, not rows), ship back as a tiny broadcast table, and the clip +
+    sum is one vectorized streaming pass. All-integer output — no protocol
+    needed."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    ds = relops.with_columns(ds, {"v": relops.money_to_units("value")})
+    ds = ds.select_columns(["event_type", "v"])
+    q = relops.group_quantile_disc(ds, ["event_type"], "v",
+                                   {"lo": 0.05, "hi": 0.95}).to_pandas()
+    j = relops.broadcast_join(ds, q, on="event_type")
+
+    def clip(df: pd.DataFrame) -> pd.DataFrame:
+        w = np.minimum(np.maximum(df["v"].to_numpy(np.int64),
+                                  df["lo"].to_numpy(np.int64)),
+                       df["hi"].to_numpy(np.int64))
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "w": w, "one": np.int64(1),
+                             "lo": df["lo"], "hi": df["hi"]})
+
+    clipped = j.map_batches(clip, batch_format="pandas", batch_size=None)
+    agg = relops.preagg_group_sum(clipped, ["event_type"],
+                                  {"w": "winsor_sum_e2", "one": "n"})
+    qmap = q.set_index("event_type")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["p05_e2"] = qmap["lo"].reindex(df["event_type"]).to_numpy(np.int64)
+        df["p95_e2"] = qmap["hi"].reindex(df["event_type"]).to_numpy(np.int64)
+        return df[["event_type", "n", "winsor_sum_e2", "p05_e2", "p95_e2"]]
+
+    return agg.map_batches(finish, batch_format="pandas", batch_size=None)
