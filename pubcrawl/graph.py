@@ -45,6 +45,7 @@ def pagerank(
     iters: int = 10,
     n_partitions: int | None = None,
     dangling: bool = True,
+    reset_id: int | None = None,
 ) -> rd.Dataset:
     """PageRank over an integer-id edge list → Dataset of (id, rank).
 
@@ -52,6 +53,12 @@ def pagerank(
     uniformly, the standard correction):
 
         rank'(v) = (1-d)/N + d·(dangling/N + Σ_{u→v} rank(u)/deg(u))
+
+    ``reset_id`` switches to PERSONALIZED PageRank (random walk with
+    restart): all initial mass and the whole teleport term concentrate on
+    that one node — rank'(v) = [v==r]·((1-d) + d·dangling) + d·Σ msgs —
+    instead of spreading 1/N. The plan is unchanged; only the base term
+    moves from a global scalar to a one-node bonus.
 
     Plan per iteration: (1) dangling = Σ rank over deg==0 nodes (per-block
     partial sums, ONE float to the driver); (2) contributions: edges and
@@ -64,11 +71,16 @@ def pagerank(
     n_nodes = state.count()
     base_nodes = float(n_nodes) if n_nodes else 1.0
 
-    # initial rank 1/N
-    state = state.map_batches(
-        lambda df: df.assign(rank=np.float64(1.0 / base_nodes)),
-        batch_format="pandas", batch_size=None,
-    ).materialize()
+    # initial rank: 1/N each, or all mass on the reset node (personalized)
+    if reset_id is None:
+        def init(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(rank=np.float64(1.0 / base_nodes))
+    else:
+        def init(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(
+                rank=np.where(df["id"].to_numpy() == reset_id, 1.0, 0.0))
+    state = state.map_batches(init, batch_format="pandas",
+                              batch_size=None).materialize()
 
     # BOTH union sides carry the identical column set (zero-filled where the
     # side has no value): a mixed-side pandas concat would otherwise
@@ -103,7 +115,13 @@ def pagerank(
             # pure overhead because the sum is identically 0.0 — identical
             # result, one task wave fewer per iteration
             d_mass = 0.0
-        base = (1.0 - damping) / base_nodes + damping * d_mass / base_nodes
+        if reset_id is None:
+            base, bonus = (1.0 - damping) / base_nodes \
+                + damping * d_mass / base_nodes, 0.0
+        else:
+            # personalized: the entire teleport (restart + dangling) mass
+            # lands on the reset node, nothing on the rest
+            base, bonus = 0.0, (1.0 - damping) + damping * d_mass
 
         s_tag = state.map_batches(
             lambda df: pd.DataFrame(
@@ -160,6 +178,8 @@ def pagerank(
             else:
                 s = st.assign(in_msg=np.nan)
             s["rank"] = base + damping * s["in_msg"].fillna(0.0).to_numpy()
+            if reset_id is not None:
+                s["rank"] += np.where(s["id"].to_numpy() == reset_id, bonus, 0.0)
             return s[["id", "deg", "rank"]].astype({"deg": "int64"})
 
         state = relops.hash_partition_apply(

@@ -7139,3 +7139,181 @@ def winsor_value_by_type(sf_dir: str):
         return df[["event_type", "n", "winsor_sum_e2", "p05_e2", "p95_e2"]]
 
     return agg.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+# ===================== personalized PageRank (random walk with restart)
+
+
+def _ppr_sql(iters: int = 6) -> str:
+    """Unrolled personalized power iteration: teleport concentrates on the
+    seed (the graph's smallest node id), messages LEFT JOIN back onto the
+    full node set so zero-in-degree rounds keep every node's row."""
+    cte = [
+        "e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey <> b.l_partkey "
+        "WHERE year(a.l_shipdate) = 1995 AND year(b.l_shipdate) = 1995)",
+        "deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS deg "
+        "FROM e GROUP BY src)",
+        "sd AS (SELECT MIN(id) AS s FROM deg)",
+        "r0 AS (SELECT deg.id, CASE WHEN deg.id = sd.s THEN 1.0 ELSE 0.0 END "
+        "AS rank FROM deg, sd)",
+    ]
+    for k in range(1, iters + 1):
+        cte += [
+            f"m{k} AS (SELECT e.dst AS id, SUM(r.rank/deg.deg) AS s "
+            f"FROM e JOIN r{k-1} r ON e.src = r.id JOIN deg ON e.src = deg.id "
+            f"GROUP BY e.dst)",
+            f"r{k} AS (SELECT d.id, (CASE WHEN d.id = sd.s THEN 0.15 ELSE 0.0 END) "
+            f"+ 0.85*COALESCE(m.s, 0.0) AS rank "
+            f"FROM deg d LEFT JOIN m{k} m ON d.id = m.id, sd)",
+        ]
+    return (
+        "WITH " + ", ".join(cte) +
+        f" SELECT id AS part_key, CAST(round_even(rank*1000000000, 0) AS BIGINT)"
+        f" AS rank_e9 FROM r{iters}"
+    )
+
+
+@query("ppr_copurchase", sql=_ppr_sql(6))
+def ppr_copurchase(sf_dir: str):
+    """Personalized PageRank / random-walk-with-restart from one seed part
+    (the graph-proximity recommender: 'parts related to THIS part') over the
+    1995 co-purchase graph — graph.pagerank's co-partitioned message passing
+    with reset_id set, so all teleport mass returns to the seed instead of
+    spreading 1/N. Same two shuffles per iteration as global PageRank; the
+    symmetric edge list has no sinks so the dangling gather is skipped. e9
+    quantization under the pagerank_copurchase drift argument."""
+    from . import graph
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_shipdate"])
+
+    def y95(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(pc.year(t["l_shipdate"]), 1995))
+        return keep.select(["l_orderkey", "l_partkey"])
+
+    lp = li.map_batches(y95, batch_format="pyarrow")
+    a = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "src"]),
+                       batch_format="pyarrow")
+    b = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "dst"]),
+                       batch_format="pyarrow")
+    edges = relops.hash_join(a, b, on="l_orderkey",
+                             left_cols=["src"], right_cols=["dst"])
+    edges = edges.map_batches(
+        lambda df: df.loc[df["src"] != df["dst"], ["src", "dst"]],
+        batch_format="pandas", batch_size=None,
+    ).materialize()
+    seed = int(relops.topk(relops.distinct(edges, ["src"]),
+                           [("src", False)], 1).to_pandas()["src"].iloc[0])
+    ranks = graph.pagerank(edges, damping=0.85, iters=6, n_partitions=4,
+                           dangling=False, reset_id=seed)
+    return ranks.map_batches(
+        lambda df: pd.DataFrame(
+            {"part_key": df["id"].astype("int64"),
+             "rank_e9": np.round(df["rank"] * 1e9).astype("int64")}
+        ),
+        batch_format="pandas", batch_size=None,
+    )
+
+
+# ================== two-sample distribution tests (KS and Mann-Whitney U)
+
+
+def _two_sample_hist(sf_dir: str):
+    """Shared reduction for the two-sample tests: (value, c_view, c_purchase)
+    histogram — one combiner shuffle of distinct int-cent values per batch."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["event_type"].isin(["view", "purchase"])]
+        v = np.round(keep["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        is1 = (keep["event_type"] == "view").to_numpy()
+        return pd.DataFrame({"v": v,
+                             "g1": is1.astype(np.int64),
+                             "g2": (~is1).astype(np.int64)})
+
+    return relops.preagg_group_sum(
+        ds.map_batches(part, batch_format="pandas", batch_size=None),
+        ["v"], {"g1": "c1", "g2": "c2"},
+    )
+
+
+@query(
+    "ks_test_value",
+    sql="WITH v AS (SELECT CAST(ROUND(value*100) AS BIGINT) AS v, "
+    "CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1, "
+    "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g2 "
+    "FROM events WHERE event_type IN ('view', 'purchase')), "
+    "h AS (SELECT v, CAST(SUM(g1) AS BIGINT) AS c1, CAST(SUM(g2) AS BIGINT) AS c2 "
+    "FROM v GROUP BY 1), "
+    "t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM h), "
+    "c AS (SELECT v, SUM(c1) OVER (ORDER BY v) AS f1, "
+    "SUM(c2) OVER (ORDER BY v) AS f2 FROM h) "
+    "SELECT t.n1, t.n2, CAST(ABS(c.f1*t.n2 - c.f2*t.n1) AS BIGINT) AS d_num, "
+    "CAST(c.v AS BIGINT) AS at_v FROM c, t "
+    "QUALIFY ROW_NUMBER() OVER (ORDER BY ABS(c.f1*t.n2 - c.f2*t.n1) DESC, c.v) = 1",
+)
+def ks_test_value(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov statistic between the 'view' and
+    'purchase' value distributions — D = max|F1 - F2| kept as the EXACT
+    integer |cum1*n2 - cum2*n1| (cross-multiplied ECDFs, no division ever),
+    with the achieving value as tiebreak witness. The per-value counts are
+    a combiner shuffle; the ECDF scan runs in one merge task over the
+    bounded int-cent support (the stump single-reducer pattern)."""
+    hist = _two_sample_hist(sf_dir)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("v").reset_index(drop=True)
+        c1 = df["c1"].to_numpy(np.int64).cumsum()
+        c2 = df["c2"].to_numpy(np.int64).cumsum()
+        n1, n2 = int(c1[-1]), int(c2[-1])
+        dn = np.abs(c1 * n2 - c2 * n1)
+        i = int(np.argmax(dn))  # first occurrence = smallest v on ties
+        return pd.DataFrame({"n1": [np.int64(n1)], "n2": [np.int64(n2)],
+                             "d_num": [np.int64(dn[i])],
+                             "at_v": [np.int64(df["v"].iloc[i])]})
+
+    one = hist.map_batches(lambda df: df.assign(__g=np.int64(0)),
+                           batch_format="pandas", batch_size=None)
+    return relops.hash_partition_apply(one, ["__g"], finish, n_partitions=1)
+
+
+@query(
+    "mwu_test_value",
+    sql="WITH v AS (SELECT CAST(ROUND(value*100) AS BIGINT) AS v, "
+    "CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1, "
+    "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g2 "
+    "FROM events WHERE event_type IN ('view', 'purchase')), "
+    "h AS (SELECT v, CAST(SUM(g1) AS BIGINT) AS c1, CAST(SUM(g2) AS BIGINT) AS c2 "
+    "FROM v GROUP BY 1), "
+    "t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM h), "
+    "r AS (SELECT v, c1, c2, COALESCE(SUM(c1+c2) OVER (ORDER BY v "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM h) "
+    "SELECT t.n1, t.n2, CAST(SUM(c1*(2*cb + c1 + c2 + 1)) - t.n1*(t.n1+1) "
+    "AS BIGINT) AS u2 FROM r, t GROUP BY t.n1, t.n2",
+)
+def mwu_test_value(sf_dir: str):
+    """Mann-Whitney U statistic (rank-sum test) between the 'view' and
+    'purchase' value distributions, ties handled by midranks — kept exact by
+    DOUBLING: 2*R1 = Σ_v c1(v)·(2·cum_before(v) + c_total(v) + 1) is an
+    integer even with .5 midranks, so u2 = 2*U1 = 2*R1 - n1(n1+1) replays
+    with no floats. Same histogram combiner as ks_test_value; the rank scan
+    is one merge task over the bounded support."""
+    hist = _two_sample_hist(sf_dir)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("v").reset_index(drop=True)
+        c1 = [int(x) for x in df["c1"].to_numpy(np.int64)]
+        c2 = [int(x) for x in df["c2"].to_numpy(np.int64)]
+        n1, n2 = sum(c1), sum(c2)
+        cb, r2 = 0, 0
+        for a, b in zip(c1, c2):
+            r2 += a * (2 * cb + a + b + 1)
+            cb += a + b
+        u2 = r2 - n1 * (n1 + 1)
+        return pd.DataFrame({"n1": [np.int64(n1)], "n2": [np.int64(n2)],
+                             "u2": [np.int64(u2)]})
+
+    one = hist.map_batches(lambda df: df.assign(__g=np.int64(0)),
+                           batch_format="pandas", batch_size=None)
+    return relops.hash_partition_apply(one, ["__g"], finish, n_partitions=1)
