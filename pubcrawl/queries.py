@@ -7317,3 +7317,284 @@ def mwu_test_value(sf_dir: str):
     one = hist.map_batches(lambda df: df.assign(__g=np.int64(0)),
                            batch_format="pandas", batch_size=None)
     return relops.hash_partition_apply(one, ["__g"], finish, n_partitions=1)
+
+
+# ====================== depth-2 CART regression tree (two-feature split search)
+
+
+def _cart_sql() -> str:
+    """Root + two child split searches, each an exact-rational argmax over
+    the union of both features' histogram cut points (the stump recipe,
+    HUGEINT cross-multiplied compare, tie -> (feat, val) ascending).
+    Integer bound: gnum*gden' peaks ~3e37 at sf0.1 — inside INT128; the
+    engine side uses python ints with no bound at all."""
+    def block(rel: str, tag: str) -> str:
+        return (
+            f"h{tag} AS (SELECT 0 AS feat, fdisc AS val, "
+            f"CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(y) AS HUGEINT) AS s "
+            f"FROM {rel} GROUP BY 2 UNION ALL "
+            f"SELECT 1, fqty, COUNT(*), SUM(y) FROM {rel} GROUP BY 2), "
+            f"tt{tag} AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nt, "
+            f"CAST(SUM(y) AS HUGEINT) AS st FROM {rel}), "
+            f"p{tag} AS (SELECT feat, val, "
+            f"SUM(n) OVER (PARTITION BY feat ORDER BY val) AS nl, "
+            f"SUM(s) OVER (PARTITION BY feat ORDER BY val) AS sl FROM h{tag}), "
+            f"g{tag} AS (SELECT feat, val, nl, sl, t.nt - nl AS nr, "
+            f"t.st - sl AS sr, sl*sl*(t.nt-nl) + (t.st-sl)*(t.st-sl)*nl AS gnum, "
+            f"nl*(t.nt-nl) AS gden FROM p{tag}, tt{tag} t WHERE nl < t.nt), "
+            f"best{tag} AS (SELECT * FROM g{tag} g WHERE NOT EXISTS ("
+            f"SELECT 1 FROM g{tag} e WHERE e.gnum*g.gden > g.gnum*e.gden OR "
+            f"(e.gnum*g.gden = g.gnum*e.gden AND (e.feat < g.feat OR "
+            f"(e.feat = g.feat AND e.val < g.val)))))"
+        )
+
+    pick = "CASE WHEN r.feat = 0 THEN b.fdisc ELSE b.fqty END"
+    out = ("SELECT '{node}' AS node, CAST(feat AS BIGINT) AS feat, "
+           "CAST(val AS BIGINT) AS thr, CAST(nl AS BIGINT) AS n_left, "
+           "CAST(sl AS BIGINT) AS sum_left, CAST(nr AS BIGINT) AS n_right, "
+           "CAST(sr AS BIGINT) AS sum_right FROM best{tag}")
+    return (
+        "WITH b AS MATERIALIZED (SELECT CAST(ROUND(l_discount*100) AS BIGINT) "
+        "AS fdisc, CAST(ROUND(l_quantity) AS BIGINT) AS fqty, "
+        # whole-dollar target: x.50 is a REAL half-way case (unlike cents),
+        # so banker's rounding must match numpy explicitly
+        "CAST(round_even(l_extendedprice, 0) AS BIGINT) AS y FROM lineitem), "
+        + block("b", "0") + ", "
+        + "bl AS MATERIALIZED (SELECT b.* FROM b, best0 r WHERE "
+        + pick + " <= r.val), "
+        + "br AS MATERIALIZED (SELECT b.* FROM b, best0 r WHERE "
+        + pick + " > r.val), "
+        + block("bl", "1") + ", " + block("br", "2") + " "
+        + out.format(node="root", tag="0") + " UNION ALL "
+        + out.format(node="left", tag="1") + " UNION ALL "
+        + out.format(node="right", tag="2")
+    )
+
+
+@query("cart_depth2_price", sql=_cart_sql())
+def cart_depth2_price(sf_dir: str):
+    """Depth-2 CART regression tree (distributed histogram split finding,
+    two rounds — the XGBoost/LightGBM tree-grower's exact shape): features
+    are the discount centile and the integer quantity, target is the whole-
+    dollar extended price. Pass 1 reduces the table to per-(feature, value)
+    gradient histograms and one reducer picks the root split by exact-
+    rational SSE-reduction argmax across BOTH features' cut points (python
+    ints — no float gain anywhere, tie -> (feat, val)); pass 2 re-scans with
+    the root predicate, histograms per side, and picks each child's split
+    the same way. Two streaming passes + two tiny shuffles regardless of
+    data size; only (features x values x blocks) int partials ever move."""
+    ds = _read(sf_dir, "lineitem", ["l_discount", "l_quantity", "l_extendedprice"])
+
+    def featurize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "fdisc": np.round(df["l_discount"].to_numpy(np.float64) * 100
+                              ).astype(np.int64),
+            "fqty": np.round(df["l_quantity"].to_numpy(np.float64)
+                             ).astype(np.int64),
+            "y": np.round(df["l_extendedprice"].to_numpy(np.float64)
+                          ).astype(np.int64),
+        })
+
+    feats = ds.map_batches(featurize, batch_format="pandas", batch_size=None
+                           ).materialize()  # scanned twice (root + children)
+
+    def hist_part(df: pd.DataFrame, extra: list[str] | None = None) -> pd.DataFrame:
+        keys = (extra or [])
+        rows = []
+        for feat, col in ((0, "fdisc"), (1, "fqty")):
+            g = (df.assign(feat=np.int64(feat), val=df[col], one=np.int64(1))
+                 .groupby(keys + ["feat", "val"], as_index=False, sort=False)
+                 .agg(n=("one", "sum"), s=("y", "sum")))
+            rows.append(g)
+        return pd.concat(rows, ignore_index=True)
+
+    def best_split(df: pd.DataFrame):
+        """Exact-rational argmax over both features' cut points; returns
+        (feat, thr, nl, sl, nr, sr) as python ints or None."""
+        f0 = df[df["feat"] == 0]
+        nt, st = int(f0["n"].sum()), int(f0["s"].sum())
+        best = None
+        for feat in (0, 1):
+            sub = df[df["feat"] == feat].sort_values("val")
+            nl = sl = 0
+            for val, n, s in zip(sub["val"], sub["n"], sub["s"]):
+                nl += int(n)
+                sl += int(s)
+                nr, sr = nt - nl, st - sl
+                if nr == 0:
+                    break
+                gnum, gden = sl * sl * nr + sr * sr * nl, nl * nr
+                cand = (feat, int(val), nl, sl, nr, sr)
+                if best is None or gnum * best[0] > best[1] * gden or (
+                        gnum * best[0] == best[1] * gden
+                        and (feat, int(val)) < best[2][:2]):
+                    best = (gden, gnum, cand)
+        return None if best is None else best[2]
+
+    cols = ["node", "feat", "thr", "n_left", "sum_left", "n_right", "sum_right"]
+
+    def root_finish(df: pd.DataFrame) -> pd.DataFrame:
+        b = best_split(df)
+        return pd.DataFrame([("root", *b)], columns=cols)
+
+    h0 = relops.preagg_group_sum(
+        feats.map_batches(hist_part, batch_format="pandas", batch_size=None),
+        ["feat", "val"], {"n": "n", "s": "s"},
+    ).map_batches(lambda df: df.assign(__g=np.int64(0)),
+                  batch_format="pandas", batch_size=None)
+    root = relops.hash_partition_apply(h0, ["__g"], root_finish,
+                                       n_partitions=1).to_pandas()  # one row
+    rfeat, rthr = int(root["feat"].iloc[0]), int(root["thr"].iloc[0])
+    rcol = "fdisc" if rfeat == 0 else "fqty"
+
+    def side_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(node=np.where(df[rcol].to_numpy(np.int64) <= rthr,
+                                     "left", "right"))
+        return hist_part(df, extra=["node"])
+
+    h2 = relops.preagg_group_sum(
+        feats.map_batches(side_part, batch_format="pandas", batch_size=None),
+        ["node", "feat", "val"], {"n": "n", "s": "s"},
+    )
+
+    def child_finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for node, sub in df.groupby("node", sort=False):
+            b = best_split(sub)
+            if b is not None:
+                out.append((node, *b))
+        return pd.DataFrame(out, columns=cols)
+
+    kids = relops.hash_partition_apply(h2, ["node"], child_finish).to_pandas()
+    res = pd.concat([root, kids], ignore_index=True)
+    return res.astype({c: "int64" for c in cols[1:]})
+
+
+# =================== per-source KL divergence from the corpus language model
+
+
+@query(
+    "kl_divergence_sources",
+    # n_i-scaled KL: n_i*KL_i = sum_w c_iw*(ln(c_iw*N) - ln(n_i*c_w)) with
+    # each ln nano-rounded BEFORE the weighted sum — order-free int64 exact
+    sql="WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text), "
+    "'[a-z0-9]+')) AS w FROM documents), "
+    "cw AS MATERIALIZED (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM tok GROUP BY 1, 2), "
+    "gw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS g FROM cw GROUP BY 1), "
+    "ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cw GROUP BY 1), "
+    "tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cw) "
+    "SELECT cw.source, ns.n AS n_words, CAST(SUM(cw.c * "
+    "(CAST(round_even(ln(CAST(cw.c*tt.t AS DOUBLE))*1000000000, 0) AS BIGINT) - "
+    "CAST(round_even(ln(CAST(ns.n*gw.g AS DOUBLE))*1000000000, 0) AS BIGINT))) "
+    "AS BIGINT) AS kl_n_e9 "
+    "FROM cw JOIN gw USING (w) JOIN ns USING (source), tt "
+    "GROUP BY cw.source, ns.n",
+)
+def kl_divergence_sources(sf_dir: str):
+    """KL divergence of each source's unigram language model from the whole
+    corpus (the domain-shift / mixture-diagnostic measure a pretraining
+    pipeline runs per data source): n_i-scaling clears every fraction —
+    n_i*KL_i = Σ_w c_iw*(ln(c_iw·N) − ln(n_i·c_w)) — and each ln term is
+    nano-rounded before the weighted sum, so the statistic is an order-free
+    exact int64. Distributed shape: per-(source, word) combiner counts, one
+    co-partitioned join to attach global word counts (vocabulary never
+    broadcast — the pmi/llr plan), source totals as a 20-row broadcast."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        e = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        t = pd.DataFrame({"source": df["source"], "ws": e}).explode("ws")
+        t = t[t["ws"].notna()]
+        g = t.groupby(["source", "ws"], sort=False).size().reset_index(name="v")
+        return g.rename(columns={"ws": "w"}).astype({"v": "int64"})
+
+    cw = relops.preagg_group_sum(
+        ds.map_batches(part, batch_format="pandas", batch_size=None),
+        ["source", "w"], {"v": "c"},
+    ).materialize()  # consumed 3x: global counts, source totals, join
+    gw = relops.preagg_group_sum(cw, ["w"], {"c": "g"})
+    ns = relops.preagg_group_sum(cw, ["source"], {"c": "n"}).to_pandas()
+    nn = int(ns["n"].sum())
+    nmap = ns.set_index("source")["n"]
+
+    j = relops.hash_join(cw, gw, on="w", left_cols=["source", "c"],
+                         right_cols=["g"])
+
+    def term(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy(np.int64)
+        g = df["g"].to_numpy(np.int64)
+        n_i = nmap.reindex(df["source"]).to_numpy(np.int64)
+        lhs = np.round(np.log((c * nn).astype(np.float64)) * 1e9).astype(np.int64)
+        rhs = np.round(np.log((n_i * g).astype(np.float64)) * 1e9).astype(np.int64)
+        return pd.DataFrame({"source": df["source"], "t": c * (lhs - rhs)})
+
+    terms = j.map_batches(term, batch_format="pandas", batch_size=None)
+    agg = relops.preagg_group_sum(terms, ["source"], {"t": "kl_n_e9"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_words"] = nmap.reindex(df["source"]).to_numpy(np.int64)
+        return df[["source", "n_words", "kl_n_e9"]]
+
+    return agg.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+# ================= cross-correlation of two daily series (count vs revenue)
+
+
+@query(
+    "crosscorr_events_daily",
+    # the autocorr n-scaled trick on TWO series: num and the two deviation
+    # energies are exact HUGEINT sums; one float division+sqrt per lag
+    sql="WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+    "CAST(COUNT(*) AS BIGINT) AS a, "
+    "CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS b "
+    "FROM events GROUP BY 1), "
+    "i AS (SELECT a, b, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i "
+    "FROM d), "
+    "t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(a) AS HUGEINT) AS sa, "
+    "CAST(SUM(b) AS HUGEINT) AS sb FROM i), "
+    "v AS (SELECT i.i, t.n*i.a - t.sa AS da, t.n*i.b - t.sb AS db FROM i, t), "
+    "den AS (SELECT SUM(da*da) AS ea, SUM(db*db) AS eb FROM v), "
+    "l AS (SELECT k.k, SUM(x.da*y.db) AS num FROM range(0,8) AS k(k) "
+    "CROSS JOIN v x JOIN v y ON y.i = x.i + k.k GROUP BY k.k) "
+    "SELECT CAST(l.k AS BIGINT) AS lag, CAST(round_even(CAST(l.num AS DOUBLE)/"
+    "sqrt(CAST(den.ea AS DOUBLE)*CAST(den.eb AS DOUBLE))*1e9, 0) AS BIGINT) "
+    "AS ccf_e9 FROM l, den ORDER BY lag",
+)
+def crosscorr_events_daily(sf_dir: str):
+    """Cross-correlation (lags 0..7) between daily event COUNT and daily
+    event VALUE — 'does volume lead revenue?': the autocorr n-scaled
+    mean-free trick applied to two series, so the lag products and both
+    deviation energies are exact integers and the only floats are one
+    division and one sqrt per lag with identical expression shape. Daily
+    reduction distributed, lag scan on the driver-small time axis."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": (df["ts"].astype("int64") // 86_400_000_000).astype("int64"),
+            "a": np.int64(1),
+            "b": np.round(df["value"].to_numpy(np.float64) * 100).astype(np.int64),
+        })
+
+    daily = relops.preagg_group_sum(
+        ds.map_batches(part, batch_format="pandas", batch_size=None),
+        ["day"], {"a": "a", "b": "b"},
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    a = [int(v) for v in daily["a"]]
+    b = [int(v) for v in daily["b"]]
+    n, sa, sb = len(a), sum(a), sum(b)
+    da = [n * v - sa for v in a]
+    db = [n * v - sb for v in b]
+    ea = sum(v * v for v in da)
+    eb = sum(v * v for v in db)
+    lags, ccf = [], []
+    for k in range(0, 8):
+        num = sum(da[t] * db[t + k] for t in range(n - k))
+        lags.append(k)
+        ccf.append(int(np.round(
+            float(num) / np.sqrt(float(ea) * float(eb)) * 1e9)))
+    return pd.DataFrame({"lag": np.array(lags, dtype=np.int64),
+                         "ccf_e9": np.array(ccf, dtype=np.int64)})
