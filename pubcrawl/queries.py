@@ -7598,3 +7598,167 @@ def crosscorr_events_daily(sf_dir: str):
             float(num) / np.sqrt(float(ea) * float(eb)) * 1e9)))
     return pd.DataFrame({"lag": np.array(lags, dtype=np.int64),
                          "ccf_e9": np.array(ccf, dtype=np.int64)})
+
+
+# ====================== trigram-index substring search (the pg_trgm shape)
+
+
+@query(
+    "trigram_substring_search",
+    sql="SELECT doc_id FROM documents WHERE contains(lower(text), 'scan filter row')",
+)
+def trigram_substring_search(sf_dir: str):
+    """Substring search accelerated by a character-trigram inverted index
+    (the pg_trgm / code-search plan): docs post their distinct 3-grams
+    (combiner — distinct grams per batch move), the pattern's trigrams
+    semi-join the postings, a grouped count keeps only docs containing ALL
+    pattern trigrams (the candidate set — at 100 TB this is the step that
+    turns LIKE '%...%' from a full scan into an index probe), and a final
+    exact contains() verify on just the candidates removes trigram false
+    positives. The oracle is the plain LIKE semantics, so the test asserts
+    the index is lossless end-to-end."""
+    pattern = "scan filter row"
+    pgrams = sorted({pattern[i:i + 3] for i in range(len(pattern) - 2)})
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        # distinct (doc, gram) postings, restricted to the pattern's grams
+        # (predicate pushdown into the index build)
+        rows_id, rows_g = [], []
+        txt = df["text"].fillna("").str.lower()
+        for g in pgrams:
+            has = txt.str.contains(g, regex=False)
+            ids = df.loc[has.to_numpy(), "doc_id"].to_numpy()
+            rows_id.append(ids)
+            rows_g.append(np.full(len(ids), g, dtype=object))
+        return pd.DataFrame({"doc_id": np.concatenate(rows_id),
+                             "g": np.concatenate(rows_g),
+                             "one": np.int64(1)})
+
+    postings = ds.map_batches(post, batch_format="pandas", batch_size=None)
+    cand = relops.preagg_group_sum(postings, ["doc_id"], {"one": "k"})
+    need = len(pgrams)
+    cand_ids = cand.map_batches(
+        lambda df: df.loc[df["k"] == need, ["doc_id"]],
+        batch_format="pandas", batch_size=None,
+    )
+    hits = relops.semi_join_partitioned(ds, cand_ids, on="doc_id")
+    return hits.map_batches(
+        lambda df: df.loc[df["text"].fillna("").str.lower()
+                          .str.contains(pattern, regex=False), ["doc_id"]],
+        batch_format="pandas", batch_size=None,
+    )
+
+
+# ============================= Theil inequality index of customer spend
+
+
+@query(
+    "theil_spend_customers",
+    # S-scaled Theil: S*T = sum_i x_i*(ln(x_i*n) - ln(S)) with micro-rounded
+    # ln terms — order-free int64 (whole dollars keep the sum under 2^63)
+    sql="WITH u AS (SELECT o_custkey, CAST(SUM(CAST(round_even(o_totalprice, 0) "
+    "AS BIGINT)) AS BIGINT) AS x FROM orders GROUP BY 1), "
+    "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s "
+    "FROM u) "
+    "SELECT t.n AS n_customers, t.s AS total_usd, CAST(SUM(u.x * "
+    "(CAST(round_even(ln(CAST(u.x*t.n AS DOUBLE))*1000000, 0) AS BIGINT) - "
+    "CAST(round_even(ln(CAST(t.s AS DOUBLE))*1000000, 0) AS BIGINT))) AS BIGINT) "
+    "AS theil_s_e6 FROM u, t GROUP BY t.n, t.s",
+)
+def theil_spend_customers(sf_dir: str):
+    """Theil T inequality index of customer lifetime spend (the
+    decomposable inequality measure — gini's information-theoretic sibling,
+    already in the registry for the ORDER-level skew): S-scaling clears the
+    1/n and 1/mu fractions — S*T = Σ x_i(ln(x_i·n) − ln S) — and each ln is
+    micro-rounded before the weighted sum, so the statistic is an exact
+    int64 (whole dollars bound the sum under 2^63 at any tested SF).
+    Per-customer spend reduces as a combiner; two driver scalars (n, S)
+    close the loop."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "x": np.round(df["o_totalprice"].to_numpy(np.float64)
+                          ).astype(np.int64),
+        })
+
+    cust = relops.preagg_group_sum(
+        ds.map_batches(part, batch_format="pandas", batch_size=None),
+        ["o_custkey"], {"x": "x"},
+    ).materialize()  # consumed twice: totals + terms
+    tot = cust.map_batches(
+        lambda df: pd.DataFrame({"n": [np.int64(len(df))],
+                                 "s": [df["x"].sum()]}),
+        batch_format="pandas", batch_size=None,
+    ).to_pandas()
+    n, s = int(tot["n"].sum()), int(tot["s"].sum())
+    ln_s = int(np.round(np.log(float(s)) * 1e6))
+
+    def term(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy(np.int64)
+        l1 = np.round(np.log((x * n).astype(np.float64)) * 1e6).astype(np.int64)
+        return pd.DataFrame({"__g": np.int64(0), "t": x * (l1 - ln_s)})
+
+    agg = relops.preagg_group_sum(
+        cust.map_batches(term, batch_format="pandas", batch_size=None),
+        ["__g"], {"t": "theil_s_e6"},
+    )
+    return agg.map_batches(
+        lambda df: pd.DataFrame({"n_customers": [np.int64(n)],
+                                 "total_usd": [np.int64(s)],
+                                 "theil_s_e6": df["theil_s_e6"].to_numpy(np.int64)}),
+        batch_format="pandas", batch_size=None,
+    )
+
+
+# =========================== referential-integrity audit (FK orphan counts)
+
+
+@query(
+    "fk_integrity_audit",
+    sql="SELECT 'lineitem->orders' AS edge, CAST((SELECT COUNT(*) FROM lineitem "
+    "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT) "
+    "AS n_orphans, CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey NOT IN "
+    "(SELECT l_orderkey FROM lineitem)) AS BIGINT) AS n_childless "
+    "UNION ALL SELECT 'orders->customer', CAST((SELECT COUNT(*) FROM orders "
+    "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT), "
+    "CAST((SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN "
+    "(SELECT o_custkey FROM orders)) AS BIGINT) "
+    "UNION ALL SELECT 'customer->nation', CAST((SELECT COUNT(*) FROM customer "
+    "WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS BIGINT), "
+    "CAST((SELECT COUNT(*) FROM nation WHERE n_nationkey NOT IN "
+    "(SELECT CAST(c_nationkey AS BIGINT) FROM customer)) AS BIGINT)",
+)
+def fk_integrity_audit(sf_dir: str):
+    """Referential-integrity audit across the star schema's three FK edges
+    — orphaned children (FK points nowhere) and childless parents (key
+    never referenced) per edge, the data-quality gate run before any join
+    pipeline is trusted. Each count is one partitioned ANTI join of key
+    columns only (both directions), so the audit touches nothing but keys
+    at any scale."""
+    def keys(table: str, col: str) -> rd.Dataset:
+        ds = _read(sf_dir, table, [col])
+        return ds.map_batches(
+            lambda df, c=col: pd.DataFrame({"k": df[c].astype("int64")}),
+            batch_format="pandas", batch_size=None,
+        )
+
+    def audit(child: rd.Dataset, parent: rd.Dataset) -> tuple[int, int]:
+        pk = relops.distinct(parent, ["k"])
+        ck = relops.distinct(child, ["k"])
+        orphans = relops.semi_join_partitioned(child, pk, on="k", anti=True).count()
+        childless = relops.semi_join_partitioned(pk, ck, on="k", anti=True).count()
+        return orphans, childless
+
+    rows = []
+    for edge, child, parent in [
+        ("lineitem->orders", keys("lineitem", "l_orderkey"), keys("orders", "o_orderkey")),
+        ("orders->customer", keys("orders", "o_custkey"), keys("customer", "c_custkey")),
+        ("customer->nation", keys("customer", "c_nationkey"), keys("nation", "n_nationkey")),
+    ]:
+        o, c = audit(child, parent)
+        rows.append((edge, o, c))
+    return pd.DataFrame(rows, columns=["edge", "n_orphans", "n_childless"]).astype(
+        {"n_orphans": "int64", "n_childless": "int64"})
