@@ -7762,3 +7762,117 @@ def fk_integrity_audit(sf_dir: str):
         rows.append((edge, o, c))
     return pd.DataFrame(rows, columns=["edge", "n_orphans", "n_childless"]).astype(
         {"n_orphans": "int64", "n_childless": "int64"})
+
+
+# ====================== last-touch channel attribution of purchases
+
+
+@query(
+    "attribution_last_touch",
+    sql="WITH s AS (SELECT user_id, event_type, "
+    "LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END "
+    "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel FROM events) "
+    "SELECT COALESCE(channel, 'none') AS channel, "
+    "CAST(COUNT(*) AS BIGINT) AS n_purchases FROM s "
+    "WHERE event_type = 'purchase' GROUP BY 1",
+)
+def attribution_last_touch(sf_dir: str):
+    """Last-touch attribution: each purchase credits the user's most recent
+    STRICTLY-earlier non-purchase event type (the marketing-analytics
+    channel model; purchases with no prior touch credit 'none'). One
+    user-hash shuffle, then per-partition VECTORIZED forward-fill + shift
+    under the total (ts, event_id) order — no per-row python — and the
+    per-channel counts fold through partial sums."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def attribute(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        touch = df["event_type"].where(df["event_type"] != "purchase")
+        g = df.groupby("user_id", sort=False)
+        # ffill then shift(1): last non-purchase type at or before the
+        # PREVIOUS row = last touch strictly before this row
+        chan = touch.groupby(df["user_id"], sort=False).ffill()
+        chan = chan.groupby(df["user_id"], sort=False).shift(1)
+        del g
+        buys = df["event_type"] == "purchase"
+        out = pd.DataFrame({"channel": chan[buys].fillna("none"),
+                            "one": np.int64(1)})
+        return out.groupby("channel", as_index=False, sort=False)["one"].sum()
+
+    partials = relops.hash_partition_apply(ds, ["user_id"], attribute)
+    return relops.preagg_group_sum(partials, ["channel"], {"one": "n_purchases"})
+
+
+# ============== population stability index (distribution-drift monitor)
+
+
+@query(
+    "psi_value_drift",
+    # decile buckets from pooled exact quantile_disc thresholds (bucket =
+    # count of thresholds below — duplicate-threshold-safe both sides);
+    # Laplace +1 smoothing keeps every ln finite; term = (a'B'-b'A') *
+    # (ln(a'B') - ln(b'A')) with micro-rounded ln -> exact int64
+    sql="WITH v AS (SELECT CAST(ROUND(value*100) AS BIGINT) AS v, "
+    "CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS early FROM events), "
+    "q AS (SELECT " + ", ".join(
+        f"quantile_disc(v, 0.{k}) AS t{k}" for k in range(1, 10)) + " FROM v), "
+    "b AS (SELECT (" + " + ".join(
+        f"(CASE WHEN v.v > q.t{k} THEN 1 ELSE 0 END)" for k in range(1, 10)
+    ) + ") AS bucket, early FROM v, q), "
+    "c AS (SELECT bucket, CAST(SUM(early) AS BIGINT) AS a, "
+    "CAST(COUNT(*) - SUM(early) AS BIGINT) AS b2 FROM b GROUP BY 1), "
+    "t AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b2) AS BIGINT) AS nb "
+    "FROM c), "
+    "s AS (SELECT bucket, a, b2, a + 1 AS a1, b2 + 1 AS b1, "
+    "t.na + 10 AS aa, t.nb + 10 AS bb FROM c, t) "
+    "SELECT CAST(bucket AS BIGINT) AS bucket, a AS n_early, b2 AS n_late, "
+    "CAST((a1*bb - b1*aa) * "
+    "(CAST(round_even(ln(CAST(a1*bb AS DOUBLE))*1000000, 0) AS BIGINT) - "
+    "CAST(round_even(ln(CAST(b1*aa AS DOUBLE))*1000000, 0) AS BIGINT)) "
+    "AS BIGINT) AS term_e6 FROM s ORDER BY bucket",
+)
+def psi_value_drift(sf_dir: str):
+    """Population stability index between the first and second half of the
+    month's event-value distributions (the ML-ops drift monitor run on every
+    feature before a model retrain): decile edges come from the pooled EXACT
+    histogram quantiles (scalars to the driver), bucket assignment is 9
+    vectorized comparisons per row reduced through a combiner, and each PSI
+    term is cleared of fractions by cross-multiplying the smoothed counts —
+    (a'B'−b'A')·(ln(a'B')−ln(b'A')) with micro-rounded ln terms — an exact
+    int64 per bucket (bounds hold through sf0.1; document before sf1)."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "v": np.round(df["value"].to_numpy(np.float64) * 100).astype(np.int64),
+            "early": (df["ts"].dt.day <= 15).to_numpy().astype(np.int64),
+            "__g": np.int64(0),
+        })
+
+    vals = ds.map_batches(part, batch_format="pandas", batch_size=None
+                          ).materialize()  # scanned twice: quantiles + buckets
+    qs = {f"t{k}": k / 10 for k in range(1, 10)}
+    th = relops.group_quantile_disc(vals, ["__g"], "v", qs).to_pandas()
+    t = np.array([int(th[f"t{k}"].iloc[0]) for k in range(1, 10)], dtype=np.int64)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["v"].to_numpy(np.int64)
+        bucket = (v[:, None] > t[None, :]).sum(axis=1).astype(np.int64)
+        return pd.DataFrame({"bucket": bucket, "a": df["early"].to_numpy(np.int64),
+                             "one": np.int64(1)})
+
+    counts = relops.preagg_group_sum(
+        vals.map_batches(bucketize, batch_format="pandas", batch_size=None),
+        ["bucket"], {"a": "a", "one": "n"},
+    ).to_pandas().sort_values("bucket").reset_index(drop=True)  # ≤10 rows
+    a = counts["a"].to_numpy(np.int64)
+    b = (counts["n"] - counts["a"]).to_numpy(np.int64)
+    na, nb = int(a.sum()), int(b.sum())
+    a1, b1 = a + 1, b + 1
+    aa, bb = na + 10, nb + 10
+    l1 = np.round(np.log((a1 * bb).astype(np.float64)) * 1e6).astype(np.int64)
+    l2 = np.round(np.log((b1 * aa).astype(np.float64)) * 1e6).astype(np.int64)
+    term = (a1 * bb - b1 * aa) * (l1 - l2)
+    return pd.DataFrame({"bucket": counts["bucket"].to_numpy(np.int64),
+                         "n_early": a, "n_late": b, "term_e6": term})
