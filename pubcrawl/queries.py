@@ -7735,33 +7735,58 @@ def fk_integrity_audit(sf_dir: str):
     """Referential-integrity audit across the star schema's three FK edges
     — orphaned children (FK points nowhere) and childless parents (key
     never referenced) per edge, the data-quality gate run before any join
-    pipeline is trusted. Each count is one partitioned ANTI join of key
-    columns only (both directions), so the audit touches nothing but keys
-    at any scale."""
-    def keys(table: str, col: str) -> rd.Dataset:
-        ds = _read(sf_dir, table, [col])
-        return ds.map_batches(
-            lambda df, c=col: pd.DataFrame({"k": df[c].astype("int64")}),
-            batch_format="pandas", batch_size=None,
-        )
+    pipeline is trusted. All six counts ride ONE co-partitioned shuffle:
+    every edge's child keys combine to (edge, key, n_child) partials and
+    its parent keys to (edge, key, present) rows, the union co-partitions
+    by (edge, key), and each merge task tallies orphan child rows (no
+    parent row for the key) and childless parent keys (no child row) —
+    nothing but keys and tiny count partials ever move."""
+    sides = []
+    for eid, (table, col, side) in enumerate([
+        ("lineitem", "l_orderkey", 0), ("orders", "o_orderkey", 1),
+        ("orders", "o_custkey", 0), ("customer", "c_custkey", 1),
+        ("customer", "c_nationkey", 0), ("nation", "n_nationkey", 1),
+    ]):
+        edge = eid // 2
 
-    def audit(child: rd.Dataset, parent: rd.Dataset) -> tuple[int, int]:
-        pk = relops.distinct(parent, ["k"])
-        ck = relops.distinct(child, ["k"])
-        orphans = relops.semi_join_partitioned(child, pk, on="k", anti=True).count()
-        childless = relops.semi_join_partitioned(pk, ck, on="k", anti=True).count()
-        return orphans, childless
+        def tag(df: pd.DataFrame, c=col, e=edge, s=side) -> pd.DataFrame:
+            # combiner: one (edge, key) partial per distinct key per batch
+            g = (pd.DataFrame({"k": df[c].astype("int64")})
+                 .groupby("k", as_index=False, sort=False).size())
+            return pd.DataFrame({
+                "edge": np.int64(e), "k": g["k"].astype("int64"),
+                "nc": (g["size"].astype("int64") if s == 0 else np.int64(0)),
+                "np_": np.int64(1 if s == 1 else 0),
+            })
 
-    rows = []
-    for edge, child, parent in [
-        ("lineitem->orders", keys("lineitem", "l_orderkey"), keys("orders", "o_orderkey")),
-        ("orders->customer", keys("orders", "o_custkey"), keys("customer", "c_custkey")),
-        ("customer->nation", keys("customer", "c_nationkey"), keys("nation", "n_nationkey")),
-    ]:
-        o, c = audit(child, parent)
-        rows.append((edge, o, c))
-    return pd.DataFrame(rows, columns=["edge", "n_orphans", "n_childless"]).astype(
-        {"n_orphans": "int64", "n_childless": "int64"})
+        sides.append(_read(sf_dir, table, [col]).map_batches(
+            tag, batch_format="pandas", batch_size=None))
+    union = sides[0]
+    for s in sides[1:]:
+        union = union.union(s)
+    folded = relops.preagg_group_sum(union, ["edge", "k"],
+                                     {"nc": "nc", "np_": "np_"})
+
+    def tally(df: pd.DataFrame) -> pd.DataFrame:
+        has_p = df["np_"].to_numpy(np.int64) > 0
+        nc = df["nc"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "edge": df["edge"].to_numpy(np.int64),
+            "orph": np.where(has_p, 0, nc),
+            "chl": (has_p & (nc == 0)).astype(np.int64),
+        })
+        return out.groupby("edge", as_index=False, sort=False).sum()
+
+    partials = folded.map_batches(tally, batch_format="pandas", batch_size=None)
+    counts = relops.preagg_group_sum(
+        partials, ["edge"], {"orph": "n_orphans", "chl": "n_childless"}
+    ).to_pandas().set_index("edge")  # 3 rows
+    names = ["lineitem->orders", "orders->customer", "customer->nation"]
+    return pd.DataFrame({
+        "edge": names,
+        "n_orphans": [int(counts["n_orphans"].get(e, 0)) for e in range(3)],
+        "n_childless": [int(counts["n_childless"].get(e, 0)) for e in range(3)],
+    }).astype({"n_orphans": "int64", "n_childless": "int64"})
 
 
 # ====================== last-touch channel attribution of purchases
