@@ -7901,3 +7901,177 @@ def psi_value_drift(sf_dir: str):
     term = (a1 * bb - b1 * aa) * (l1 - l2)
     return pd.DataFrame({"bucket": counts["bucket"].to_numpy(np.int64),
                          "n_early": a, "n_late": b, "term_e6": term})
+
+
+# ===================== degree assortativity of the co-purchase graph
+
+
+@query(
+    "assortativity_copurchase",
+    sql="WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst "
+    "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+    "AND a.l_partkey <> b.l_partkey "
+    "WHERE year(a.l_shipdate) = 1995 AND year(b.l_shipdate) = 1995), "
+    "deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d "
+    "FROM e GROUP BY 1), "
+    "p AS (SELECT d1.d AS x, d2.d AS y FROM e "
+    "JOIN deg d1 ON e.src = d1.id JOIN deg d2 ON e.dst = d2.id), "
+    "a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy, "
+    "SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy FROM p) "
+    "SELECT CAST(n AS BIGINT) AS n_edges, "
+    "CAST(round_even(CAST(n*sxy - sx*sy AS DOUBLE) / "
+    "sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) "
+    "* 1000000, 0) AS BIGINT) AS assort_e6 FROM a",
+)
+def assortativity_copurchase(sf_dir: str):
+    """Degree assortativity (Newman 2002) of the co-purchase graph — the
+    Pearson correlation of endpoint degrees over edges, the one-number
+    answer to 'do popular parts co-sell with popular parts?': degrees come
+    from the edge-count combiner, attach to both endpoints via two
+    co-partitioned hash joins (the degree table is never broadcast), and
+    the correlation reduces to six exact integer sufficient statistics with
+    the corr_chars_tokens one-division float finish."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_shipdate"])
+
+    def y95(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(pc.year(t["l_shipdate"]), 1995))
+        return keep.select(["l_orderkey", "l_partkey"])
+
+    lp = li.map_batches(y95, batch_format="pyarrow")
+    a = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "src"]),
+                       batch_format="pyarrow")
+    b = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "dst"]),
+                       batch_format="pyarrow")
+    edges = relops.hash_join(a, b, on="l_orderkey",
+                             left_cols=["src"], right_cols=["dst"])
+    edges = edges.map_batches(
+        lambda df: df.loc[df["src"] != df["dst"], ["src", "dst"]],
+        batch_format="pandas", batch_size=None,
+    ).materialize()  # consumed twice: degrees + endpoint joins
+    deg = relops.preagg_group_sum(
+        edges.map_batches(lambda df: pd.DataFrame({"id": df["src"],
+                                                   "one": np.int64(1)}),
+                          batch_format="pandas", batch_size=None),
+        ["id"], {"one": "d"},
+    )
+    e1 = edges.map_batches(lambda df: df.rename(columns={"src": "id"}),
+                           batch_format="pandas", batch_size=None)
+    j1 = relops.hash_join(e1, deg, on="id", left_cols=["dst"], right_cols=["d"])
+    j1 = j1.map_batches(lambda df: pd.DataFrame({"id": df["dst"], "x": df["d"]}),
+                        batch_format="pandas", batch_size=None)
+    j2 = relops.hash_join(j1, deg, on="id", left_cols=["x"], right_cols=["d"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy(np.int64)
+        y = df["d"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "__g": [np.int64(0)], "n": [np.int64(len(df))],
+            "sx": [x.sum()], "sy": [y.sum()], "sxx": [(x * x).sum()],
+            "syy": [(y * y).sum()], "sxy": [(x * y).sum()],
+        })
+
+    partials = j2.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        import math
+        n = int(df["n"].sum())
+        sx, sy = int(df["sx"].sum()), int(df["sy"].sum())
+        sxx, syy, sxy = int(df["sxx"].sum()), int(df["syy"].sum()), int(df["sxy"].sum())
+        num = float(n * sxy - sx * sy)
+        den = math.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+        return pd.DataFrame({"n_edges": [np.int64(n)],
+                             "assort_e6": [np.int64(np.round(num / den * 1e6))]})
+
+    return relops.hash_partition_apply(partials, ["__g"], finish, n_partitions=1)
+
+
+# ============== 1-D earth mover's distance between two value distributions
+
+
+@query(
+    "emd_value_distributions",
+    sql="WITH v AS (SELECT CAST(ROUND(value*100) AS BIGINT) AS v, "
+    "CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1, "
+    "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g2 "
+    "FROM events WHERE event_type IN ('view', 'purchase')), "
+    "h AS (SELECT v, CAST(SUM(g1) AS BIGINT) AS c1, CAST(SUM(g2) AS BIGINT) AS c2 "
+    "FROM v GROUP BY 1), "
+    "t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM h), "
+    "c AS (SELECT v, SUM(c1) OVER (ORDER BY v) AS f1, "
+    "SUM(c2) OVER (ORDER BY v) AS f2, LEAD(v) OVER (ORDER BY v) AS nv FROM h) "
+    "SELECT t.n1, t.n2, CAST(SUM(ABS(c.f1*t.n2 - c.f2*t.n1) * (c.nv - c.v)) "
+    "AS BIGINT) AS emd_num FROM c, t WHERE c.nv IS NOT NULL GROUP BY t.n1, t.n2",
+)
+def emd_value_distributions(sf_dir: str):
+    """1-D earth mover's (Wasserstein-1) distance between the 'view' and
+    'purchase' value distributions — the integral companion to the KS max:
+    EMD = Σ |F1−F2|·Δv over the support, kept exact by cross-multiplying
+    the ECDFs (units: cents·n1·n2, one integer out). Same histogram
+    combiner as ks_test_value; the support scan is one merge task."""
+    hist = _two_sample_hist(sf_dir)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("v").reset_index(drop=True)
+        v = df["v"].to_numpy(np.int64)
+        c1 = df["c1"].to_numpy(np.int64).cumsum()
+        c2 = df["c2"].to_numpy(np.int64).cumsum()
+        n1, n2 = int(c1[-1]), int(c2[-1])
+        gaps = np.diff(v)
+        emd = int((np.abs(c1[:-1] * n2 - c2[:-1] * n1) * gaps).sum())
+        return pd.DataFrame({"n1": [np.int64(n1)], "n2": [np.int64(n2)],
+                             "emd_num": [np.int64(emd)]})
+
+    one = hist.map_batches(lambda df: df.assign(__g=np.int64(0)),
+                           batch_format="pandas", batch_size=None)
+    return relops.hash_partition_apply(one, ["__g"], finish, n_partitions=1)
+
+
+# ======================= daily session stats (bounce rate inputs)
+
+
+@query(
+    "session_stats_daily",
+    sql="WITH l AS (SELECT user_id, ts, event_id, "
+    "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+    "FROM events), "
+    "s AS (SELECT user_id, ts, event_id, CASE WHEN prev_ts IS NULL OR "
+    "epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_s "
+    "FROM l), "
+    "g AS (SELECT user_id, ts, CAST(SUM(new_s) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS BIGINT) AS sid FROM s), "
+    "sess AS (SELECT user_id, sid, MIN(ts) AS t0, COUNT(*) AS ne "
+    "FROM g GROUP BY 1, 2) "
+    "SELECT CAST(epoch_us(t0) // 86400000000 AS BIGINT) AS day, "
+    "CAST(COUNT(*) AS BIGINT) AS n_sessions, "
+    "CAST(SUM(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce, "
+    "CAST(SUM(ne) AS BIGINT) AS n_events FROM sess GROUP BY 1",
+)
+def session_stats_daily(sf_dir: str):
+    """Daily session statistics (sessions = 30-min inactivity gap, assigned
+    to their start day): session count, bounce count (single-event
+    sessions — the bounce-rate numerator) and event volume. One user-hash
+    shuffle, vectorized gap-flag/cumsum sessionization per partition
+    (extending w2's per-user windows to per-day product metrics), then the
+    per-day stats fold through a combiner."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = df["ts"].astype("int64")
+        prev = us.groupby(df["user_id"], sort=False).shift(1)
+        new_s = (prev.isna() | ((us - prev) > 1_800_000_000)).astype("int64")
+        sid = new_s.groupby(df["user_id"], sort=False).cumsum()
+        grp = pd.DataFrame({"user_id": df["user_id"], "sid": sid, "us": us})
+        sess = grp.groupby(["user_id", "sid"], sort=False).agg(
+            t0=("us", "min"), ne=("us", "size"))
+        day = (sess["t0"] // 86_400_000_000).astype("int64")
+        out = pd.DataFrame({"day": day, "one": np.int64(1),
+                            "bounce": (sess["ne"] == 1).astype("int64"),
+                            "ne": sess["ne"].astype("int64")})
+        return out.groupby("day", as_index=False, sort=False).sum()
+
+    partials = relops.hash_partition_apply(ds, ["user_id"], sessions)
+    return relops.preagg_group_sum(
+        partials, ["day"],
+        {"one": "n_sessions", "bounce": "n_bounce", "ne": "n_events"},
+    )
