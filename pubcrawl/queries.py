@@ -3075,6 +3075,7 @@ def _kmeans_cte(
     k: int = 8,
     iters: int = 3,
     pts: str = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+    prefix: str = "",
 ) -> tuple[list, str]:
     """Unrolled Lloyd's iterations as chained CTEs — assignment (e6-quantized
     list_distance, lowest-cluster tie-break via ROW_NUMBER), per-dim AVG
@@ -3082,33 +3083,36 @@ def _kmeans_cte(
     exact-replay protocol kmeans_lloyd_ds implements (see its docstring for
     why the quantization makes engine-vs-SQL drift unobservable). Returns
     (cte list, name of the final centroid CTE); ``pts`` overrides the point
-    source so compositions (semantic_dedup) fit over planted views."""
+    source so compositions (semantic_dedup) fit over planted views, and
+    ``prefix`` namespaces the CTEs so two fits coexist in one WITH (product
+    quantization runs one chain per subspace)."""
+    p = prefix
     cte = [
-        f"pts AS ({pts})",
-        f"seed AS (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT {k})",
-        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, "
+        f"{p}pts AS ({pts})",
+        f"{p}seed AS (SELECT vec_id, v FROM {p}pts ORDER BY vec_id LIMIT {k})",
+        f"{p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, "
         "list_transform(v, x -> round_even(x*1e6, 0)/1e6) AS cent, "
-        "CAST(0 AS BIGINT) AS n FROM seed)",
+        f"CAST(0 AS BIGINT) AS n FROM {p}seed)",
     ]
-    prev = "c0"
+    prev = f"{p}c0"
     for t in range(1, iters + 1):
         cte.append(
-            f"a{t} AS (SELECT vec_id, cid FROM ("
+            f"{p}a{t} AS (SELECT vec_id, cid FROM ("
             f"SELECT p.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY p.vec_id "
             f"ORDER BY round_even(list_distance(p.v, c.cent)*1e6, 0), c.cid) AS rn "
-            f"FROM pts p CROSS JOIN {prev} c) WHERE rn = 1)"
+            f"FROM {p}pts p CROSS JOIN {prev} c) WHERE rn = 1)"
         )
         cte.append(
-            f"u{t} AS (SELECT cid, list(m ORDER BY dim) AS cent, any_value(npts) AS n FROM ("
+            f"{p}u{t} AS (SELECT cid, list(m ORDER BY dim) AS cent, any_value(npts) AS n FROM ("
             f"SELECT cid, dim, round_even(AVG(val)*1e6, 0)/1e6 AS m, COUNT(*) AS npts "
             f"FROM (SELECT a.cid, generate_subscripts(p.v, 1) AS dim, unnest(p.v) AS val "
-            f"FROM a{t} a JOIN pts p USING (vec_id)) GROUP BY cid, dim) GROUP BY cid)"
+            f"FROM {p}a{t} a JOIN {p}pts p USING (vec_id)) GROUP BY cid, dim) GROUP BY cid)"
         )
         cte.append(
-            f"c{t} AS (SELECT c.cid, COALESCE(u.cent, c.cent) AS cent, "
-            f"CAST(COALESCE(u.n, 0) AS BIGINT) AS n FROM {prev} c LEFT JOIN u{t} u USING (cid))"
+            f"{p}c{t} AS (SELECT c.cid, COALESCE(u.cent, c.cent) AS cent, "
+            f"CAST(COALESCE(u.n, 0) AS BIGINT) AS n FROM {prev} c LEFT JOIN {p}u{t} u USING (cid))"
         )
-        prev = f"c{t}"
+        prev = f"{p}c{t}"
     return cte, prev
 
 
@@ -8075,3 +8079,122 @@ def session_stats_daily(sf_dir: str):
         partials, ["day"],
         {"one": "n_sessions", "bounce": "n_bounce", "ne": "n_events"},
     )
+
+
+# =================== product quantization codes (PQ — IVF-PQ's second stage)
+
+
+def _pq_sql(k: int = 4, iters: int = 2, d: int = 64) -> str:
+    """Two prefix-namespaced Lloyd chains (one per subspace) + a final
+    assignment per half against the FINAL centroids — the kmeans_embeddings
+    exact-replay protocol run twice over list slices."""
+    half = d // 2
+    cte0, last0 = _kmeans_cte(
+        k, iters, prefix="q0",
+        pts=f"SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:{half}] AS v "
+            "FROM embeddings")
+    cte1, last1 = _kmeans_cte(
+        k, iters, prefix="q1",
+        pts=f"SELECT vec_id, (CAST(embedding AS DOUBLE[]))[{half + 1}:{d}] AS v "
+            "FROM embeddings")
+
+    def assign(tag: str, pts: str, cents: str, out: str) -> str:
+        return (
+            f"{tag} AS (SELECT vec_id, cid AS {out} FROM ("
+            f"SELECT p.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY p.vec_id "
+            f"ORDER BY round_even(list_distance(p.v, c.cent)*1e6, 0), c.cid) AS rn "
+            f"FROM {pts} p CROSS JOIN {cents} c) WHERE rn = 1)"
+        )
+
+    return (
+        "WITH " + ", ".join(
+            cte0 + cte1
+            + [assign("s0", "q0pts", last0, "code0"),
+               assign("s1", "q1pts", last1, "code1")]
+        )
+        + " SELECT s0.vec_id, CAST(s0.code0 AS BIGINT) AS code0, "
+        "CAST(s1.code1 AS BIGINT) AS code1 FROM s0 JOIN s1 USING (vec_id)"
+    )
+
+
+@query("pq_codes_embeddings", sql=_pq_sql(4, 2, 64))
+def pq_codes_embeddings(sf_dir: str):
+    """Product quantization (Jégou et al. — the code stage of IVF-PQ):
+    the 64-dim embeddings split into two 32-dim subspaces, each fit with
+    distributed Lloyd's k-means (k=4 codewords, the kmeans_lloyd_ds
+    combiner — k rows per block move, never points), then every vector
+    compresses to its (code0, code1) nearest-codeword pair in one broadcast-
+    centroid pass. At 100 TB this is how a trillion-vector index stores
+    residuals: two tiny codebooks, one streaming assignment, 2 bytes a
+    vector. Both fits AND the final assignment replay bit-exactly through
+    the prefix-namespaced unrolled-CTE chains."""
+    from . import ann
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+
+    def half(lo: int, hi: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            m = ann._stack(df["embedding"])[:, lo:hi]
+            return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(),
+                                 "embedding": list(m)})
+        return fn
+
+    ds0 = ds.map_batches(half(0, 32), batch_format="pandas", batch_size=None)
+    ds1 = ds.map_batches(half(32, 64), batch_format="pandas", batch_size=None)
+    c0, _ = ann.kmeans_lloyd_ds(ds0, k=4, iters=2)
+    c1, _ = ann.kmeans_lloyd_ds(ds1, k=4, iters=2)
+    r0, r1 = ray.put(c0), ray.put(c1)
+
+    def codes(df: pd.DataFrame) -> pd.DataFrame:
+        m = ann._stack(df["embedding"])
+        d0 = ann._dists_e6(m[:, :32], ray.get(r0))
+        d1 = ann._dists_e6(m[:, 32:], ray.get(r1))
+        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(),
+                             "code0": d0.argmin(1).astype(np.int64),
+                             "code1": d1.argmin(1).astype(np.int64)})
+
+    return ds.map_batches(codes, batch_format="pandas", batch_size=None)
+
+
+# ======================= forecast backtest (naive vs seasonal-naive MAE)
+
+
+@query(
+    "forecast_backtest_daily",
+    sql="WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) "
+    "AS day, SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS x "
+    "FROM orders GROUP BY 1), "
+    "i AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i FROM d) "
+    "SELECT 'naive1' AS model, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(ABS(a.x - b.x)) AS BIGINT) AS sae_e2 "
+    "FROM i a JOIN i b ON b.i = a.i - 1 "
+    "UNION ALL SELECT 'seasonal7', CAST(COUNT(*) AS BIGINT), "
+    "CAST(SUM(ABS(a.x - b.x)) AS BIGINT) FROM i a JOIN i b ON b.i = a.i - 7",
+)
+def forecast_backtest_daily(sf_dir: str):
+    """Forecast-model backtest over daily revenue — the eval harness run
+    before deploying any forecaster: the naive (ŷ_t = y_{t-1}) and
+    seasonal-naive (ŷ_t = y_{t-7}) baselines scored by sum-of-absolute-
+    errors in exact int cents (MAE = sae/n, left as the exact pair). The
+    daily reduction is a distributed combiner; the backtest scan runs over
+    the driver-small time axis. Pure integers end to end."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": (df["o_orderdate"].astype("int64") // 86_400_000_000).astype("int64"),
+            "x": np.round(df["o_totalprice"].to_numpy(np.float64) * 100
+                          ).astype(np.int64),
+        })
+
+    daily = relops.preagg_group_sum(
+        ds.map_batches(part, batch_format="pandas", batch_size=None),
+        ["day"], {"x": "x"},
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    x = daily["x"].to_numpy(np.int64)
+    rows = []
+    for model, lag in (("naive1", 1), ("seasonal7", 7)):
+        err = np.abs(x[lag:] - x[:-lag])
+        rows.append((model, len(err), int(err.sum())))
+    return pd.DataFrame(rows, columns=["model", "n", "sae_e2"]).astype(
+        {"n": "int64", "sae_e2": "int64"})
