@@ -8198,3 +8198,155 @@ def forecast_backtest_daily(sf_dir: str):
         rows.append((model, len(err), int(err.sum())))
     return pd.DataFrame(rows, columns=["model", "n", "sae_e2"]).astype(
         {"n": "int64", "sae_e2": "int64"})
+
+
+# ================ c-TF-IDF topic terms per embedding cluster (BERTopic-lite)
+
+
+def _ctfidf_sql(k: int = 8, iters: int = 2, topn: int = 5) -> str:
+    """kmeans chain + final assignment + class-based TF-IDF scoring, all in
+    one WITH: score = c_cw * (ln(N_docs) - ln(df_w)) with nano-rounded ln
+    terms — exact int64, so the per-cluster top-n ordering replays."""
+    cte, last = _kmeans_cte(k, iters)
+    af = (
+        "af AS (SELECT vec_id, cid FROM ("
+        "SELECT p.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY p.vec_id "
+        "ORDER BY round_even(list_distance(p.v, c.cent)*1e6, 0), c.cid) AS rn "
+        f"FROM pts p CROSS JOIN {last} c) WHERE rn = 1)"
+    )
+    return (
+        "WITH " + ", ".join(cte) + ", " + af + ", "
+        "tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+        "'[a-z0-9]+')) AS w FROM documents), "
+        "cw AS (SELECT af.cid, t.w, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM tok t JOIN af ON t.doc_id = af.vec_id GROUP BY 1, 2), "
+        "dfw AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df "
+        "FROM tok GROUP BY 1), "
+        "nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents), "
+        "s AS (SELECT cw.cid, cw.w, cw.c, cw.c * "
+        "(CAST(round_even(ln(CAST(nd.n AS DOUBLE))*1000000000, 0) AS BIGINT) - "
+        "CAST(round_even(ln(CAST(dfw.df AS DOUBLE))*1000000000, 0) AS BIGINT)) "
+        "AS score FROM cw JOIN dfw USING (w), nd) "
+        "SELECT CAST(cid AS BIGINT) AS cluster, w AS term, c AS tf, "
+        "CAST(score AS BIGINT) AS score_e9 FROM s "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY cid ORDER BY score DESC, w) <= {topn}"
+    )
+
+
+@query("ctfidf_cluster_terms", sql=_ctfidf_sql(8, 2, 5))
+def ctfidf_cluster_terms(sf_dir: str):
+    """Topic mining over embedding clusters (the BERTopic shape: cluster the
+    vectors, label each cluster by its class-based TF-IDF terms): documents
+    join their embeddings 1:1, assign to the k=8 distributed-Lloyd centroids
+    inside the SAME streaming pass that tokenizes (no assignment table ever
+    materialized), per-(cluster, word) counts and per-word doc frequencies
+    reduce as combiners, idf attaches via a co-partitioned join (vocabulary
+    never broadcast), and score = tf·(ln N − ln df) in exact nano-int units
+    drives a per-cluster top-5 with full tiebreak."""
+    from . import ann
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents, _ = ann.kmeans_lloyd_ds(emb, k=8, iters=2)
+    cref = ray.put(cents)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # vector payloads must not ride the generic row shuffle (the
+    # kmeans_lloyd_ds contract): assign WHERE the vectors already are, then
+    # only the (doc_id, cid) int pairs join the text side
+    assign = emb.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["vec_id"].to_numpy(),
+            "cid": ann._dists_e6(ann._stack(df["embedding"]),
+                                 ray.get(cref)).argmin(1).astype(np.int64),
+        }),
+        batch_format="pandas", batch_size=None,
+    )
+    joined = relops.hash_join(docs, assign, on="doc_id",
+                              left_cols=["text"], right_cols=["cid"])
+
+    def cw_partial(df: pd.DataFrame) -> pd.DataFrame:
+        e = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        t = pd.DataFrame({"cid": df["cid"].to_numpy(np.int64), "ws": e}
+                         ).explode("ws")
+        t = t[t["ws"].notna()]
+        cw = (t.groupby(["cid", "ws"], sort=False).size().reset_index(name="v")
+              .rename(columns={"ws": "w"}))
+        return cw.astype({"v": "int64"})
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # doc frequency over ALL documents (embeddings cover a subset at
+        # some SFs — idf must come from the full corpus, like the oracle)
+        e = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        t = pd.DataFrame({"doc": df["doc_id"].to_numpy(), "ws": e}).explode("ws")
+        t = t[t["ws"].notna()]
+        dfw = (t.drop_duplicates(["doc", "ws"]).groupby("ws", sort=False)
+               .size().reset_index(name="v").rename(columns={"ws": "w"}))
+        return dfw.astype({"v": "int64"})
+
+    cw_part = joined.map_batches(cw_partial, batch_format="pandas", batch_size=None)
+    df_part = docs.map_batches(df_partial, batch_format="pandas", batch_size=None)
+    cw = relops.preagg_group_sum(cw_part, ["cid", "w"], {"v": "c"})
+    dfw = relops.preagg_group_sum(df_part, ["w"], {"v": "df"})
+    n_docs = docs.count()
+    ln_n = int(np.round(np.log(float(n_docs)) * 1e9))
+
+    j = relops.hash_join(cw, dfw, on="w", left_cols=["cid", "c"], right_cols=["df"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy(np.int64)
+        ldf = np.round(np.log(df["df"].to_numpy(np.int64).astype(np.float64))
+                       * 1e9).astype(np.int64)
+        return pd.DataFrame({"cluster": df["cid"].astype("int64"),
+                             "term": df["w"], "tf": c,
+                             "score_e9": c * (ln_n - ldf)})
+
+    scored = j.map_batches(score, batch_format="pandas", batch_size=None)
+    return relops.topk_per_group(
+        scored, ["cluster"], [("score_e9", True), ("term", False)], 5)
+
+
+# =========================== cohort LTV curve (cumulative revenue by age)
+
+
+@query(
+    "cohort_ltv_curve",
+    sql="WITH f AS (SELECT o_custkey, MIN(year(o_orderdate)) AS cohort "
+    "FROM orders GROUP BY 1), "
+    "r AS (SELECT f.cohort, year(o.o_orderdate) - f.cohort AS age, "
+    "SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS rev "
+    "FROM orders o JOIN f USING (o_custkey) GROUP BY 1, 2) "
+    "SELECT CAST(cohort AS BIGINT) AS cohort, CAST(age AS BIGINT) AS age, "
+    "CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age) AS BIGINT) "
+    "AS cum_rev_e2 FROM r",
+)
+def cohort_ltv_curve(sf_dir: str):
+    """Cohort lifetime-value curve: customers cohorted by first-order year,
+    cumulative revenue by cohort age (the LTV payback chart next to
+    cohort_retention's frequency view). One customer-hash shuffle derives
+    each cohort AND its (cohort, age) revenue partials in the same merge
+    task — rows never move twice — then the tiny cohort×age matrix takes
+    the running sum on the driver (the cusum bounded-axis pattern)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "yr": df["o_orderdate"].dt.year.to_numpy().astype(np.int64),
+            "rev": np.round(df["o_totalprice"].to_numpy(np.float64) * 100
+                            ).astype(np.int64),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pandas", batch_size=None)
+
+    def cohortize(df: pd.DataFrame) -> pd.DataFrame:
+        cohort = df.groupby("o_custkey", sort=False)["yr"].transform("min")
+        out = pd.DataFrame({"cohort": cohort.to_numpy(np.int64),
+                            "age": (df["yr"] - cohort).to_numpy(np.int64),
+                            "rev": df["rev"].to_numpy(np.int64)})
+        return out.groupby(["cohort", "age"], as_index=False, sort=False).sum()
+
+    partials = relops.hash_partition_apply(prepped, ["o_custkey"], cohortize)
+    mat = relops.preagg_group_sum(partials, ["cohort", "age"], {"rev": "rev"}
+                                  ).to_pandas().sort_values(["cohort", "age"])
+    mat["cum_rev_e2"] = mat.groupby("cohort", sort=False)["rev"].cumsum()
+    return mat[["cohort", "age", "cum_rev_e2"]].reset_index(drop=True).astype(
+        {"cohort": "int64", "age": "int64", "cum_rev_e2": "int64"})
