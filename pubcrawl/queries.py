@@ -8350,3 +8350,105 @@ def cohort_ltv_curve(sf_dir: str):
     mat["cum_rev_e2"] = mat.groupby("cohort", sort=False)["rev"].cumsum()
     return mat[["cohort", "age", "cum_rev_e2"]].reset_index(drop=True).astype(
         {"cohort": "int64", "age": "int64", "cum_rev_e2": "int64"})
+
+
+# ==================== rolling 7-day exact median of daily revenue
+
+
+@query(
+    "rolling_median7_revenue",
+    sql="WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) "
+    "AS day, SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS x "
+    "FROM orders GROUP BY 1), "
+    "w AS (SELECT day, x, quantile_disc(x, 0.5) OVER win AS med, "
+    "COUNT(*) OVER win AS n FROM d "
+    "WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) "
+    "SELECT day AS day_idx, CAST(x AS BIGINT) AS rev_e2, "
+    "CAST(med AS BIGINT) AS med7_e2 FROM w WHERE n = 7 ORDER BY day",
+)
+def rolling_median7_revenue(sf_dir: str):
+    """Rolling 7-day exact median of daily revenue — the robust smoother
+    (order statistic, immune to the spikes EWMA chases): window of 7 rows,
+    median = the 4th smallest element (discrete quantile, so the output is
+    an exact int cent value, no interpolation, no protocol). Daily
+    reduction is a distributed combiner; the sliding order-statistic runs
+    over the driver-small time axis (the cusum/ewma pattern)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": (df["o_orderdate"].astype("int64") // 86_400_000_000).astype("int64"),
+            "x": np.round(df["o_totalprice"].to_numpy(np.float64) * 100
+                          ).astype(np.int64),
+        })
+
+    daily = relops.preagg_group_sum(
+        ds.map_batches(part, batch_format="pandas", batch_size=None),
+        ["day"], {"x": "x"},
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    x = daily["x"].to_numpy(np.int64)
+    days = daily["day"].to_numpy(np.int64)
+    if len(x) < 7:
+        return pd.DataFrame({"day_idx": pd.Series([], dtype="int64"),
+                             "rev_e2": pd.Series([], dtype="int64"),
+                             "med7_e2": pd.Series([], dtype="int64")})
+    win = np.lib.stride_tricks.sliding_window_view(x, 7)
+    med = np.sort(win, axis=1)[:, 3]  # 4th smallest = quantile_disc(0.5) of 7
+    return pd.DataFrame({"day_idx": days[6:], "rev_e2": x[6:], "med7_e2": med})
+
+
+# =================== Markov next-event model backtest (train/eval split)
+
+
+@query(
+    "markov_backtest_events",
+    sql="WITH s AS (SELECT ts, event_type, LEAD(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events), "
+    "tr AS (SELECT event_type AS cur, nxt, day(ts) <= 15 AS is_tr FROM s "
+    "WHERE nxt IS NOT NULL), "
+    "cnt AS (SELECT cur, nxt, COUNT(*) AS c FROM tr WHERE is_tr GROUP BY 1, 2), "
+    "pred AS (SELECT cur, nxt AS p FROM cnt "
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY cur ORDER BY c DESC, nxt) = 1) "
+    "SELECT t.cur, CAST(COUNT(*) AS BIGINT) AS n_eval, "
+    "CAST(SUM(CASE WHEN t.nxt = pred.p THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_correct FROM tr t JOIN pred ON t.cur = pred.cur "
+    "WHERE NOT t.is_tr GROUP BY t.cur",
+)
+def markov_backtest_events(sf_dir: str):
+    """Backtest of the first-order Markov next-event model: fit the argmax
+    transition per state on the month's first half (tie → lexicographically
+    smallest successor), score per-state accuracy on the second half — the
+    sequence-model eval harness, all integer counts so the replay is exact
+    with no protocol. Distributed shape: successor pairs come from one
+    user-hash shuffle (vectorized shift within partitions), and only the
+    tiny (state, successor, split) count table leaves it; fit and eval are
+    driver-side over ≤|states|² rows."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        nxt = df.groupby("user_id", sort=False)["event_type"].shift(-1)
+        keep = nxt.notna()
+        out = pd.DataFrame({"cur": df.loc[keep, "event_type"],
+                            "nxt": nxt[keep],
+                            "is_tr": (df.loc[keep, "ts"].dt.day <= 15
+                                      ).astype("int64"),
+                            "one": np.int64(1)})
+        return out.groupby(["cur", "nxt", "is_tr"], as_index=False,
+                           sort=False)["one"].sum()
+
+    partials = relops.hash_partition_apply(ds, ["user_id"], pairs)
+    counts = relops.preagg_group_sum(
+        partials, ["cur", "nxt", "is_tr"], {"one": "c"},
+    ).to_pandas()  # ≤ |states|^2 × 2 rows
+    train = counts[counts["is_tr"] == 1]
+    pred = (train.sort_values(["cur", "c", "nxt"],
+                              ascending=[True, False, True])
+            .groupby("cur", sort=False).head(1).set_index("cur")["nxt"])
+    ev = counts[counts["is_tr"] == 0].copy()
+    ev = ev[ev["cur"].isin(pred.index)]
+    hit = ev["nxt"].to_numpy() == pred.reindex(ev["cur"]).to_numpy()
+    ev["correct"] = np.where(hit, ev["c"], 0)
+    out = ev.groupby("cur", as_index=False).agg(
+        n_eval=("c", "sum"), n_correct=("correct", "sum"))
+    return out.astype({"n_eval": "int64", "n_correct": "int64"})
