@@ -8452,3 +8452,133 @@ def markov_backtest_events(sf_dir: str):
     out = ev.groupby("cur", as_index=False).agg(
         n_eval=("c", "sum"), n_correct=("correct", "sum"))
     return out.astype({"n_eval": "int64", "n_correct": "int64"})
+
+
+# ================== time-constrained funnel (view→click→purchase in 1h hops)
+
+
+@query(
+    "funnel_1h_events",
+    sql="WITH v AS (SELECT user_id, ts, event_type FROM events) "
+    "SELECT CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users "
+    "FROM v p WHERE p.event_type = 'purchase' AND EXISTS ("
+    "SELECT 1 FROM v c WHERE c.user_id = p.user_id AND c.event_type = 'click' "
+    "AND c.ts <= p.ts AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000 "
+    "AND EXISTS (SELECT 1 FROM v w WHERE w.user_id = c.user_id "
+    "AND w.event_type = 'view' AND w.ts <= c.ts "
+    "AND epoch_us(c.ts) - epoch_us(w.ts) <= 3600000000))",
+)
+def funnel_1h_events(sf_dir: str):
+    """Time-constrained funnel — users with a view→click→purchase chain
+    where each hop lands within one hour (the product funnel with the decay
+    window that the unconstrained funnel_view_click_purchase ignores): one
+    user-hash shuffle, then two VECTORIZED backward as-of passes per
+    partition (merge_asof by user: each click finds its latest view ≤1h
+    back, each purchase its latest QUALIFYING click ≤1h back) — no per-user
+    python, no self-join blowup; the distinct-user count folds through the
+    partitions."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def chain(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "user_id"], kind="mergesort")
+        tol = pd.Timedelta(hours=1)
+        views = df[df["event_type"] == "view"][["user_id", "ts"]]
+        clicks = df[df["event_type"] == "click"][["user_id", "ts"]]
+        buys = df[df["event_type"] == "purchase"][["user_id", "ts"]]
+        if len(views) == 0 or len(clicks) == 0 or len(buys) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
+        qc = pd.merge_asof(clicks, views.rename(columns={"ts": "v_ts"}),
+                           left_on="ts", right_on="v_ts", by="user_id",
+                           tolerance=tol, direction="backward")
+        qc = qc[qc["v_ts"].notna()][["user_id", "ts"]].sort_values(
+            ["ts", "user_id"], kind="mergesort")
+        if len(qc) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
+        qp = pd.merge_asof(buys, qc.rename(columns={"ts": "c_ts"}),
+                           left_on="ts", right_on="c_ts", by="user_id",
+                           tolerance=tol, direction="backward")
+        hit = qp[qp["c_ts"].notna()]
+        return pd.DataFrame({"user_id": hit["user_id"].unique().astype("int64")})
+
+    users = relops.hash_partition_apply(ds, ["user_id"], chain)
+    n = users.count()
+    return pd.DataFrame({"n_users": [np.int64(n)]})
+
+
+# ============================== grouped harmonic mean (the rate average)
+
+
+@query(
+    "harmonic_mean_value_by_type",
+    sql="SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(1000000000000 // CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) "
+    "AS recip_e12 FROM events WHERE ROUND(value*100) > 0 GROUP BY event_type",
+)
+def harmonic_mean_value_by_type(sf_dir: str):
+    """Grouped harmonic mean inputs (the correct average for rates):
+    HM = n / Σ(1/x), with each reciprocal kept EXACT as the integer
+    1e12 // x (floor division replays bit-for-bit — no float terms at all,
+    the ln-free sibling of the geometric mean's protocol). One combiner
+    pass; zero-valued cents excluded identically on both sides."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.round(df["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        keep = v > 0
+        return pd.DataFrame({"event_type": df["event_type"].to_numpy()[keep],
+                             "r": 10 ** 12 // v[keep], "one": np.int64(1)})
+
+    return relops.preagg_group_sum(
+        ds.map_batches(part, batch_format="pandas", batch_size=None),
+        ["event_type"], {"one": "n", "r": "recip_e12"},
+    ).map_batches(lambda df: df[["event_type", "n", "recip_e12"]],
+                  batch_format="pandas", batch_size=None)
+
+
+# ==================== persistent heavy hitters (daily top-k across days)
+
+
+@query(
+    "persistent_top_parts",
+    sql="WITH d AS (SELECT CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) "
+    "AS day, l_partkey, SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS q "
+    "FROM lineitem GROUP BY 1, 2), "
+    "r AS (SELECT day, l_partkey, q, ROW_NUMBER() OVER (PARTITION BY day "
+    "ORDER BY q DESC, l_partkey) AS rn FROM d) "
+    "SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_days, "
+    "CAST(SUM(q) AS BIGINT) AS qty_on_top_days "
+    "FROM r WHERE rn <= 5 GROUP BY l_partkey HAVING COUNT(*) >= 5",
+)
+def persistent_top_parts(sf_dir: str):
+    """Persistent heavy hitters: parts that make the DAILY top-5 by shipped
+    quantity on at least 5 distinct days — the temporal stability screen
+    that separates genuinely hot items from one-day spikes (a crawler runs
+    the same query on per-day hot hosts). (day, part) quantity partials
+    reduce as a combiner, the per-day top-5 prunes to ≤5 rows per day per
+    block before the final merge (topk_per_group), and the persistence
+    count folds through a second tiny combiner."""
+    ds = _read(sf_dir, "lineitem", ["l_shipdate", "l_partkey", "l_quantity"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": (df["l_shipdate"].astype("int64") // 86_400_000_000).astype("int64"),
+            "l_partkey": df["l_partkey"].to_numpy(),
+            "q": np.round(df["l_quantity"].to_numpy(np.float64)).astype(np.int64),
+        })
+
+    dq = relops.preagg_group_sum(
+        ds.map_batches(part, batch_format="pandas", batch_size=None),
+        ["day", "l_partkey"], {"q": "q"},
+    )
+    top5 = relops.topk_per_group(
+        dq, ["day"], [("q", True), ("l_partkey", False)], 5)
+    counted = relops.preagg_group_sum(
+        top5.map_batches(lambda df: df.assign(one=np.int64(1)),
+                         batch_format="pandas", batch_size=None),
+        ["l_partkey"], {"one": "n_days", "q": "qty_on_top_days"},
+    )
+    return counted.map_batches(
+        lambda df: df.loc[df["n_days"] >= 5,
+                          ["l_partkey", "n_days", "qty_on_top_days"]],
+        batch_format="pandas", batch_size=None,
+    )
