@@ -8582,3 +8582,115 @@ def persistent_top_parts(sf_dir: str):
                           ["l_partkey", "n_days", "qty_on_top_days"]],
         batch_format="pandas", batch_size=None,
     )
+
+
+# ================= calendar gap-fill (densify a sparse daily series)
+
+
+@query(
+    "gapfill_highvalue_revenue",
+    sql="WITH c AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) "
+    "AS day, CAST(ROUND(o_totalprice*100) AS BIGINT) AS v FROM orders), "
+    "q AS (SELECT quantile_disc(v, 0.99) AS t FROM c), "
+    "d AS (SELECT day, SUM(v) AS x FROM c, q WHERE v > q.t GROUP BY day), "
+    "mm AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d), "
+    "cal AS (SELECT unnest(generate_series(mm.lo, mm.hi)) AS day FROM mm), "
+    "g AS (SELECT cal.day, d.x FROM cal LEFT JOIN d USING (day)) "
+    "SELECT day, CAST(COALESCE(x, 0) AS BIGINT) AS rev_e2, "
+    "CAST(LAST_VALUE(x IGNORE NULLS) OVER (ORDER BY day "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS carry_e2 "
+    "FROM g",
+)
+def gapfill_highvalue_revenue(sf_dir: str):
+    """Calendar densification of a SPARSE daily series (top-1% order
+    revenue — most days have none): every day in [first, last] appears,
+    zero-filled plus a carry-forward column — the gap-filling step every
+    time-series pipeline runs before resampling or training. The p99
+    threshold is one exact-histogram-quantile scalar, the sparse daily
+    reduction is a combiner, and the densify/ffill runs over the bounded
+    calendar axis (the cusum pattern)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": (df["o_orderdate"].astype("int64") // 86_400_000_000).astype("int64"),
+            "v": np.round(df["o_totalprice"].to_numpy(np.float64) * 100
+                          ).astype(np.int64),
+            "__g": np.int64(0),
+        })
+
+    cents = ds.map_batches(part, batch_format="pandas", batch_size=None
+                           ).materialize()  # scanned twice: quantile + filter
+    t = int(relops.group_quantile_disc(cents, ["__g"], "v", {"t": 0.99})
+            .to_pandas()["t"].iloc[0])
+    daily = relops.preagg_group_sum(
+        cents.map_batches(lambda df: df.loc[df["v"] > t, ["day", "v"]],
+                          batch_format="pandas", batch_size=None),
+        ["day"], {"v": "x"},
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    lo, hi = int(daily["day"].iloc[0]), int(daily["day"].iloc[-1])
+    cal = pd.DataFrame({"day": np.arange(lo, hi + 1, dtype=np.int64)})
+    g = cal.merge(daily, on="day", how="left")
+    g["rev_e2"] = g["x"].fillna(0).astype("int64")
+    g["carry_e2"] = g["x"].ffill().astype("int64")
+    return g[["day", "rev_e2", "carry_e2"]]
+
+
+# ===================== ABC classification (cumulative-share Pareto buckets)
+
+
+@query(
+    "abc_classification_parts",
+    sql="WITH pr AS (SELECT l_partkey, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev "
+    "FROM lineitem GROUP BY 1), "
+    "t AS (SELECT CAST(SUM(rev) AS HUGEINT) AS tot FROM pr), "
+    "r AS (SELECT l_partkey, rev, CAST(COALESCE(SUM(rev) OVER (ORDER BY rev "
+    "DESC, l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    "AS HUGEINT) AS cumb FROM pr) "
+    "SELECT CASE WHEN cumb*100 < 80*t.tot THEN 'A' "
+    "WHEN cumb*100 < 95*t.tot THEN 'B' ELSE 'C' END AS cls, "
+    "CAST(COUNT(*) AS BIGINT) AS n_parts, CAST(SUM(rev) AS BIGINT) AS rev_e2 "
+    "FROM r, t GROUP BY 1",
+)
+def abc_classification_parts(sf_dir: str):
+    """ABC / Pareto classification of parts by revenue (A = items covering
+    the first 80% of revenue, B to 95%, C the tail — the inventory-
+    management classic): per-part revenue reduces as a combiner, the
+    cumulative-before revenue in (rev DESC, part) total order comes from
+    the distributed three-pass EXCLUSIVE prefix sum (relops.
+    global_prefix_sum — range partition by value, per-bucket offsets, no
+    global sort materialization), and the class cut is an exact integer
+    cross-comparison (cum*100 vs share*total) — no float shares."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy(),
+            "rev": np.round(df["l_extendedprice"].to_numpy(np.float64) * 100
+                            ).astype(np.int64),
+        })
+
+    pr = relops.preagg_group_sum(
+        ds.map_batches(part, batch_format="pandas", batch_size=None),
+        ["l_partkey"], {"rev": "rev"},
+    ).materialize()  # consumed twice: total + prefix
+    tot = int(pr.map_batches(
+        lambda df: pd.DataFrame({"s": [df["rev"].sum()]}),
+        batch_format="pandas", batch_size=None,
+    ).to_pandas()["s"].sum())
+    pfx = relops.global_prefix_sum(
+        pr, [("rev", True), ("l_partkey", False)], "rev", out_col="cumb")
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        cumb = [int(x) for x in df["cumb"].to_numpy(np.int64)]  # exact ints
+        cls = np.array(["A" if c * 100 < 80 * tot else
+                        ("B" if c * 100 < 95 * tot else "C") for c in cumb],
+                       dtype=object)
+        out = pd.DataFrame({"cls": cls, "one": np.int64(1),
+                            "rev": df["rev"].to_numpy(np.int64)})
+        return out.groupby("cls", as_index=False, sort=False).sum()
+
+    partials = pfx.map_batches(classify, batch_format="pandas", batch_size=None)
+    return relops.preagg_group_sum(partials, ["cls"],
+                                   {"one": "n_parts", "rev": "rev_e2"})
