@@ -8694,3 +8694,132 @@ def abc_classification_parts(sf_dir: str):
     partials = pfx.map_batches(classify, batch_format="pandas", batch_size=None)
     return relops.preagg_group_sum(partials, ["cls"],
                                    {"one": "n_parts", "rev": "rev_e2"})
+
+
+# ===================== grouped skewness (third standardized moment)
+
+
+@query(
+    "skew_price_by_status",
+    # g1 = m3/m2^1.5 cleared of 1/n powers: A = n^2*S3 - 3n*S1*S2 + 2*S1^3,
+    # B = n*S2 - S1^2, g1 = A / (B*sqrt(B)) — A and B exact (HUGEINT /
+    # python ints), identical float shape, e6
+    sql="WITH t AS (SELECT o_orderstatus, "
+    "CAST(round_even(o_totalprice, 0) AS BIGINT) AS x FROM orders), "
+    "a AS (SELECT o_orderstatus, CAST(COUNT(*) AS HUGEINT) AS n, "
+    "SUM(x) AS s1, SUM(x*x) AS s2, SUM(x*x*x) AS s3 FROM t GROUP BY 1) "
+    "SELECT o_orderstatus, CAST(n AS BIGINT) AS n, "
+    "CAST(round_even(CAST(n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS DOUBLE) / "
+    "(CAST(n*s2 - s1*s1 AS DOUBLE) * sqrt(CAST(n*s2 - s1*s1 AS DOUBLE))) "
+    "* 1000000, 0) AS BIGINT) AS skew_e6 FROM a",
+)
+def skew_price_by_status(sf_dir: str):
+    """Grouped skewness of order value (the tail-asymmetry diagnostic next
+    to var_event_value's second moment): three raw power sums per group,
+    all EXACT — S3's per-element x³ fits int64 but its per-batch sum does
+    not, so each batch ships S3 as a decimal STRING partial and the merge
+    folds python ints (the engine's honest answer to SQL's HUGEINT) — then
+    the 1/n powers clear algebraically and one identical float expression
+    finishes. Whole-dollar values via banker's rounding (x.50 is a real
+    half-way case)."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.round(df["o_totalprice"].to_numpy(np.float64)).astype(np.int64)
+        t = pd.DataFrame({"s": df["o_orderstatus"].to_numpy(), "x": x,
+                          "x2": x * x})
+        rows = []
+        for s, g in t.groupby("s", sort=False):
+            xs, x2s = g["x"].to_numpy(), g["x2"].to_numpy()
+            s3 = sum((x2s * xs).tolist())  # python ints: exact past 2^63
+            rows.append((s, len(g), int(xs.sum()), int(x2s.sum()), str(s3)))
+        return pd.DataFrame(rows, columns=["st", "n", "s1", "s2", "s3s"])
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for s, g in df.groupby("st", sort=False):
+            n = int(g["n"].sum())
+            s1, s2 = int(g["s1"].sum()), int(g["s2"].sum())
+            s3 = sum(int(v) for v in g["s3s"])
+            A = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+            B = n * s2 - s1 * s1
+            g1 = float(A) / (float(B) * np.sqrt(float(B)))
+            rows.append((s, n, int(np.round(g1 * 1e6))))
+        return pd.DataFrame(rows, columns=["o_orderstatus", "n", "skew_e6"]
+                            ).astype({"n": "int64", "skew_e6": "int64"})
+
+    return relops.hash_partition_apply(partials, ["st"], finish)
+
+
+# ======================= NDCG ranking eval (length prior vs BM25 relevance)
+
+
+@query(
+    "ndcg_length_vs_bm25",
+    # same candidate CTEs as rrf_hybrid_search; gains 1/ln(rank+1) as
+    # rounded nano-int terms so DCG/IDCG are exact integer sums
+    sql="WITH d AS (SELECT doc_id, n_chars, lang, "
+    "regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents), "
+    "st AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl, "
+    "SUM(CASE WHEN list_contains(toks,'batch') THEN 1 ELSE 0 END) AS df_b, "
+    "SUM(CASE WHEN list_contains(toks,'window') THEN 1 ELSE 0 END) AS df_w FROM d), "
+    "sc AS (SELECT doc_id, "
+    "CAST(len(list_filter(toks, x -> x = 'batch')) AS DOUBLE) AS tf_b, "
+    "CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf_w, "
+    "CAST(len(toks) AS DOUBLE) AS dl, lang, n_chars FROM d), "
+    "s2 AS (SELECT doc_id, n_chars, "
+    "ln(1 + (n - df_b + 0.5)/(df_b + 0.5)) * tf_b * (1.2 + 1) / "
+    "(tf_b + 1.2*(1 - 0.75 + 0.75*dl/avgdl)) "
+    "+ ln(1 + (n - df_w + 0.5)/(df_w + 0.5)) * tf_w * (1.2 + 1) / "
+    "(tf_w + 1.2*(1 - 0.75 + 0.75*dl/avgdl)) AS raw "
+    "FROM sc, st WHERE lang = 'en' AND tf_b > 0 AND tf_w > 0), "
+    "b AS (SELECT doc_id FROM s2 ORDER BY raw DESC, doc_id LIMIT 20), "
+    "l AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) "
+    "AS BIGINT) AS rank FROM s2 ORDER BY n_chars DESC, doc_id LIMIT 20), "
+    "hits AS (SELECT l.rank FROM l JOIN b USING (doc_id)), "
+    "tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM b), "
+    "dcg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits, "
+    "CAST(COALESCE(SUM(CAST(round_even(1e9/ln(CAST(rank + 1 AS DOUBLE)), 0) "
+    "AS BIGINT)), 0) AS BIGINT) AS dcg_e9 FROM hits), "
+    "idcg AS (SELECT CAST(SUM(CAST(round_even(1e9/ln(CAST(x + 1 AS DOUBLE)), 0) "
+    "AS BIGINT)) AS BIGINT) AS idcg_e9 FROM tn, "
+    "unnest(generate_series(1, LEAST(20, tn.nb))) AS t(x)) "
+    "SELECT n_hits, dcg_e9, idcg_e9 FROM dcg, idcg",
+)
+def ndcg_length_vs_bm25(sf_dir: str):
+    """NDCG@20 ranking evaluation: score the length-prior ranking against
+    BM25-top-20 as binary relevance (the learning-to-rank eval harness next
+    to rrf_hybrid_search's fusion): both lists are k-bounded driver-small
+    by construction (BM25 via the broadcast-df scorer + top-k combiner, the
+    length list via the ≤k-rows-per-block prune), and every 1/ln(rank+1)
+    gain is a rounded nano-int, so DCG and ideal-DCG are exact integer
+    sums."""
+    from . import search as searchmod
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    truth = set(searchmod.keyword_search(ds, 'lang:en "window" batch',
+                                         id_col="doc_id", k=20)["doc_id"])
+    pat = re.compile(r"[a-z0-9]+")
+
+    def pool(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(pat)
+        m = toks.apply(lambda L: "window" in L and "batch" in L) \
+            & (df["lang"] == "en")
+        return df.loc[m, ["doc_id", "n_chars"]]
+
+    l2 = relops.topk(
+        ds.map_batches(pool, batch_format="pandas", batch_size=None),
+        [("n_chars", True), ("doc_id", False)], 20,
+    ).to_pandas().sort_values(["n_chars", "doc_id"],
+                              ascending=[False, True], kind="mergesort")
+    ranks = np.arange(1, len(l2) + 1, dtype=np.int64)
+    hit = l2["doc_id"].isin(truth).to_numpy()
+    gains = np.round(1e9 / np.log(ranks + 1)).astype(np.int64)
+    dcg = int(gains[hit].sum())
+    ideal = np.arange(1, min(20, len(truth)) + 1, dtype=np.int64)
+    idcg = int(np.round(1e9 / np.log(ideal + 1)).astype(np.int64).sum())
+    return pd.DataFrame({"n_hits": [np.int64(hit.sum())],
+                         "dcg_e9": [np.int64(dcg)],
+                         "idcg_e9": [np.int64(idcg)]})
