@@ -8823,3 +8823,85 @@ def ndcg_length_vs_bm25(sf_dir: str):
     return pd.DataFrame({"n_hits": [np.int64(hit.sum())],
                          "dcg_e9": [np.int64(dcg)],
                          "idcg_e9": [np.int64(idcg)]})
+
+
+# ===================== Spearman rank correlation (midranks, tie-exact)
+
+
+@query(
+    "spearman_chars_tokens",
+    # doubled midranks keep ties integral (the MWU trick): rank2(v) =
+    # 2*cum_before + count + 1; Spearman = Pearson on the doubled ranks
+    # (the scaling cancels), six HUGEINT sufficient statistics, one float
+    sql="WITH t AS (SELECT n_chars AS x, "
+    "len(regexp_extract_all(lower(text), '[a-z]+')) AS y FROM documents), "
+    "hx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1), "
+    "rx AS (SELECT x, 2*COALESCE(SUM(c) OVER (ORDER BY x ROWS BETWEEN "
+    "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2 FROM hx), "
+    "hy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1), "
+    "ry AS (SELECT y, 2*COALESCE(SUM(c) OVER (ORDER BY y ROWS BETWEEN "
+    "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2 FROM hy), "
+    "p AS (SELECT rx.r2 AS a, ry.r2 AS b FROM t "
+    "JOIN rx USING (x) JOIN ry USING (y)), "
+    "s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(a) AS sa, SUM(b) AS sb, "
+    "SUM(a*a) AS saa, SUM(b*b) AS sbb, SUM(a*b) AS sab FROM p) "
+    "SELECT CAST(n AS BIGINT) AS n, "
+    "CAST(round_even(CAST(n*sab - sa*sb AS DOUBLE) / "
+    "sqrt(CAST(n*saa - sa*sa AS DOUBLE) * CAST(n*sbb - sb*sb AS DOUBLE)) "
+    "* 1000000, 0) AS BIGINT) AS spearman_e6 FROM s",
+)
+def spearman_chars_tokens(sf_dir: str):
+    """Spearman rank correlation of doc length vs alpha-token count — the
+    monotone-association sibling of corr_chars_tokens that ignores the
+    marginal scales: midranks handle ties EXACTLY by doubling (rank2 =
+    2·cum_before + count + 1, the Mann-Whitney trick — Pearson on doubled
+    ranks equals Spearman because the affine scaling cancels), ranks come
+    from the two per-value histogram combiners (distinct values move, not
+    rows), stamp back onto the stream as bounded broadcast maps, and six
+    exact integer sufficient statistics finish with one float division."""
+    ds = _read(sf_dir, "documents", ["text", "n_chars"])
+
+    def xy(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "x": df["n_chars"].to_numpy(np.int64),
+            "y": df["text"].str.lower().str.count("[a-z]+").to_numpy(np.int64),
+        })
+
+    pts = ds.map_batches(xy, batch_format="pandas", batch_size=None
+                         ).materialize()  # scanned thrice: 2 histograms + stamp
+
+    def rank2_map(col: str) -> pd.Series:
+        h = relops.preagg_group_sum(
+            pts.map_batches(lambda df, c=col: pd.DataFrame({c: df[c],
+                                                            "one": np.int64(1)}),
+                            batch_format="pandas", batch_size=None),
+            [col], {"one": "c"},
+        ).to_pandas().sort_values(col).reset_index(drop=True)
+        cumb = np.concatenate([[0], h["c"].to_numpy(np.int64).cumsum()[:-1]])
+        return pd.Series(2 * cumb + h["c"].to_numpy(np.int64) + 1,
+                         index=h[col].to_numpy(np.int64))
+
+    rx, ry = rank2_map("x"), rank2_map("y")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        a = rx.reindex(df["x"].to_numpy(np.int64)).to_numpy(np.int64)
+        b = ry.reindex(df["y"].to_numpy(np.int64)).to_numpy(np.int64)
+        return pd.DataFrame({
+            "__g": [np.int64(0)], "n": [np.int64(len(a))],
+            "sa": [a.sum()], "sb": [b.sum()], "saa": [(a * a).sum()],
+            "sbb": [(b * b).sum()], "sab": [(a * b).sum()],
+        })
+
+    partials = pts.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        import math
+        n = int(df["n"].sum())
+        sa, sb = int(df["sa"].sum()), int(df["sb"].sum())
+        saa, sbb, sab = int(df["saa"].sum()), int(df["sbb"].sum()), int(df["sab"].sum())
+        num = float(n * sab - sa * sb)
+        den = math.sqrt(float(n * saa - sa * sa) * float(n * sbb - sb * sb))
+        return pd.DataFrame({"n": [np.int64(n)],
+                             "spearman_e6": [np.int64(np.round(num / den * 1e6))]})
+
+    return relops.hash_partition_apply(partials, ["__g"], finish, n_partitions=1)
