@@ -8905,3 +8905,179 @@ def spearman_chars_tokens(sf_dir: str):
                              "spearman_e6": [np.int64(np.round(num / den * 1e6))]})
 
     return relops.hash_partition_apply(partials, ["__g"], finish, n_partitions=1)
+
+
+# ==================== lognormal MLE fit of order prices (two-pass, exact)
+
+
+@query(
+    "lognormal_fit_prices",
+    # t = round(ln(cents)*1e6) per row (order-free int64 sum); MICRO units,
+    # not nano: the squared second moment amplifies a single 1-ulp
+    # numpy-vs-libm ln flip into a visible diff, and the e6 quantum puts the
+    # per-row flip probability at ~2e-9 (vs ~4e-6 at e9 — observed once in
+    # 150k rows). The second moment centers on the INTEGER mean m = S//n
+    # first; per-batch d^2 sums ride as decimal-string partials (python
+    # ints = the engine's HUGEINT, the skew recipe)
+    sql="WITH t AS (SELECT CAST(round_even(ln(CAST(ROUND(o_totalprice*100) "
+    "AS BIGINT))*1000000, 0) AS BIGINT) AS t FROM orders), "
+    "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+    "CAST(SUM(t) AS HUGEINT) AS s, SUM(t) // COUNT(*) AS mu FROM t) "
+    "SELECT CAST(m.n AS BIGINT) AS n, CAST(m.mu AS BIGINT) AS mu_ln_e6, "
+    "CAST(SUM(CAST(t.t - m.mu AS HUGEINT)*(t.t - m.mu)) // m.n AS BIGINT) "
+    "AS var_ln_e12 FROM t, m GROUP BY m.n, m.mu",
+)
+def lognormal_fit_prices(sf_dir: str):
+    """Lognormal MLE fit of order value (the canonical model for money
+    columns; feeds the synthetic-data generators and outlier gates): μ̂ is
+    the integer-floor mean of the micro-int ln terms, σ̂² the second moment
+    about that INTEGER center — centering first keeps every squared
+    deviation inside int64, and each batch ships its d² sum as a decimal
+    string (python-int fold, the skew_price recipe). Micro (not nano) ln
+    units because the square amplifies last-ulp numpy-vs-libm ln flips —
+    see the oracle comment. Two streaming passes, three integers out, zero
+    float accumulation past the per-term rounding."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def pass1(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy(np.float64) * 100
+                         ).astype(np.int64)
+        t = np.round(np.log(cents) * 1e6).astype(np.int64)
+        return pd.DataFrame({"__g": [np.int64(0)], "n": [np.int64(len(t))],
+                             "s": [t.sum()]})
+
+    agg = relops.preagg_group_sum(
+        ds.map_batches(pass1, batch_format="pandas", batch_size=None),
+        ["__g"], {"n": "n", "s": "s"},
+    ).to_pandas()
+    n, s = int(agg["n"].sum()), int(agg["s"].sum())
+    mu = s // n  # integer floor mean, exact both sides
+
+    def pass2(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy(np.float64) * 100
+                         ).astype(np.int64)
+        d = np.round(np.log(cents) * 1e6).astype(np.int64) - mu
+        # square AFTER the python-int conversion: |d| can exceed 3e9, so the
+        # numpy int64 square would wrap elementwise
+        ssq = sum(v * v for v in d.tolist())
+        return pd.DataFrame({"__g": [np.int64(0)], "ssq": [str(ssq)]})
+
+    parts = ds.map_batches(pass2, batch_format="pandas", batch_size=None
+                           ).to_pandas()
+    var = sum(int(v) for v in parts["ssq"]) // n
+    return pd.DataFrame({"n": [np.int64(n)], "mu_ln_e6": [np.int64(mu)],
+                         "var_ln_e12": [np.int64(var)]})
+
+
+# ================== Wilson confidence interval for a grouped proportion
+
+
+@query(
+    "wilson_ci_en_share",
+    # z = 1.96 fixed; one identical float expression over integer (k, n),
+    # e6-rounded bounds — the corr/benford expression-shape recipe
+    sql="WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS k "
+    "FROM documents GROUP BY 1) "
+    "SELECT source, n, k, "
+    "CAST(round_even((CAST(k AS DOUBLE)/n + 1.96*1.96/(2*n) - "
+    "1.96*sqrt((CAST(k AS DOUBLE)/n*(1 - CAST(k AS DOUBLE)/n) + "
+    "1.96*1.96/(4*n*n))/n)) / (1 + 1.96*1.96/n) * 1000000, 0) AS BIGINT) "
+    "AS lo_e6, "
+    "CAST(round_even((CAST(k AS DOUBLE)/n + 1.96*1.96/(2*n) + "
+    "1.96*sqrt((CAST(k AS DOUBLE)/n*(1 - CAST(k AS DOUBLE)/n) + "
+    "1.96*1.96/(4*n*n))/n)) / (1 + 1.96*1.96/n) * 1000000, 0) AS BIGINT) "
+    "AS hi_e6 FROM c",
+)
+def wilson_ci_en_share(sf_dir: str):
+    """Wilson 95% confidence interval for each source's share of English
+    documents — the binomial CI that behaves at the extremes (the
+    proportion-monitoring primitive for per-source quality dashboards):
+    counts are one combiner pass, the interval is one float expression over
+    the exact (k, n) integers with IDENTICAL shape on both engines (the
+    corr/benford recipe), e6-rounded."""
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"source": df["source"].to_numpy(),
+                             "k": (df["lang"] == "en").to_numpy().astype(np.int64),
+                             "one": np.int64(1)})
+
+    agg = relops.preagg_group_sum(
+        ds.map_batches(part, batch_format="pandas", batch_size=None),
+        ["source"], {"one": "n", "k": "k"},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["k"].to_numpy(np.int64).astype(np.float64)
+        n = df["n"].to_numpy(np.int64).astype(np.float64)
+        z = 1.96
+        p = k / n
+        center = p + z * z / (2 * n)
+        half = z * np.sqrt((p * (1 - p) + z * z / (4 * n * n)) / n)
+        den = 1 + z * z / n
+        return pd.DataFrame({
+            "source": df["source"], "n": df["n"].to_numpy(np.int64),
+            "k": df["k"].to_numpy(np.int64),
+            "lo_e6": np.round((center - half) / den * 1e6).astype(np.int64),
+            "hi_e6": np.round((center + half) / den * 1e6).astype(np.int64),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+# ======================= weighted median (order statistic with weights)
+
+
+@query(
+    "weighted_median_price_by_flag",
+    # lower weighted median: the smallest value whose cumulative weight
+    # doubles to >= the total — integer compare, no interpolation
+    sql="WITH h AS (SELECT l_returnflag, "
+    "CAST(ROUND(l_extendedprice*100) AS BIGINT) AS v, "
+    "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS w "
+    "FROM lineitem GROUP BY 1, 2), "
+    "t AS (SELECT l_returnflag, SUM(w) AS tw FROM h GROUP BY 1), "
+    "c AS (SELECT h.l_returnflag, h.v, "
+    "SUM(h.w) OVER (PARTITION BY h.l_returnflag ORDER BY h.v) AS cw FROM h) "
+    "SELECT c.l_returnflag, CAST(c.v AS BIGINT) AS wmedian_e2, "
+    "CAST(t.tw AS BIGINT) AS total_w FROM c JOIN t USING (l_returnflag) "
+    "WHERE 2*c.cw >= t.tw "
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY c.l_returnflag ORDER BY c.v) = 1",
+)
+def weighted_median_price_by_flag(sf_dir: str):
+    """Quantity-weighted median price per return flag (the order statistic
+    that answers 'the price of the median UNIT shipped', not the median
+    line): (flag, price) weight histograms reduce as a combiner (distinct
+    values move, not rows), and each group's scan picks the smallest value
+    whose doubled cumulative weight reaches the total — pure integer
+    comparison, no interpolation, no protocol."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"].to_numpy(),
+            "v": np.round(df["l_extendedprice"].to_numpy(np.float64) * 100
+                          ).astype(np.int64),
+            "w": np.round(df["l_quantity"].to_numpy(np.float64)).astype(np.int64),
+        })
+
+    hist = relops.preagg_group_sum(
+        ds.map_batches(part, batch_format="pandas", batch_size=None),
+        ["l_returnflag", "v"], {"w": "w"},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for flag, g in df.groupby("l_returnflag", sort=False):
+            g = g.sort_values("v")
+            w = g["w"].to_numpy(np.int64)
+            cw = w.cumsum()
+            tw = int(cw[-1])
+            i = int(np.searchsorted(2 * cw, tw, side="left"))
+            rows.append((flag, int(g["v"].iloc[i]), tw))
+        return pd.DataFrame(rows, columns=["l_returnflag", "wmedian_e2",
+                                           "total_w"]).astype(
+            {"wmedian_e2": "int64", "total_w": "int64"})
+
+    return relops.hash_partition_apply(hist, ["l_returnflag"], finish)
