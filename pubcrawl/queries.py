@@ -9081,3 +9081,146 @@ def weighted_median_price_by_flag(sf_dir: str):
             {"wmedian_e2": "int64", "total_w": "int64"})
 
     return relops.hash_partition_apply(hist, ["l_returnflag"], finish)
+
+
+# ================= Holt's linear-trend smoothing (double exponential)
+
+
+@query(
+    "holt_daily_revenue",
+    # alpha = beta = 1/4 (exact binary); both states re-quantized to int
+    # cents every step, so each step is two float roundings on identical
+    # inputs — the ewma recursive-CTE recipe with a second state column
+    sql="WITH RECURSIVE d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 "
+    "AS BIGINT) AS day, SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS x "
+    "FROM orders WHERE year(o_orderdate) = 2001 GROUP BY 1), "
+    "i AS (SELECT day, x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i "
+    "FROM d), "
+    "rec AS (SELECT i.i, i.x, i.x AS s, CAST(0 AS BIGINT) AS b FROM i "
+    "WHERE i.i = 1 UNION ALL "
+    "SELECT i.i, i.x, "
+    "CAST(round_even(0.25*CAST(i.x AS DOUBLE) + "
+    "0.75*CAST(rec.s + rec.b AS DOUBLE), 0) AS BIGINT), "
+    "CAST(round_even(0.25*CAST(CAST(round_even(0.25*CAST(i.x AS DOUBLE) + "
+    "0.75*CAST(rec.s + rec.b AS DOUBLE), 0) AS BIGINT) - rec.s AS DOUBLE) + "
+    "0.75*CAST(rec.b AS DOUBLE), 0) AS BIGINT) "
+    "FROM rec JOIN i ON i.i = rec.i + 1) "
+    "SELECT i AS day_idx, CAST(x AS BIGINT) AS rev_e2, "
+    "CAST(s AS BIGINT) AS level_e2, CAST(b AS BIGINT) AS trend_e2 FROM rec",
+)
+def holt_daily_revenue(sf_dir: str):
+    """Holt's linear-trend (double exponential) smoothing of 2001 daily
+    revenue — the level+trend forecaster one rung above EWMA: s_t =
+    α·x_t + (1−α)(s+b), b_t = β(s_t − s_{t−1}) + (1−β)b, α = β = 1/4,
+    both states re-quantized to int cents per step (trend init 0,
+    documented). The daily reduction is a distributed combiner; the
+    recursion runs over the driver-small time axis and replays bit-exactly
+    because every coefficient is exact binary."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["o_orderdate"].dt.year == 2001]
+        return pd.DataFrame({
+            "day": (keep["o_orderdate"].astype("int64") // 86_400_000_000).astype("int64"),
+            "x": np.round(keep["o_totalprice"].to_numpy(np.float64) * 100
+                          ).astype(np.int64),
+        })
+
+    daily = relops.preagg_group_sum(
+        ds.map_batches(part, batch_format="pandas", batch_size=None),
+        ["day"], {"x": "x"},
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    x = daily["x"].to_numpy(np.int64)
+    s = np.zeros(len(x), dtype=np.int64)
+    b = np.zeros(len(x), dtype=np.int64)
+    s[0], b[0] = int(x[0]), 0
+    for t in range(1, len(x)):
+        st = int(np.round(0.25 * float(x[t]) + 0.75 * float(s[t - 1] + b[t - 1])))
+        bt = int(np.round(0.25 * float(st - s[t - 1]) + 0.75 * float(b[t - 1])))
+        s[t], b[t] = st, bt
+    return pd.DataFrame({"day_idx": np.arange(1, len(x) + 1, dtype=np.int64),
+                         "rev_e2": x, "level_e2": s, "trend_e2": b})
+
+
+# ================ item-CF recommendation backtest (hit rate on held-out year)
+
+
+@query(
+    "itemcf_hitrate_eval",
+    sql="WITH tr AS MATERIALIZED (SELECT DISTINCT o_custkey AS u, l_partkey AS p "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE year(o_orderdate) <= 2000), "
+    "co AS (SELECT a.p AS q, b.p AS p, COUNT(*) AS c FROM tr a "
+    "JOIN tr b ON a.u = b.u AND a.p <> b.p GROUP BY 1, 2), "
+    "rec AS (SELECT q, p FROM co QUALIFY ROW_NUMBER() OVER "
+    "(PARTITION BY q ORDER BY c DESC, p) <= 3), "
+    "ur AS (SELECT DISTINCT tr.u, rec.p FROM tr JOIN rec ON tr.p = rec.q), "
+    "te AS (SELECT DISTINCT o_custkey AS u, l_partkey AS p "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE year(o_orderdate) = 2001 "
+    "AND o_custkey IN (SELECT u FROM tr)) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_test, "
+    "CAST(SUM(CASE WHEN ur.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit "
+    "FROM te LEFT JOIN ur ON te.u = ur.u AND te.p = ur.p",
+)
+def itemcf_hitrate_eval(sf_dir: str):
+    """Temporal backtest of the item-to-item recommender: train
+    co-occurrence on orders through 2000, recommend each user the top-3
+    co-items of every part they bought, and measure the hit rate against
+    their ACTUAL held-out 2001 purchases — the recommender-eval harness
+    next to itemcf_cosine_parts' model. Pure integer counts (exact replay,
+    no protocol). Distributed shape: basket pairs co-partition by user,
+    per-item top-3 prunes ≤3 rows per item per block, the user-rec set
+    stays distinct through a co-partitioned join, and the hit test is one
+    packed-key partitioned semi join — nothing is ever broadcast."""
+    def edges(years):
+        o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+        def filt(df: pd.DataFrame) -> pd.DataFrame:
+            yr = df["o_orderdate"].dt.year
+            keep = df[years(yr)]
+            return pd.DataFrame({"o_orderkey": keep["o_orderkey"],
+                                 "u": keep["o_custkey"]})
+
+        ok = o.map_batches(filt, batch_format="pandas", batch_size=None)
+        lk = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+            lambda t: t.rename_columns(["o_orderkey", "p"]), batch_format="pyarrow")
+        return relops.distinct(
+            relops.hash_join(ok, lk, on="o_orderkey", left_cols=["u"],
+                             right_cols=["p"]),
+            ["u", "p"],
+        )
+
+    tr = edges(lambda yr: yr <= 2000).materialize()  # pairs + join + user set
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="u")
+        m = m[m["p_x"] != m["p_y"]]
+        g = m.groupby(["p_x", "p_y"], as_index=False).size()
+        return g.rename(columns={"p_x": "q", "p_y": "p", "size": "c"})
+
+    co = relops.preagg_group_sum(
+        relops.hash_partition_apply(tr, ["u"], pairs), ["q", "p"], {"c": "c"})
+    rec = relops.topk_per_group(co, ["q"], [("c", True), ("p", False)], 3)
+    trq = tr.map_batches(lambda df: df.rename(columns={"p": "q"}),
+                         batch_format="pandas", batch_size=None)
+    ur = relops.distinct(
+        relops.hash_join(trq, rec.select_columns(["q", "p"]), on="q",
+                         left_cols=["u"], right_cols=["p"]),
+        ["u", "p"],
+    )
+    # test pairs restricted to train users: partitioned semi join on u
+    te = relops.semi_join_partitioned(
+        edges(lambda yr: yr == 2001), relops.distinct(tr, ["u"]), on="u")
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"nk": df["u"].astype("int64") * (1 << 32)
+                             + df["p"].astype("int64")})
+
+    te_k = te.map_batches(pack, batch_format="pandas", batch_size=None
+                          ).materialize()
+    hit = relops.semi_join_partitioned(
+        te_k, ur.map_batches(pack, batch_format="pandas", batch_size=None),
+        on="nk")
+    return pd.DataFrame({"n_test": [np.int64(te_k.count())],
+                         "n_hit": [np.int64(hit.count())]})
