@@ -9224,3 +9224,128 @@ def itemcf_hitrate_eval(sf_dir: str):
         on="nk")
     return pd.DataFrame({"n_test": [np.int64(te_k.count())],
                          "n_hit": [np.int64(hit.count())]})
+
+
+# ================= Cohen's kappa of the language-ID heuristic (agreement)
+
+
+@query(
+    "kappa_langid",
+    # kappa cleared of fractions: num = N*(a+d) - [(a+b)(a+c) + (c+d)(b+d)],
+    # den = N^2 - [...] — exact integers, one float division e6
+    sql="WITH p AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t, "
+    "CASE WHEN "
+    f"len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), x -> x IN ({_STOP_SQL}))) * 1000 "
+    "> len(regexp_extract_all(lower(text), '[a-z]+')) * 80 "
+    "THEN 1 ELSE 0 END AS pr FROM documents), "
+    "c AS (SELECT CAST(SUM(t*pr) AS BIGINT) AS a, "
+    "CAST(SUM((1-t)*pr) AS BIGINT) AS b, CAST(SUM(t*(1-pr)) AS BIGINT) AS c2, "
+    "CAST(SUM((1-t)*(1-pr)) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS n FROM p) "
+    "SELECT n, a AS tp, b AS fp, c2 AS fn, d AS tn, "
+    "CAST(n*(a+d) - ((a+b)*(a+c2) + (c2+d)*(b+d)) AS BIGINT) AS kappa_num, "
+    "CAST(n*n - ((a+b)*(a+c2) + (c2+d)*(b+d)) AS BIGINT) AS kappa_den, "
+    "CAST(round_even(CAST(n*(a+d) - ((a+b)*(a+c2) + (c2+d)*(b+d)) AS DOUBLE) / "
+    "CAST(n*n - ((a+b)*(a+c2) + (c2+d)*(b+d)) AS DOUBLE) * 1000000, 0) "
+    "AS BIGINT) AS kappa_e6 FROM c",
+)
+def kappa_langid(sf_dir: str):
+    """Cohen's kappa of the stopword-ratio language-ID heuristic against
+    the true labels — chance-corrected agreement, the honest report next to
+    langid_confusion's raw matrix: the 2x2 counts come from ONE fused pass
+    (features + prediction + partial sums per batch), and kappa is cleared
+    of fractions — num/den exact integers, one e6 float division with
+    identical shape."""
+    import re as _re
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    alpha_rx = _re.compile(r"[a-z]+")
+    stop = frozenset(EN_STOP)
+
+    def fused(df: pd.DataFrame) -> pd.DataFrame:
+        runs = df["text"].fillna("").str.lower().str.findall(alpha_rx.pattern).explode()
+        valid = runs.notna()
+        idx = runs.index.to_numpy()[valid.to_numpy()]
+        n_alpha = np.bincount(idx, minlength=len(df)).astype(np.int64)
+        hits = runs[valid].isin(stop).to_numpy(dtype=np.float64)
+        n_stop = np.bincount(idx, weights=hits, minlength=len(df)).astype(np.int64)
+        pr = (n_stop * 1000 > n_alpha * 80).astype(np.int64)
+        t = (df["lang"] == "en").to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "__g": [np.int64(0)], "a": [int((t * pr).sum())],
+            "b": [int(((1 - t) * pr).sum())], "c2": [int((t * (1 - pr)).sum())],
+            "d": [int(((1 - t) * (1 - pr)).sum())], "n": [np.int64(len(df))],
+        })
+
+    agg = relops.preagg_group_sum(
+        ds.map_batches(fused, batch_format="pandas", batch_size=None),
+        ["__g"], {"a": "a", "b": "b", "c2": "c2", "d": "d", "n": "n"},
+    ).to_pandas()
+    a, b = int(agg["a"].sum()), int(agg["b"].sum())
+    c, d = int(agg["c2"].sum()), int(agg["d"].sum())
+    n = int(agg["n"].sum())
+    pe = (a + b) * (a + c) + (c + d) * (b + d)
+    num, den = n * (a + d) - pe, n * n - pe
+    return pd.DataFrame({
+        "n": [np.int64(n)], "tp": [np.int64(a)], "fp": [np.int64(b)],
+        "fn": [np.int64(c)], "tn": [np.int64(d)],
+        "kappa_num": [np.int64(num)], "kappa_den": [np.int64(den)],
+        "kappa_e6": [np.int64(np.round(float(num) / float(den) * 1e6))],
+    })
+
+
+# ====================== Lorenz concentration curve (decile cumulative share)
+
+
+@query(
+    "lorenz_customer_revenue",
+    sql="WITH u AS (SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice*100) "
+    "AS BIGINT)) AS BIGINT) AS rev FROM orders GROUP BY 1), "
+    "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u), "
+    "r AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rk, "
+    "SUM(rev) OVER (ORDER BY rev, o_custkey) AS cum FROM u) "
+    "SELECT CAST((rk - 1)*10 // t.n AS BIGINT) AS decile, "
+    "CAST(COUNT(*) AS BIGINT) AS n_cust, CAST(MAX(cum) AS BIGINT) AS cum_rev_e2 "
+    "FROM r, t GROUP BY 1",
+)
+def lorenz_customer_revenue(sf_dir: str):
+    """Lorenz concentration curve of customer lifetime spend — the decile
+    table behind the Gini number already in the registry ('the bottom 10%
+    of customers hold X% of revenue'): per-customer spend reduces as a
+    combiner, rank and cumulative revenue in (spend ASC, id) total order
+    come from TWO distributed exclusive prefix sums (relops.
+    global_prefix_sum — no global sort materialization), decile cut is
+    integer arithmetic, and the curve point is the max cumulative value
+    per decile. Int cents end to end."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "rev": np.round(df["o_totalprice"].to_numpy(np.float64) * 100
+                            ).astype(np.int64),
+        })
+
+    u = relops.preagg_group_sum(
+        ds.map_batches(part, batch_format="pandas", batch_size=None),
+        ["o_custkey"], {"rev": "rev"},
+    ).map_batches(lambda df: df.assign(one=np.int64(1)),
+                  batch_format="pandas", batch_size=None).materialize()
+    n = u.count()
+    keys = [("rev", False), ("o_custkey", False)]
+    ranked = relops.global_prefix_sum(u, keys, "one", out_col="rk0")
+    both = relops.global_prefix_sum(ranked, keys, "rev", out_col="cum0")
+
+    def deciles(df: pd.DataFrame) -> pd.DataFrame:
+        rk = df["rk0"].to_numpy(np.int64)  # exclusive prefix count = rank-1
+        cum = df["cum0"].to_numpy(np.int64) + df["rev"].to_numpy(np.int64)
+        return pd.DataFrame({"decile": rk * 10 // n, "one": np.int64(1),
+                             "cum": cum})
+
+    parts = both.map_batches(deciles, batch_format="pandas", batch_size=None)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("decile", as_index=False).agg(
+            n_cust=("one", "sum"), cum_rev_e2=("cum", "max"))
+        return g.astype({"n_cust": "int64", "cum_rev_e2": "int64"})
+
+    return relops.hash_partition_apply(parts, ["decile"], finish)
