@@ -9349,3 +9349,114 @@ def lorenz_customer_revenue(sf_dir: str):
         return g.astype({"n_cust": "int64", "cum_rev_e2": "int64"})
 
     return relops.hash_partition_apply(parts, ["decile"], finish)
+
+
+# =================== pairwise vocabulary Jaccard between sources
+
+
+@query(
+    "vocab_jaccard_sources",
+    sql="WITH tok AS (SELECT DISTINCT source, "
+    "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents), "
+    "sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1), "
+    "p AS (SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) "
+    "AS inter FROM tok a JOIN tok b ON a.w = b.w AND a.source < b.source "
+    "GROUP BY 1, 2) "
+    "SELECT p.s1, p.s2, p.inter, za.n AS n1, zb.n AS n2, "
+    "CAST(round_even(CAST(p.inter AS DOUBLE) / "
+    "CAST(za.n + zb.n - p.inter AS DOUBLE) * 1000000, 0) AS BIGINT) AS j_e6 "
+    "FROM p JOIN sz za ON p.s1 = za.source JOIN sz zb ON p.s2 = zb.source",
+)
+def vocab_jaccard_sources(sf_dir: str):
+    """Pairwise vocabulary Jaccard between every two sources (the exact
+    set-similarity matrix the KMV sketch approximates — 'which domains
+    share a lexicon?'): distinct (source, word) postings reduce as a
+    combiner, intersections come from a co-partitioned self-meet on the
+    WORD key (each word contributes its ≤C(sources,2) pairs inside one
+    merge task — the vocabulary itself never gathers anywhere), set sizes
+    ride a 20-row broadcast, and J = ∩/(n1+n2−∩) is one identical float
+    division e6-rounded."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        e = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        t = pd.DataFrame({"source": df["source"], "ws": e}).explode("ws")
+        t = t[t["ws"].notna()].drop_duplicates(["source", "ws"])
+        return t.rename(columns={"ws": "w"})
+
+    tok = relops.distinct(
+        ds.map_batches(toks, batch_format="pandas", batch_size=None),
+        ["source", "w"],
+    ).materialize()  # consumed twice: sizes + pair meet
+    sz = relops.preagg_group_sum(tok, ["source"], count_as="n").to_pandas()
+    nmap = sz.set_index("source")["n"]
+
+    def meet(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="w")
+        m = m[m["source_x"] < m["source_y"]]
+        g = m.groupby(["source_x", "source_y"], as_index=False).size()
+        return g.rename(columns={"source_x": "s1", "source_y": "s2",
+                                 "size": "c"})
+
+    pairs = relops.preagg_group_sum(
+        relops.hash_partition_apply(tok, ["w"], meet), ["s1", "s2"], {"c": "inter"})
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        inter = df["inter"].to_numpy(np.int64)
+        n1 = nmap.reindex(df["s1"]).to_numpy(np.int64)
+        n2 = nmap.reindex(df["s2"]).to_numpy(np.int64)
+        return pd.DataFrame({
+            "s1": df["s1"], "s2": df["s2"], "inter": inter, "n1": n1, "n2": n2,
+            "j_e6": np.round(inter.astype(np.float64)
+                             / (n1 + n2 - inter).astype(np.float64)
+                             * 1e6).astype(np.int64),
+        })
+
+    return pairs.map_batches(score, batch_format="pandas", batch_size=None)
+
+
+# ========================== type-token ratio (lexical diversity) per source
+
+
+@query(
+    "ttr_sources",
+    sql="WITH e AS (SELECT source, unnest(regexp_extract_all(lower(text), "
+    "'[a-z0-9]+')) AS w FROM documents) "
+    "SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types, "
+    "CAST(COUNT(*) AS BIGINT) AS n_tokens FROM e GROUP BY source",
+)
+def ttr_sources(sf_dir: str):
+    """Type-token ratio inputs per source (lexical diversity — the
+    templated-content screen: low distinct-to-total word ratios flag
+    boilerplate mills): token totals fold as count partials and the type
+    counts as a per-batch-distinct (source, word) combiner followed by a
+    distinct count — the exact pair left as integers (the ratio is the
+    caller's division)."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        e = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        n = e.str.len().fillna(0).astype("int64")
+        return pd.DataFrame({"source": df["source"], "n": n})
+
+    totals = relops.preagg_group_sum(
+        ds.map_batches(tok_counts, batch_format="pandas", batch_size=None),
+        ["source"], {"n": "n_tokens"},
+    ).to_pandas()
+
+    def dtoks(df: pd.DataFrame) -> pd.DataFrame:
+        e = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        t = pd.DataFrame({"source": df["source"], "ws": e}).explode("ws")
+        t = t[t["ws"].notna()].drop_duplicates(["source", "ws"])
+        return t.rename(columns={"ws": "w"})
+
+    types = relops.preagg_group_sum(
+        relops.distinct(
+            ds.map_batches(dtoks, batch_format="pandas", batch_size=None),
+            ["source", "w"],
+        ),
+        ["source"], count_as="n_types",
+    ).to_pandas()
+    out = types.merge(totals, on="source")
+    return out[["source", "n_types", "n_tokens"]].astype(
+        {"n_types": "int64", "n_tokens": "int64"})
