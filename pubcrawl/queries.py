@@ -9460,3 +9460,159 @@ def ttr_sources(sf_dir: str):
     out = types.merge(totals, on="source")
     return out[["source", "n_types", "n_tokens"]].astype(
         {"n_types": "int64", "n_tokens": "int64"})
+
+
+# ================== log-log price elasticity of demand (grouped regression)
+
+
+@query(
+    "elasticity_qty_price",
+    # ln features as MILLI-ints BEFORE the sufficient statistics (order-free
+    # exact sums; e3 keeps the per-group sum of lx^2 inside int64 at any SF —
+    # e6 overflowed at sf0.1 — and the quantization is self-consistent: both
+    # engines regress on the SAME quantized features), slope in one division
+    sql="WITH f AS (SELECT p.p_type, "
+    "CAST(round_even(ln(CAST(ROUND(l.l_extendedprice*100) AS BIGINT))*1000, "
+    "0) AS BIGINT) AS lx, "
+    "CAST(round_even(ln(CAST(ROUND(l.l_quantity) AS BIGINT))*1000, 0) "
+    "AS BIGINT) AS ly FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey), "
+    "a AS (SELECT p_type, CAST(COUNT(*) AS HUGEINT) AS n, SUM(lx) AS sx, "
+    "SUM(ly) AS sy, SUM(lx*lx) AS sxx, SUM(lx*ly) AS sxy FROM f GROUP BY 1) "
+    "SELECT p_type, CAST(n AS BIGINT) AS n, "
+    "CAST(round_even(CAST(n*sxy - sx*sy AS DOUBLE) / "
+    "CAST(n*sxx - sx*sx AS DOUBLE) * 1000000, 0) AS BIGINT) AS elasticity_e6 "
+    "FROM a",
+)
+def elasticity_qty_price(sf_dir: str):
+    """Log-log price elasticity of demand per part type — the econometric
+    regression d ln(qty)/d ln(price): both features are micro-int ln terms
+    (rounded BEFORE the sufficient statistics, so every sum is an order-free
+    exact integer — the lognormal recipe feeding the regr_slope closed
+    form), the part type attaches via one co-partitioned hash join, and the
+    per-type slope finishes in one identical float division. lx·ly products
+    stay inside int64 per element; sums ride HUGEINT/python ints."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_quantity"])
+    pt = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda t: t.rename_columns(["l_partkey", "p_type"]), batch_format="pyarrow")
+    j = relops.hash_join(li, pt, on="l_partkey",
+                         left_cols=["l_extendedprice", "l_quantity"],
+                         right_cols=["p_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["l_extendedprice"].to_numpy(np.float64) * 100
+                         ).astype(np.int64)
+        qty = np.round(df["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        lx = np.round(np.log(cents) * 1e3).astype(np.int64)
+        ly = np.round(np.log(qty) * 1e3).astype(np.int64)
+        t = pd.DataFrame({"p_type": df["p_type"].to_numpy(), "lx": lx, "ly": ly,
+                          "xx": lx * lx, "xy": lx * ly})
+        return t.groupby("p_type", as_index=False, sort=False).agg(
+            n=("lx", "size"), sx=("lx", "sum"), sy=("ly", "sum"),
+            sxx=("xx", "sum"), sxy=("xy", "sum"))
+
+    partials = j.map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for ptype, g in df.groupby("p_type", sort=False):
+            n = int(g["n"].sum())
+            sx, sy = int(g["sx"].sum()), int(g["sy"].sum())
+            # python-int fold: partial sums are int64-safe at e3 units, but
+            # fold exactly anyway (the skew/HUGEINT discipline)
+            sxx = sum(int(v) for v in g["sxx"])
+            sxy = sum(int(v) for v in g["sxy"])
+            slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+            rows.append((ptype, n, int(np.round(slope * 1e6))))
+        return pd.DataFrame(rows, columns=["p_type", "n", "elasticity_e6"]
+                            ).astype({"n": "int64", "elasticity_e6": "int64"})
+
+    return relops.hash_partition_apply(partials, ["p_type"], finish)
+
+
+# ===================== Tukey-fence outlier counts (1.5*IQR rule) per group
+
+
+@query(
+    "iqr_fence_outliers",
+    # fences kept rational: x is an outlier iff 4x < 4*q1 - 6*iqr or
+    # 4x > 4*q3 + 6*iqr (multiplying 1.5*iqr by 4 clears the fraction) —
+    # pure integer comparisons against exact discrete quartiles
+    sql="WITH v AS (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS v "
+    "FROM events), "
+    "q AS (SELECT event_type, quantile_disc(v, 0.25) AS q1, "
+    "quantile_disc(v, 0.75) AS q3 FROM v GROUP BY 1) "
+    "SELECT v.event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CASE WHEN 4*v.v < 4*q.q1 - 6*(q.q3 - q.q1) "
+    "OR 4*v.v > 4*q.q3 + 6*(q.q3 - q.q1) THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_outliers, CAST(ANY_VALUE(q.q1) AS BIGINT) AS q1_e2, "
+    "CAST(ANY_VALUE(q.q3) AS BIGINT) AS q3_e2 "
+    "FROM v JOIN q USING (event_type) GROUP BY v.event_type",
+)
+def iqr_fence_outliers(sf_dir: str):
+    """Tukey-fence outlier screen per event type (the boxplot 1.5·IQR rule
+    — the third robust-outlier vocabulary next to MAD and p99): exact
+    discrete quartiles from the histogram combiner, fences cleared of the
+    1.5 fraction by scaling both sides by 4, and the flag count is a pure
+    integer comparison streaming pass — no floats anywhere."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    ds = relops.with_columns(ds, {"v": relops.money_to_units("value")})
+    ds = ds.select_columns(["event_type", "v"])
+    q = relops.group_quantile_disc(ds, ["event_type"], "v",
+                                   {"q1": 0.25, "q3": 0.75}).to_pandas()
+    j = relops.broadcast_join(ds, q, on="event_type")
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["v"].to_numpy(np.int64)
+        q1 = df["q1"].to_numpy(np.int64)
+        q3 = df["q3"].to_numpy(np.int64)
+        iqr = q3 - q1
+        out = ((4 * v < 4 * q1 - 6 * iqr) | (4 * v > 4 * q3 + 6 * iqr)
+               ).astype(np.int64)
+        return pd.DataFrame({"event_type": df["event_type"], "one": np.int64(1),
+                             "out": out})
+
+    agg = relops.preagg_group_sum(
+        j.map_batches(flag, batch_format="pandas", batch_size=None),
+        ["event_type"], {"one": "n", "out": "n_outliers"},
+    )
+    qmap = q.set_index("event_type")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["q1_e2"] = qmap["q1"].reindex(df["event_type"]).to_numpy(np.int64)
+        df["q3_e2"] = qmap["q3"].reindex(df["event_type"]).to_numpy(np.int64)
+        return df[["event_type", "n", "n_outliers", "q1_e2", "q3_e2"]]
+
+    return agg.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+# ========================= calendar heatmap (day-of-week x hour activity)
+
+
+@query(
+    "dow_hour_heatmap",
+    sql="SELECT CAST(isodow(ts) AS BIGINT) AS dow, "
+    "CAST(hour(ts) AS BIGINT) AS hr, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_e2 "
+    "FROM events GROUP BY 1, 2",
+)
+def dow_hour_heatmap(sf_dir: str):
+    """Day-of-week × hour activity heatmap (the capacity-planning calendar
+    behind every ops dashboard — and the shape a politeness scheduler uses
+    to pick crawl windows): one fused pass extracts both calendar keys and
+    int-cent values, and the ≤168-cell matrix folds through the combiner."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "dow": df["ts"].dt.isocalendar().day.to_numpy().astype(np.int64),
+            "hr": df["ts"].dt.hour.to_numpy().astype(np.int64),
+            "one": np.int64(1),
+            "v": np.round(df["value"].to_numpy(np.float64) * 100
+                          ).astype(np.int64),
+        })
+
+    return relops.preagg_group_sum(
+        ds.map_batches(part, batch_format="pandas", batch_size=None),
+        ["dow", "hr"], {"one": "n", "v": "value_e2"},
+    )
