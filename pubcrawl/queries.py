@@ -9616,3 +9616,154 @@ def dow_hour_heatmap(sf_dir: str):
         ds.map_batches(part, batch_format="pandas", batch_size=None),
         ["dow", "hr"], {"one": "n", "v": "value_e2"},
     )
+
+
+# ============= popularity-ranked hard negatives (implicit-feedback training)
+
+
+@query(
+    "negatives_popular_parts",
+    sql="WITH tr AS MATERIALIZED (SELECT DISTINCT o_custkey AS u, l_partkey AS p "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE year(o_orderdate) = 1995), "
+    "pop AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS buyers, "
+    "CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, p) AS BIGINT) AS prank "
+    "FROM tr GROUP BY p ORDER BY buyers DESC, p LIMIT 50), "
+    "cand AS (SELECT uu.u, pop.p, pop.prank FROM "
+    "(SELECT DISTINCT u FROM tr) uu CROSS JOIN pop "
+    "WHERE NOT EXISTS (SELECT 1 FROM tr WHERE tr.u = uu.u AND tr.p = pop.p)) "
+    "SELECT u, p AS p_neg, prank FROM cand "
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY u ORDER BY prank) <= 2",
+)
+def negatives_popular_parts(sf_dir: str):
+    """Popularity-ranked hard-negative sampling for implicit-feedback
+    training (the BPR/ALS data-prep step: the most convincing negatives are
+    popular items the user did NOT buy): the global top-50 popularity list
+    is one combiner + top-k (driver-small by construction), ships as a
+    broadcast, and each user's first two unowned entries fall out of a
+    vectorized per-partition membership test — deterministic, no RNG, so
+    the replay is exact. At 100 TB the candidate list stays k-bounded and
+    only (user, item) int pairs move."""
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def y95(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["o_orderdate"].dt.year == 1995]
+        return pd.DataFrame({"o_orderkey": keep["o_orderkey"],
+                             "u": keep["o_custkey"]})
+
+    ok = o.map_batches(y95, batch_format="pandas", batch_size=None)
+    lk = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "p"]), batch_format="pyarrow")
+    tr = relops.distinct(
+        relops.hash_join(ok, lk, on="o_orderkey", left_cols=["u"],
+                         right_cols=["p"]),
+        ["u", "p"],
+    ).materialize()  # popularity + per-user baskets
+    pop = relops.topk(
+        relops.preagg_group_sum(tr, ["p"], count_as="buyers"),
+        [("buyers", True), ("p", False)], 50,
+    ).to_pandas().sort_values(["buyers", "p"], ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+    pop_ids = pop["p"].to_numpy(np.int64)
+    pop_rank = np.arange(1, len(pop_ids) + 1, dtype=np.int64)
+
+    def negs(df: pd.DataFrame) -> pd.DataFrame:
+        rows_u, rows_p, rows_r = [], [], []
+        for u, g in df.groupby("u", sort=False):
+            owned = set(g["p"].tolist())
+            picked = 0
+            for pid, rk in zip(pop_ids, pop_rank):
+                if int(pid) not in owned:
+                    rows_u.append(u)
+                    rows_p.append(int(pid))
+                    rows_r.append(int(rk))
+                    picked += 1
+                    if picked == 2:
+                        break
+        return pd.DataFrame({"u": np.array(rows_u, dtype=np.int64),
+                             "p_neg": np.array(rows_p, dtype=np.int64),
+                             "prank": np.array(rows_r, dtype=np.int64)})
+
+    return relops.hash_partition_apply(tr, ["u"], negs)
+
+
+# ===================== OOV rate per source against a fixed top-k vocabulary
+
+
+@query(
+    "oov_rate_sources",
+    sql="WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text), "
+    "'[a-z0-9]+')) AS w FROM documents), "
+    "voc AS (SELECT w FROM tok GROUP BY w "
+    "ORDER BY COUNT(*) DESC, w LIMIT 100) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+    "CAST(SUM(CASE WHEN voc.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov "
+    "FROM tok LEFT JOIN voc USING (w) GROUP BY source",
+)
+def oov_rate_sources(sf_dir: str):
+    """Out-of-vocabulary rate per source against the corpus top-100
+    vocabulary — the tokenizer-coverage screen run before committing to a
+    vocab size: the vocabulary is one combiner + top-k (driver-small,
+    deterministic tiebreak), ships as a broadcast set, and OOV counts fold
+    through per-batch membership partials. Exact integer pair out."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        e = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        t = pd.DataFrame({"source": df["source"], "ws": e}).explode("ws")
+        t = t[t["ws"].notna()]
+        g = t.groupby(["source", "ws"], sort=False).size().reset_index(name="v")
+        return g.rename(columns={"ws": "w"}).astype({"v": "int64"})
+
+    counts = relops.preagg_group_sum(
+        ds.map_batches(toks, batch_format="pandas", batch_size=None),
+        ["source", "w"], {"v": "v"},
+    ).materialize()  # vocab + oov tallies
+    voc = set(
+        relops.topk(
+            relops.preagg_group_sum(counts, ["w"], {"v": "c"}),
+            [("c", True), ("w", False)], 100,
+        ).to_pandas()["w"]
+    )
+
+    def tally(df: pd.DataFrame) -> pd.DataFrame:
+        oov = (~df["w"].isin(voc)).to_numpy().astype(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        return pd.DataFrame({"source": df["source"], "n_tokens": v,
+                             "n_oov": oov * v})
+
+    return relops.preagg_group_sum(
+        counts.map_batches(tally, batch_format="pandas", batch_size=None),
+        ["source"], {"n_tokens": "n_tokens", "n_oov": "n_oov"},
+    )
+
+
+# ============== temperature-scaled source mixing weights (tau = 1/2)
+
+
+@query(
+    "mix_temperature_sources",
+    # tau = 1/2 -> sqrt(n): correctly-rounded on both engines; one
+    # identical float expression over exact integer counts, e9
+    sql="WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM documents GROUP BY 1), "
+    "t AS (SELECT SUM(sqrt(CAST(n AS DOUBLE))) AS z FROM c) "
+    "SELECT source, n, CAST(round_even(sqrt(CAST(n AS DOUBLE)) / t.z * "
+    "1000000000, 0) AS BIGINT) AS weight_e9 FROM c, t",
+)
+def mix_temperature_sources(sf_dir: str):
+    """Temperature-scaled mixing weights per source (tau = 1/2 — the
+    multilingual-pretraining recipe that upsamples small sources without
+    letting any source dominate): counts are one combiner pass, and the
+    weight n^tau / Σ n^tau is one identical float expression over exact
+    integers — sqrt is correctly rounded on both engines, and the
+    normalizer's summation-order drift (~1e-16 relative) sits ~9 orders
+    below the e9 quantum (the pagerank argument). e9-rounded weights."""
+    ds = _read(sf_dir, "documents", ["source"])
+    counts = relops.preagg_group_sum(ds, ["source"], count_as="n").to_pandas()
+    n = counts["n"].to_numpy(np.int64).astype(np.float64)
+    z = np.sqrt(n).sum()
+    return pd.DataFrame({
+        "source": counts["source"], "n": counts["n"].to_numpy(np.int64),
+        "weight_e9": np.round(np.sqrt(n) / z * 1e9).astype(np.int64),
+    })
