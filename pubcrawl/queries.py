@@ -9767,3 +9767,90 @@ def mix_temperature_sources(sf_dir: str):
         "source": counts["source"], "n": counts["n"].to_numpy(np.int64),
         "weight_e9": np.round(np.sqrt(n) / z * 1e9).astype(np.int64),
     })
+
+
+# ===================== exact duplicate rate per source (dedup dashboard)
+
+
+@query(
+    "dup_rate_sources",
+    sql="WITH h AS (SELECT source, md5(text) AS hh FROM documents) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(COUNT(*) - COUNT(DISTINCT hh) AS BIGINT) AS n_dupes "
+    "FROM h GROUP BY source",
+)
+def dup_rate_sources(sf_dir: str):
+    """Exact-duplicate rate per source (the dedup dashboard number that
+    decides which feeds get the expensive near-dup pass): md5 content
+    hashes reduce per batch to distinct (source, hash) rows plus raw
+    counts, the distinct set collapses through one key-hash shuffle, and
+    the dupe count is docs minus distinct hashes — the dedup_exact plan
+    summarized per origin, text never shuffles."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        hh = [hashlib.md5(t.encode()).hexdigest()
+              for t in df["text"].fillna("")]  # C-speed digest per doc
+        return pd.DataFrame({"source": df["source"].to_numpy(), "hh": hh,
+                             "one": np.int64(1)})
+
+    hashed = ds.map_batches(part, batch_format="pandas", batch_size=None
+                            ).materialize()
+    totals = relops.preagg_group_sum(hashed, ["source"], {"one": "n_docs"})
+    uniq = relops.preagg_group_sum(
+        relops.distinct(hashed.select_columns(["source", "hh"]),
+                        ["source", "hh"]),
+        ["source"], count_as="n_uniq",
+    ).to_pandas().set_index("source")["n_uniq"]
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_dupes"] = (df["n_docs"].to_numpy(np.int64)
+                         - uniq.reindex(df["source"]).to_numpy(np.int64))
+        return df[["source", "n_docs", "n_dupes"]]
+
+    return totals.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+# ============== forward as-of join (time to next error after each click)
+
+
+@query(
+    "asof_forward_click_error",
+    sql="SELECT c.event_id, COALESCE((SELECT CAST(epoch_us(MIN(e.ts)) AS BIGINT) "
+    "FROM events e WHERE e.user_id = c.user_id AND e.event_type = 'error' "
+    "AND e.ts >= c.ts), -1) AS next_error_us "
+    "FROM events c WHERE c.event_type = 'click'",
+)
+def asof_forward_click_error(sf_dir: str):
+    """FORWARD as-of join — for each click, the user's next error at or
+    after it (the reliability question 'did this interaction precede a
+    failure?'; the mirror of asof_last_click's backward direction, which
+    is the only direction merge_asof-style engines give you for free): one
+    user-hash shuffle, per-partition vectorized forward merge_asof
+    (direction='forward'), unmatched clicks carry -1."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def fwd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        clicks = df[df["event_type"] == "click"][["event_id", "user_id", "ts"]]
+        errs = df[df["event_type"] == "error"][["user_id", "ts"]].rename(
+            columns={"ts": "e_ts"})
+        if len(clicks) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "next_error_us": pd.Series([], dtype="int64")})
+        if len(errs) == 0:
+            return pd.DataFrame({"event_id": clicks["event_id"].to_numpy(np.int64),
+                                 "next_error_us": np.full(len(clicks), -1,
+                                                          dtype=np.int64)})
+        m = pd.merge_asof(clicks, errs.sort_values("e_ts", kind="mergesort"),
+                          left_on="ts", right_on="e_ts", by="user_id",
+                          direction="forward")
+        hit = m["e_ts"].notna().to_numpy()
+        us = m["e_ts"].astype("int64").to_numpy()  # NaT sentinel masked below
+        return pd.DataFrame({
+            "event_id": m["event_id"].to_numpy(np.int64),
+            "next_error_us": np.where(hit, us, np.int64(-1)).astype(np.int64),
+        })
+
+    return relops.hash_partition_apply(ds, ["user_id"], fwd)
