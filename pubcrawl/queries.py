@@ -9854,3 +9854,131 @@ def asof_forward_click_error(sf_dir: str):
         })
 
     return relops.hash_partition_apply(ds, ["user_id"], fwd)
+
+
+# ============== rolling 28-day correlation of order count vs revenue
+
+
+@query(
+    "rolling_corr28_orders",
+    # six integer window sums (trailing 28 ROWS incl. current), one float
+    # finish per day with identical shape — the corr recipe swept in time
+    sql="WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) "
+    "AS day, CAST(COUNT(*) AS BIGINT) AS a, "
+    "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS b "
+    "FROM orders GROUP BY 1), "
+    "w AS (SELECT day, COUNT(*) OVER win AS n, "
+    "CAST(SUM(a) OVER win AS HUGEINT) AS sa, CAST(SUM(b) OVER win AS HUGEINT) AS sb, "
+    "CAST(SUM(CAST(a AS HUGEINT)*a) OVER win AS HUGEINT) AS saa, "
+    "CAST(SUM(CAST(b AS HUGEINT)*b) OVER win AS HUGEINT) AS sbb, "
+    "CAST(SUM(CAST(a AS HUGEINT)*b) OVER win AS HUGEINT) AS sab FROM d "
+    "WINDOW win AS (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)) "
+    "SELECT day AS day_idx, CAST(round_even(CAST(n*sab - sa*sb AS DOUBLE) / "
+    "sqrt(CAST(n*saa - sa*sa AS DOUBLE) * CAST(n*sbb - sb*sb AS DOUBLE)) "
+    "* 1000000, 0) AS BIGINT) AS corr_e6 FROM w WHERE n = 28 ORDER BY day",
+)
+def rolling_corr28_orders(sf_dir: str):
+    """Rolling 28-day Pearson correlation between daily order count and
+    daily revenue — 'is growth volume- or basket-driven right now?': the
+    distributed part is the daily combiner; the six sliding integer sums
+    and the per-day float finish (identical expression shape, e6) run over
+    the driver-small time axis with python ints (the SQL side is HUGEINT).
+    Windows shorter than 28 days are excluded on both sides."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": (df["o_orderdate"].astype("int64") // 86_400_000_000).astype("int64"),
+            "a": np.int64(1),
+            "b": np.round(df["o_totalprice"].to_numpy(np.float64) * 100
+                          ).astype(np.int64),
+        })
+
+    daily = relops.preagg_group_sum(
+        ds.map_batches(part, batch_format="pandas", batch_size=None),
+        ["day"], {"a": "a", "b": "b"},
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    days = daily["day"].to_numpy(np.int64)
+    a = [int(v) for v in daily["a"]]
+    b = [int(v) for v in daily["b"]]
+    out_day, out_c = [], []
+    for t in range(27, len(a)):
+        wa, wb = a[t - 27:t + 1], b[t - 27:t + 1]
+        n = 28
+        sa, sb = sum(wa), sum(wb)
+        saa = sum(v * v for v in wa)
+        sbb = sum(v * v for v in wb)
+        sab = sum(x * y for x, y in zip(wa, wb))
+        num = float(n * sab - sa * sb)
+        den = np.sqrt(float(n * saa - sa * sa) * float(n * sbb - sb * sb))
+        out_day.append(int(days[t]))
+        out_c.append(int(np.round(num / den * 1e6)))
+    return pd.DataFrame({"day_idx": np.array(out_day, dtype=np.int64),
+                         "corr_e6": np.array(out_c, dtype=np.int64)})
+
+
+# ================= order-total reconciliation audit (cross-table consistency)
+
+
+@query(
+    "reconcile_order_totals",
+    # per-line charge re-priced with ONE identical float expression, summed
+    # as int cents per order; mismatch = |recomputed - stated| > 100 cents
+    sql="WITH l AS (SELECT l_orderkey, CAST(SUM(CAST(round_even("
+    "l_extendedprice*(1 - l_discount)*(1 + l_tax)*100, 0) AS BIGINT)) "
+    "AS BIGINT) AS recomputed_e2 FROM lineitem GROUP BY 1), "
+    "j AS (SELECT o.o_orderkey, CAST(ROUND(o.o_totalprice*100) AS BIGINT) "
+    "AS stated_e2, l.recomputed_e2 FROM orders o JOIN l ON o.o_orderkey = "
+    "l.l_orderkey) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "CAST(SUM(CASE WHEN ABS(recomputed_e2 - stated_e2) > 100 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_mismatch, "
+    "CAST(SUM(ABS(recomputed_e2 - stated_e2)) AS BIGINT) AS total_abs_diff_e2 "
+    "FROM j",
+)
+def reconcile_order_totals(sf_dir: str):
+    """Cross-table reconciliation audit: re-price every order from its
+    line items (extendedprice·(1−disc)·(1+tax), one identical float
+    expression rounded to int cents per line) and compare against the
+    stated order total — the financial-consistency gate next to the FK
+    audit. Per-order recomputed sums fold as a combiner, one co-partitioned
+    join attaches the stated totals, and the mismatch counts are integer
+    comparisons (tolerance = one dollar)."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"])
+
+    def line(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.round(df["l_extendedprice"].to_numpy(np.float64)
+                     * (1 - df["l_discount"].to_numpy(np.float64))
+                     * (1 + df["l_tax"].to_numpy(np.float64)) * 100
+                     ).astype(np.int64)
+        return pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(), "v": v})
+
+    rec = relops.preagg_group_sum(
+        li.map_batches(line, batch_format="pandas", batch_size=None),
+        ["l_orderkey"], {"v": "recomputed_e2"},
+    )
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda df: pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(),
+            "stated_e2": np.round(df["o_totalprice"].to_numpy(np.float64) * 100
+                                  ).astype(np.int64)}),
+        batch_format="pandas", batch_size=None)
+    j = relops.hash_join(o, rec, on="l_orderkey",
+                         left_cols=["stated_e2"], right_cols=["recomputed_e2"])
+
+    def tally(df: pd.DataFrame) -> pd.DataFrame:
+        diff = np.abs(df["recomputed_e2"].to_numpy(np.int64)
+                      - df["stated_e2"].to_numpy(np.int64))
+        return pd.DataFrame({"__g": [np.int64(0)], "n_orders": [np.int64(len(df))],
+                             "n_mismatch": [int((diff > 100).sum())],
+                             "total_abs_diff_e2": [int(diff.sum())]})
+
+    agg = relops.preagg_group_sum(
+        j.map_batches(tally, batch_format="pandas", batch_size=None),
+        ["__g"], {"n_orders": "n_orders", "n_mismatch": "n_mismatch",
+                  "total_abs_diff_e2": "total_abs_diff_e2"},
+    )
+    return agg.map_batches(
+        lambda df: df[["n_orders", "n_mismatch", "total_abs_diff_e2"]],
+        batch_format="pandas", batch_size=None)
