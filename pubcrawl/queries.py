@@ -9982,3 +9982,118 @@ def reconcile_order_totals(sf_dir: str):
     return agg.map_batches(
         lambda df: df[["n_orders", "n_mismatch", "total_abs_diff_e2"]],
         batch_format="pandas", batch_size=None)
+
+
+# ================== hapax legomena rate per source (vocabulary health)
+
+
+@query(
+    "hapax_rate_sources",
+    sql="WITH c AS (SELECT source, unnest(regexp_extract_all(lower(text), "
+    "'[a-z0-9]+')) AS w FROM documents), "
+    "sc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1, 2) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types, "
+    "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax "
+    "FROM sc GROUP BY source",
+)
+def hapax_rate_sources(sf_dir: str):
+    """Hapax legomena rate per source — the share of words used exactly
+    once, the vocabulary-health companion to ttr_sources (natural corpora
+    sit near 40-60%; templated mills collapse toward zero): per-(source,
+    word) counts reduce as a combiner and the hapax tally is one integer
+    comparison over the folded counts. Exact integer pair out."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        e = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        t = pd.DataFrame({"source": df["source"], "ws": e}).explode("ws")
+        t = t[t["ws"].notna()]
+        g = t.groupby(["source", "ws"], sort=False).size().reset_index(name="v")
+        return g.rename(columns={"ws": "w"}).astype({"v": "int64"})
+
+    counts = relops.preagg_group_sum(
+        ds.map_batches(toks, batch_format="pandas", batch_size=None),
+        ["source", "w"], {"v": "n"},
+    )
+
+    def tally(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": df["source"], "one": np.int64(1),
+            "hapax": (df["n"].to_numpy(np.int64) == 1).astype(np.int64),
+        })
+
+    return relops.preagg_group_sum(
+        counts.map_batches(tally, batch_format="pandas", batch_size=None),
+        ["source"], {"one": "n_types", "hapax": "n_hapax"},
+    )
+
+
+# ======================= rich-club coefficient of the co-purchase graph
+
+
+@query(
+    "richclub_copurchase",
+    sql="WITH e AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst "
+    "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+    "AND a.l_partkey <> b.l_partkey "
+    "WHERE year(a.l_shipdate) = 1995 AND year(b.l_shipdate) = 1995), "
+    "deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d "
+    "FROM e GROUP BY 1), "
+    "k AS (SELECT quantile_disc(d, 0.9) AS thr FROM deg), "
+    "hub AS (SELECT id FROM deg, k WHERE d > k.thr) "
+    "SELECT CAST((SELECT COUNT(*) FROM hub) AS BIGINT) AS n_hubs, "
+    "CAST((SELECT ANY_VALUE(thr) FROM k) AS BIGINT) AS deg_thr, "
+    "CAST((SELECT COUNT(*) FROM e JOIN hub h1 ON e.src = h1.id "
+    "JOIN hub h2 ON e.dst = h2.id) AS BIGINT) AS hub_edges",
+)
+def richclub_copurchase(sf_dir: str):
+    """Rich-club statistic of the co-purchase graph — do the top-decile-
+    degree parts preferentially co-sell with EACH OTHER? (hub_edges over
+    n_hubs·(n_hubs−1) is the coefficient's numerator/denominator pair, left
+    exact): the degree threshold is one exact-histogram-quantile scalar,
+    the hub set filters via broadcast membership, and the within-club edge
+    count is two vectorized semi-filters over the edge stream — multigraph
+    edges counted as generated, all integers."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_shipdate"])
+
+    def y95(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(pc.year(t["l_shipdate"]), 1995))
+        return keep.select(["l_orderkey", "l_partkey"])
+
+    lp = li.map_batches(y95, batch_format="pyarrow")
+    a = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "src"]),
+                       batch_format="pyarrow")
+    b = lp.map_batches(lambda t: t.rename_columns(["l_orderkey", "dst"]),
+                       batch_format="pyarrow")
+    edges = relops.hash_join(a, b, on="l_orderkey",
+                             left_cols=["src"], right_cols=["dst"])
+    edges = edges.map_batches(
+        lambda df: df.loc[df["src"] != df["dst"], ["src", "dst"]],
+        batch_format="pandas", batch_size=None,
+    ).materialize()  # degrees + club filter
+    deg = relops.preagg_group_sum(
+        edges.map_batches(lambda df: pd.DataFrame({"id": df["src"],
+                                                   "one": np.int64(1)}),
+                          batch_format="pandas", batch_size=None),
+        ["id"], {"one": "d"},
+    ).map_batches(lambda df: df.assign(__g=np.int64(0)),
+                  batch_format="pandas", batch_size=None).materialize()
+    thr = int(relops.group_quantile_disc(deg, ["__g"], "d", {"t": 0.9})
+              .to_pandas()["t"].iloc[0])
+    hubs = deg.map_batches(lambda df: df.loc[df["d"] > thr, ["id"]],
+                           batch_format="pandas", batch_size=None)
+    hub_set = set(int(v) for v in hubs.to_pandas()["id"])  # decile-bounded
+    n_hubs = len(hub_set)
+
+    def club(df: pd.DataFrame) -> pd.DataFrame:
+        inside = (df["src"].isin(hub_set) & df["dst"].isin(hub_set)
+                  ).to_numpy().astype(np.int64)
+        return pd.DataFrame({"__g": [np.int64(0)], "c": [int(inside.sum())]})
+
+    agg = relops.preagg_group_sum(
+        edges.map_batches(club, batch_format="pandas", batch_size=None),
+        ["__g"], {"c": "hub_edges"},
+    ).to_pandas()
+    return pd.DataFrame({"n_hubs": [np.int64(n_hubs)],
+                         "deg_thr": [np.int64(thr)],
+                         "hub_edges": [np.int64(int(agg["hub_edges"].sum()))]})
