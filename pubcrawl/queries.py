@@ -10097,3 +10097,116 @@ def richclub_copurchase(sf_dir: str):
     return pd.DataFrame({"n_hubs": [np.int64(n_hubs)],
                          "deg_thr": [np.int64(thr)],
                          "hub_edges": [np.int64(int(agg["hub_edges"].sum()))]})
+
+
+# ==================== perfect-order rate (max ship delay per order)
+
+
+@query(
+    "perfect_order_rate",
+    sql="WITH d AS (SELECT l.l_orderkey, "
+    "CAST(MAX(epoch_us(l.l_shipdate) // 86400000000 - "
+    "epoch_us(o.o_orderdate) // 86400000000) AS BIGINT) AS max_delay "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "GROUP BY 1), "
+    "j AS (SELECT o.o_orderpriority, d.max_delay FROM orders o "
+    "JOIN d ON o.o_orderkey = d.l_orderkey) "
+    "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "CAST(SUM(CASE WHEN max_delay <= 30 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_perfect FROM j GROUP BY o_orderpriority",
+)
+def perfect_order_rate(sf_dir: str):
+    """Perfect-order rate per priority (the supply-chain OTIF metric: every
+    line shipped within 30 days of the order date): the order date attaches
+    to lines via one co-partitioned join, per-order MAX delay folds through
+    per-batch group-max partials + a key-hash max merge (the combiner
+    discipline with max instead of sum), and the per-priority tally is
+    integer comparisons. Epoch-day arithmetic keeps the delay exact."""
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    od = o.map_batches(
+        lambda df: pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(),
+            "od": (df["o_orderdate"].astype("int64") // 86_400_000_000
+                   ).astype("int64")}),
+        batch_format="pandas", batch_size=None)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        lambda df: pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(),
+            "sd": (df["l_shipdate"].astype("int64") // 86_400_000_000
+                   ).astype("int64")}),
+        batch_format="pandas", batch_size=None)
+    j = relops.hash_join(li, od, on="l_orderkey", left_cols=["sd"],
+                         right_cols=["od"])
+
+    def dpart(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(),
+                          "delay": (df["sd"] - df["od"]).to_numpy(np.int64)})
+        return d.groupby("l_orderkey", as_index=False, sort=False)["delay"].max()
+
+    partials = j.map_batches(dpart, batch_format="pandas", batch_size=None)
+    per_order = relops.hash_partition_apply(
+        partials, ["l_orderkey"],
+        lambda df: df.groupby("l_orderkey", as_index=False, sort=False
+                              )["delay"].max())
+    pri = o.map_batches(
+        lambda df: pd.DataFrame({"l_orderkey": df["o_orderkey"].to_numpy(),
+                                 "o_orderpriority": df["o_orderpriority"].to_numpy()}),
+        batch_format="pandas", batch_size=None)
+    jp = relops.hash_join(per_order, pri, on="l_orderkey",
+                          left_cols=["delay"], right_cols=["o_orderpriority"])
+
+    def tally(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"].to_numpy(),
+            "one": np.int64(1),
+            "perfect": (df["delay"].to_numpy(np.int64) <= 30).astype(np.int64),
+        })
+
+    return relops.preagg_group_sum(
+        jp.map_batches(tally, batch_format="pandas", batch_size=None),
+        ["o_orderpriority"], {"one": "n_orders", "perfect": "n_perfect"},
+    )
+
+
+# ========================== return rate by brand (quality-of-goods screen)
+
+
+@query(
+    "return_rate_brands",
+    sql="SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+    "CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_returned, CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN "
+    "CAST(ROUND(l.l_extendedprice*100) AS BIGINT) ELSE 0 END) AS BIGINT) "
+    "AS returned_value_e2 "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "GROUP BY p.p_brand",
+)
+def return_rate_brands(sf_dir: str):
+    """Return rate per brand (the quality-of-goods screen merchandising
+    runs weekly): brand attaches via one co-partitioned join against the
+    part table and the per-brand line/return/value tallies fold through a
+    combiner — exact integers, returned value in int cents."""
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_returnflag", "l_extendedprice"])
+    pt = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda t: t.rename_columns(["l_partkey", "p_brand"]),
+        batch_format="pyarrow")
+    j = relops.hash_join(li, pt, on="l_partkey",
+                         left_cols=["l_returnflag", "l_extendedprice"],
+                         right_cols=["p_brand"])
+
+    def tally(df: pd.DataFrame) -> pd.DataFrame:
+        ret = (df["l_returnflag"] == "R").to_numpy()
+        cents = np.round(df["l_extendedprice"].to_numpy(np.float64) * 100
+                         ).astype(np.int64)
+        return pd.DataFrame({
+            "p_brand": df["p_brand"].to_numpy(), "one": np.int64(1),
+            "r": ret.astype(np.int64),
+            "rv": np.where(ret, cents, 0).astype(np.int64),
+        })
+
+    return relops.preagg_group_sum(
+        j.map_batches(tally, batch_format="pandas", batch_size=None),
+        ["p_brand"], {"one": "n_lines", "r": "n_returned",
+                      "rv": "returned_value_e2"},
+    )
