@@ -10210,3 +10210,115 @@ def return_rate_brands(sf_dir: str):
         ["p_brand"], {"one": "n_lines", "r": "n_returned",
                       "rv": "returned_value_e2"},
     )
+
+
+# =============== unit-price dispersion per part (coefficient of variation)
+
+
+@query(
+    "price_dispersion_parts",
+    # unit price as int cents via ONE identical float division+rounding per
+    # line; CV^2 = (n*Svv - S^2)/S^2 from exact integer stats, e6-ordered
+    sql="WITH v AS (SELECT l_partkey, CAST(round_even("
+    "l_extendedprice*100/l_quantity, 0) AS BIGINT) AS u FROM lineitem), "
+    "a AS (SELECT l_partkey, CAST(COUNT(*) AS HUGEINT) AS n, "
+    "CAST(SUM(u) AS HUGEINT) AS s, SUM(CAST(u AS HUGEINT)*u) AS svv "
+    "FROM v GROUP BY 1 HAVING COUNT(*) >= 5) "
+    "SELECT l_partkey, CAST(n AS BIGINT) AS n_sales, "
+    "CAST(round_even(CAST(n*svv - s*s AS DOUBLE)/CAST(s*s AS DOUBLE)"
+    "*1000000, 0) AS BIGINT) AS cv2_e6 FROM a "
+    "ORDER BY cv2_e6 DESC, l_partkey LIMIT 20",
+)
+def price_dispersion_parts(sf_dir: str):
+    """Unit-price dispersion per part — the top-20 parts whose realized
+    per-unit price varies most (squared coefficient of variation, the
+    price-integrity screen for 'same SKU, wildly different deals'): unit
+    prices are int cents via one identical float division per line, the
+    three sufficient statistics are exact integers (python ints / HUGEINT),
+    CV² = (n·Σu² − S²)/S² finishes in one float division, and the top-20
+    carries the (score, part) tiebreak. Thin-seller parts (<5 sales) are
+    excluded identically on both sides."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_quantity"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.round(df["l_extendedprice"].to_numpy(np.float64) * 100
+                     / df["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        t = pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy(), "u": u,
+                          "uu": u * u})
+        return t.groupby("l_partkey", as_index=False, sort=False).agg(
+            n=("u", "size"), s=("u", "sum"), svv=("uu", "sum"))
+
+    partials = ds.map_batches(part, batch_format="pandas", batch_size=None)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pk, g in df.groupby("l_partkey", sort=False):
+            n = int(g["n"].sum())
+            if n < 5:
+                continue
+            s = int(g["s"].sum())
+            svv = sum(int(x) for x in g["svv"])  # python-int fold
+            cv2 = float(n * svv - s * s) / float(s * s)
+            rows.append((pk, n, int(np.round(cv2 * 1e6))))
+        return pd.DataFrame(rows, columns=["l_partkey", "n_sales", "cv2_e6"]
+                            ).astype({"n_sales": "int64", "cv2_e6": "int64"})
+
+    scored = relops.hash_partition_apply(partials, ["l_partkey"], finish)
+    return relops.topk(scored, [("cv2_e6", True), ("l_partkey", False)], 20)
+
+
+# ===================== supplier concentration per part (HHI index)
+
+
+@query(
+    "supplier_hhi_parts",
+    # HHI = sum(share^2) cleared of the denominator: Q/S^2 with Q = sum of
+    # per-supplier quantity squares — exact integer stats, e6-ordered
+    sql="WITH q AS (SELECT l_partkey, l_suppkey, "
+    "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty "
+    "FROM lineitem GROUP BY 1, 2), "
+    "a AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_supp, "
+    "CAST(SUM(qty) AS HUGEINT) AS s, SUM(CAST(qty AS HUGEINT)*qty) AS qq "
+    "FROM q GROUP BY 1 HAVING COUNT(*) >= 2) "
+    "SELECT l_partkey, n_supp, CAST(round_even(CAST(qq AS DOUBLE)/"
+    "CAST(s*s AS DOUBLE)*1000000, 0) AS BIGINT) AS hhi_e6 FROM a "
+    "ORDER BY hhi_e6 DESC, l_partkey LIMIT 20",
+)
+def supplier_hhi_parts(sf_dir: str):
+    """Supplier-concentration Herfindahl index per part — the top-20
+    multi-supplier parts most dependent on one supplier (the supply-risk
+    screen; HHI = Σ share², cleared of the denominator as Q/S² over exact
+    integer quantity sums): (part, supplier) quantities reduce as a
+    combiner, per-part stats fold co-partitioned, one float division +
+    e6 ordering with full tiebreak; single-supplier parts (HHI ≡ 1)
+    excluded identically on both sides."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy(),
+            "l_suppkey": df["l_suppkey"].to_numpy(),
+            "qty": np.round(df["l_quantity"].to_numpy(np.float64)
+                            ).astype(np.int64),
+        })
+
+    ps = relops.preagg_group_sum(
+        ds.map_batches(part, batch_format="pandas", batch_size=None),
+        ["l_partkey", "l_suppkey"], {"qty": "qty"},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pk, g in df.groupby("l_partkey", sort=False):
+            if len(g) < 2:
+                continue
+            qs = [int(v) for v in g["qty"]]
+            s = sum(qs)
+            qq = sum(v * v for v in qs)
+            rows.append((pk, len(qs), int(np.round(float(qq) / float(s * s)
+                                                   * 1e6))))
+        return pd.DataFrame(rows, columns=["l_partkey", "n_supp", "hhi_e6"]
+                            ).astype({"n_supp": "int64", "hhi_e6": "int64"})
+
+    scored = relops.hash_partition_apply(ps, ["l_partkey"], finish)
+    return relops.topk(scored, [("hhi_e6", True), ("l_partkey", False)], 20)
