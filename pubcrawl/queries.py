@@ -10322,3 +10322,74 @@ def supplier_hhi_parts(sf_dir: str):
 
     scored = relops.hash_partition_apply(ps, ["l_partkey"], finish)
     return relops.topk(scored, [("hhi_e6", True), ("l_partkey", False)], 20)
+
+
+# ======================= basket-size histogram (lines per order profile)
+
+
+@query(
+    "basket_size_histogram",
+    sql="WITH b AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS sz "
+    "FROM lineitem GROUP BY 1) "
+    "SELECT sz AS basket_size, CAST(COUNT(*) AS BIGINT) AS n_orders "
+    "FROM b GROUP BY 1",
+)
+def basket_size_histogram(sf_dir: str):
+    """Basket-size profile — the lines-per-order distribution every
+    capacity model starts from: per-order line counts fold as a combiner
+    (count partials per batch, key-hash merge), then the tiny size
+    histogram folds again. Two cascaded combiners, keys only."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    per_order = relops.preagg_group_sum(ds, ["l_orderkey"], count_as="sz")
+    return relops.preagg_group_sum(
+        per_order.map_batches(
+            lambda df: pd.DataFrame({"basket_size": df["sz"].astype("int64")}),
+            batch_format="pandas", batch_size=None),
+        ["basket_size"], count_as="n_orders",
+    )
+
+
+# ==================== order-cadence quantiles (inter-order gap distribution)
+
+
+@query(
+    "order_cadence_quantiles",
+    sql="WITH g AS (SELECT o_custkey, CAST(epoch_us(o_orderdate) // 86400000000 "
+    "- lag(epoch_us(o_orderdate) // 86400000000) OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) "
+    "AS gap FROM orders) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps, "
+    "CAST(quantile_disc(gap, 0.25) AS BIGINT) AS p25_days, "
+    "CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_days, "
+    "CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_days "
+    "FROM g WHERE gap IS NOT NULL",
+)
+def order_cadence_quantiles(sf_dir: str):
+    """Order-cadence distribution — exact p25/p50/p90 of the days between
+    a customer's consecutive orders (the repeat-purchase rhythm behind the
+    KM curve's first interval): gaps come from one customer-hash shuffle
+    with a vectorized sorted diff per partition (total (date, orderkey)
+    order), and the quantiles from the histogram combiner (distinct gap
+    values move, not gap rows)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="mergesort")
+        day = (df["o_orderdate"].astype("int64") // 86_400_000_000).astype("int64")
+        prev = day.groupby(df["o_custkey"], sort=False).shift(1)
+        keep = prev.notna()
+        return pd.DataFrame({"gap": (day[keep] - prev[keep]).astype("int64"),
+                             "__g": np.int64(0)})
+
+    g = relops.hash_partition_apply(ds, ["o_custkey"], gaps)
+    q = relops.group_quantile_disc(
+        g, ["__g"], "gap", {"p25_days": 0.25, "p50_days": 0.5, "p90_days": 0.9}
+    ).to_pandas()
+    n = g.count()
+    return pd.DataFrame({
+        "n_gaps": [np.int64(n)],
+        "p25_days": [np.int64(q["p25_days"].iloc[0])],
+        "p50_days": [np.int64(q["p50_days"].iloc[0])],
+        "p90_days": [np.int64(q["p90_days"].iloc[0])],
+    })
